@@ -1,0 +1,59 @@
+"""Cross-engine-deterministic aggregation helpers.
+
+Floating-point sums are order-dependent, and money values (2-decimal
+doubles) land EXACTLY on rounding boundaries, so ``round(sum(double), 2)``
+differs between Spark and any external oracle whenever partial-aggregation
+order differs. The fix: aggregate in DECIMAL (exact, associative,
+order-independent), cast to double only AFTER the aggregate, and do any
+scalar arithmetic (division, rounding) on the now-identical doubles.
+
+These helpers are used by every oracle-checked query; they also make
+Spark's own results stable across partition counts / AQE re-plans —
+valuable at 100 TB where partial-agg order is never reproducible.
+
+Integer-valued doubles (counts, quantities up to 2^53) sum exactly in
+any order and need no decimal detour.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dec_sum(expr: Column, scale: int = 6, precision: int = 30) -> Column:
+    """Order-independent sum: round-trip each value through DECIMAL.
+
+    ``scale`` must cover the input's true decimal precision (2 for money,
+    4-6 for rates/ratios); values are exact at that scale so the decimal
+    cast is lossless and the sum is exact.
+    """
+    return F.sum(expr.cast(f"decimal({precision},{scale})")).cast("double")
+
+
+def money_sum(expr: Column, digits: int = 2, scale: int = 6) -> Column:
+    """``round(sum(money_expr), digits)`` computed exactly.
+
+    The ROUND happens in DECIMAL (exact half-away-from-zero in both Spark
+    and DuckDB — verified bitwise over 60k groups), never on a double:
+    money sums land EXACTLY on .xx5 boundaries, where double-round
+    algorithms disagree.
+    """
+    return F.round(F.sum(expr.cast(f"decimal(30,{scale})")), digits).cast("double")
+
+
+def stable_avg(expr: Column, scale: int = 7) -> Column:
+    """Order-independent mean: exact decimal sum of the per-row values
+    (pre-rounded at ``scale``) divided by the non-null count — one
+    deterministic double division instead of an order-dependent running
+    mean. The result is deliberately NOT rounded: quotients of money by
+    small counts sit exactly on 2-decimal halves (12.33/2 = 6.165), where
+    cross-engine double rounding diverges.
+
+    ``scale=7`` is chosen so ratios of 2-decimal prices by quantities
+    <= 50 can never land on an exact half at the rounding scale (the
+    quotient's power-of-two factor analysis rules it out) and the nearest
+    representable gap (~1e-11) clears double noise by >20x.
+    """
+    total = F.sum(F.round(expr, scale).cast(f"decimal(30,{scale})")).cast("double")
+    return total / F.nullif(F.count(expr), F.lit(0))

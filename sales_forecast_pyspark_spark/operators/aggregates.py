@@ -1,0 +1,61 @@
+"""Hash aggregations (reference operators A1-A10, SURVEY.md §2.4).
+
+All compile to partial+final HashAggregateExec around one shuffle on the
+grouping keys — map-side combine means the shuffle carries pre-aggregated
+partials, which is what keeps these viable at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sales_forecast_pyspark_spark.functions.deterministic import money_sum, stable_avg
+
+
+def daily_rollup(
+    df: DataFrame,
+    keys: list[str],
+    qty_col: str,
+    revenue_expr: Column,
+    price_expr: Column,
+) -> DataFrame:
+    """The engine's flagship aggregate (reference A2,
+    Sales_forecast_pyspark.py:147-164): group to daily grain, net
+    quantity (returns stay negative and net out), revenue and average
+    price rounded to 2 decimals.
+
+    Money aggregates go through exact decimal sums (see
+    ``functions.deterministic``) so results are identical across
+    partition counts, AQE re-plans, and external oracles.
+    """
+    return df.groupBy(*keys).agg(
+        F.sum(qty_col).cast("double").alias("qty"),
+        money_sum(revenue_expr).alias("revenue"),
+        stable_avg(price_expr).alias("avg_price"),
+    )
+
+
+def profile_agg(df: DataFrame, keys: list[str], id_col: str, date_col: str) -> DataFrame:
+    """Data-profiling aggregate (reference A1, py:124-135): min/max over a
+    STRING id column and a date column plus count — exercises min/max
+    orderings beyond numerics."""
+    return (
+        df.groupBy(*keys)
+        .agg(
+            F.min(id_col).alias("min_id"),
+            F.max(id_col).alias("max_id"),
+            F.min(date_col).alias("min_date"),
+            F.max(date_col).alias("max_date"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy(*keys)
+    )
+
+
+def top_k(df: DataFrame, order_col: str, k: int, ascending: bool = False) -> DataFrame:
+    """orderBy + limit — Spark plans TakeOrderedAndProject (per-partition
+    heap + single reduce), NOT a global sort, so top-k never range
+    shuffles the full table (reference O2/O3)."""
+    order = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    return df.orderBy(order).limit(k)

@@ -1,0 +1,53 @@
+"""Join operators (reference J1-J3, SURVEY.md §2.3) plus scale helpers.
+
+The reference uses only equi-joins with the ``on=[names]`` form: a 1-key
+left join of daily totals (py:530) and a 3-key left join of predictions
+to the MA baseline (py:1308-1317). The engine keeps those and adds the
+strategy knobs that matter at 100 TB: explicit broadcast for dimension
+tables and key-salting for skewed shuffle joins.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def join_on(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    how: str = "left",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Equi-join on shared column names. ``broadcast_right=True`` pins a
+    broadcast-hash join for dimension tables regardless of size stats —
+    use when the optimizer can't see the small side's size (e.g. behind
+    an aggregate)."""
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, on=list(on) if not isinstance(on, str) else on, how=how)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-resistant shuffle join: salt the (skewed) left side's key with
+    a random bucket and explode the right side across all buckets, so one
+    hot key spreads over ``salt_buckets`` reducers.
+
+    AQE's skew-join handling (on by default in the engine session) covers
+    most cases at runtime; use this when a key is so hot that even split
+    shuffle blocks overwhelm a task.
+    """
+    salt = "__salt"
+    salted_left = left.withColumn(salt, (F.rand(seed=42) * salt_buckets).cast("int"))
+    salted_right = right.withColumn(
+        salt, F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    return salted_left.join(salted_right, on=[*on, salt], how=how).drop(salt)

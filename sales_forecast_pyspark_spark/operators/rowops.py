@@ -1,0 +1,63 @@
+"""Row-level operators: dedup, null repair, sampling, time split.
+
+Reference operators P4-P9 (SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dedup_exact(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """Exact deduplication (reference P6, Sales_forecast_pyspark.py:99).
+
+    Physically a hash-aggregate over all (or ``subset``) columns — one
+    shuffle keyed on the dedup columns. At 100 TB this is the cheapest
+    exact strategy Spark has; near-dup alternatives live in
+    ``llmdata.dedup``.
+    """
+    return df.dropDuplicates(subset) if subset else df.dropDuplicates()
+
+
+def null_repair(
+    df: DataFrame,
+    fill: dict[str, object] | None = None,
+    coalesce_to_zero: list[str] | None = None,
+) -> DataFrame:
+    """Null repair (reference P7): per-column ``coalesce(c, 0)``
+    (py:617-643) and bulk ``fillna`` (py:969-982)."""
+    if coalesce_to_zero:
+        df = df.select(
+            *[
+                F.coalesce(F.col(c), F.lit(0)).alias(c) if c in coalesce_to_zero else F.col(c)
+                for c in df.columns
+            ]
+        )
+    if fill:
+        df = df.fillna(fill)
+    return df
+
+
+def deterministic_sample(df: DataFrame, key: str, modulus: int, keep: int = 0) -> DataFrame:
+    """Deterministic 1/modulus sample by key residue.
+
+    The reference samples with ``df.sample(0.2, seed=42)`` (py:1971) —
+    seed-stable within Spark but not reproducible by an external oracle.
+    Keyed residue sampling gives cross-engine determinism and is
+    partition-prunable; use ``df.sample`` when statistical randomness
+    matters more than reproducibility.
+    """
+    return df.filter(F.pmod(F.col(key), F.lit(modulus)) == keep)
+
+
+def time_split(
+    df: DataFrame, date_col: str, cutoff: str
+) -> tuple[DataFrame, DataFrame]:
+    """Train/test time split (reference P4, py:366-369): train rows have
+    ``date <= cutoff``, test rows ``date > cutoff``. Applied AFTER window
+    features are computed — filters must not cut window history
+    (SURVEY.md §4 row 1)."""
+    train = df.filter(F.col(date_col) <= F.lit(cutoff))
+    test = df.filter(F.col(date_col) > F.lit(cutoff))
+    return train, test

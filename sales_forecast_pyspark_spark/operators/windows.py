@@ -1,0 +1,153 @@
+"""Partitioned time-series window operators — the heart of the reference
+(SURVEY.md §2.5, W1-W8).
+
+Frame semantics preserved exactly: frames are ROW-based, trailing, and
+EXCLUDE the current row (``rowsBetween(-w, -1)``) — calendar gaps are
+ignored (6 rows back != 6 days back). ``stddev_samp`` (n-1) yields null
+on 1-row frames; nulls are filled with 0 afterwards, so "no history" and
+"zero sales" are deliberately indistinguishable downstream
+(Sales_forecast_pyspark.py:969-982 — a documented wart, not a bug).
+
+Scale notes: all specs over the same partition keys share ONE
+exchange+sort — builders batch every expression into a single
+``select`` (the reference's py:611-647 idiom) so Catalyst plans one
+WindowExec per distinct (partitioning, ordering) pair instead of one per
+column. Series are assumed to fit in an executor's sort buffer (true for
+per-(country, product) daily series even at 100 TB: ~years x 365 rows);
+monster keys would need salted pre-aggregation first.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _window(keys: Sequence[str], order_col: str):
+    return Window.partitionBy(*keys).orderBy(order_col)
+
+
+def lag_exprs(
+    keys: Sequence[str],
+    order_col: str,
+    cols: Sequence[str],
+    offsets: Sequence[int],
+    round_digits: int = 2,
+    name_fmt: str = "{col}_lag{off}",
+) -> list[Column]:
+    """Lag features (W1-W3): ``coalesce(round(lag(c, off), d), 0)``.
+
+    The reference rounds then zero-fills every lag
+    (Sales_forecast_pyspark.py:614-644). Offsets like (6, 12, ..., 36)
+    give the 6-day-cycle "weekly" lags (W2); passing a weekday key in
+    ``keys`` gives the same-weekday lags (W3).
+    """
+    w = _window(keys, order_col)
+    return [
+        F.coalesce(F.round(F.lag(c, off).over(w), round_digits), F.lit(0)).alias(
+            name_fmt.format(col=c, off=off)
+        )
+        for c in cols
+        for off in offsets
+    ]
+
+
+def add_lags(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    cols: Sequence[str],
+    offsets: Sequence[int],
+    round_digits: int = 2,
+    name_fmt: str = "{col}_lag{off}",
+) -> DataFrame:
+    return df.select(
+        "*", *lag_exprs(keys, order_col, cols, offsets, round_digits, name_fmt)
+    )
+
+
+_ROLLING_STATS = {
+    "mean": lambda c: F.avg(c),
+    "std": lambda c: F.stddev_samp(c),
+    "median": lambda c: F.median(c),
+    "median_approx": lambda c: F.percentile_approx(c, 0.5),
+    "sum": lambda c: F.sum(c),
+    "min": lambda c: F.min(c),
+    "max": lambda c: F.max(c),
+}
+
+
+def rolling_exprs(
+    keys: Sequence[str],
+    order_col: str,
+    col: str,
+    windows: Sequence[int],
+    stats: Sequence[str] = ("mean", "std", "median"),
+    name_fmt: str = "roll_{stat}_{w}",
+) -> list[Column]:
+    """Trailing rolling stats over row frames ``(-w, -1)`` (W4-W6).
+
+    The reference's rolling median uses ``percentile_approx`` (py:920-922,
+    long-typed on integer input); stat ``median_approx`` reproduces that,
+    while ``median`` is the exact variant (oracle-checkable against ANSI
+    SQL). Both are single-pass window aggregates.
+    """
+    base = _window(keys, order_col)
+    exprs = []
+    for w in windows:
+        frame = base.rowsBetween(-w, -1)
+        for stat in stats:
+            exprs.append(
+                _ROLLING_STATS[stat](col).over(frame).alias(name_fmt.format(stat=stat, w=w))
+            )
+    return exprs
+
+
+def add_rolling(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    col: str,
+    windows: Sequence[int],
+    stats: Sequence[str] = ("mean", "std", "median"),
+    name_fmt: str = "roll_{stat}_{w}",
+    fill: float | None = 0,
+) -> DataFrame:
+    out = df.select("*", *rolling_exprs(keys, order_col, col, windows, stats, name_fmt))
+    if fill is not None:
+        new_cols = [
+            name_fmt.format(stat=s, w=w) for w in windows for s in stats
+        ]
+        out = out.fillna(fill, subset=new_cols)
+    return out
+
+
+def add_momentum(
+    df: DataFrame, col: str, against: Sequence[str], name_fmt: str = "diff_{ref}"
+) -> DataFrame:
+    """Momentum/diff features (W7): current value minus each rolling
+    stat — plain column arithmetic, no extra shuffle."""
+    return df.select(
+        "*",
+        *[(F.col(col) - F.col(ref)).alias(name_fmt.format(ref=ref)) for ref in against],
+    )
+
+
+def ma_baseline(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    col: str,
+    window: int = 6,
+    out_col: str = "baseline_qty",
+) -> DataFrame:
+    """Moving-average baseline forecast (W8, py:1272-1294): trailing
+    ``window``-row mean excluding today, falling back to lag-1 when the
+    frame is empty: ``coalesce(ma, lag1)``. Both exprs share one
+    exchange+sort."""
+    w = _window(keys, order_col)
+    ma = F.avg(col).over(w.rowsBetween(-window, -1))
+    lag1 = F.lag(col, 1).over(w)
+    return df.select("*", F.coalesce(ma, lag1).alias(out_col))

@@ -1,0 +1,332 @@
+"""Query registry: every implemented operator exposed as a named query
+with (where SQL-expressible) a DuckDB oracle.
+
+Each query maps one or more SURVEY.md §2 operators onto the driver's
+star schema (mapping per FIXTURES.md §B). Spark builders and oracle SQL
+alias every computed column to the SAME name — the driver's comparator
+sorts columns by name before hashing.
+
+Cross-engine determinism rules used throughout:
+- doubles that aggregate floating-point sums are ROUND()ed (2 decimals
+  for money/qty, 4 for statistics) in BOTH engines;
+- divisions guard zero denominators with NULLIF in both engines;
+- Spark ``dayofweek`` is 1=Sunday..7; DuckDB's is 0=Sunday..6, so
+  oracles use ``dayofweek(x) + 1``;
+- window orderings are always total (keys + unique date) so frames are
+  reproducible.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sales_forecast_pyspark_spark.functions.calendar import with_calendar_columns
+from sales_forecast_pyspark_spark.functions.deterministic import money_sum
+from sales_forecast_pyspark_spark.operators.aggregates import profile_agg, top_k
+from sales_forecast_pyspark_spark.operators.rowops import (
+    dedup_exact,
+    deterministic_sample,
+    time_split,
+)
+from sales_forecast_pyspark_spark.operators.setops import union_by_name
+from sales_forecast_pyspark_spark.plans.panel import PANEL_CTE, daily_panel
+from sales_forecast_pyspark_spark.sources.readers import read_table
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+
+
+QUERIES: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = Query(name, fn, oracle)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.builder for name, q in QUERIES.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: q.oracle for name, q in QUERIES.items() if q.oracle is not None}
+
+
+# ---------------------------------------------------------------------------
+# Scans + flagship rollup (S1, P1/P2, A2, O1) — SURVEY.md §7 minimum slice
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "daily_rollup",
+    PANEL_CTE
+    + """
+SELECT country, stock, ds, qty, revenue, avg_price,
+       CAST(year(ds) AS INT) AS year,
+       CAST(month(ds) AS INT) AS month,
+       CAST(weekofyear(ds) AS INT) AS week,
+       CAST(dayofmonth(ds) AS INT) AS day,
+       CAST(dayofweek(ds) + 1 AS INT) AS dow
+FROM panel
+""",
+)
+def q_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship A2 aggregate + P2 calendar projection."""
+    return daily_panel(spark, sf_dir, calendar=True)
+
+
+@register(
+    "profile_agg",
+    """
+SELECT CAST(year(o_orderdate) AS INT) AS year,
+       CAST(month(o_orderdate) AS INT) AS month,
+       MIN(CAST(o_orderkey AS VARCHAR)) AS min_id,
+       MAX(CAST(o_orderkey AS VARCHAR)) AS max_id,
+       MIN(CAST(o_orderdate AS DATE)) AS min_date,
+       MAX(CAST(o_orderdate AS DATE)) AS max_date,
+       COUNT(*) AS n_rows
+FROM orders
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def q_profile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: min/max over a STRING id and a date column per (year, month)."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("year"),
+        F.month("o_orderdate").alias("month"),
+        F.col("o_orderkey").cast("string").alias("id"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    return profile_agg(orders, keys=["year", "month"], id_col="id", date_col="d")
+
+
+@register(
+    "monthly_rollup",
+    PANEL_CTE
+    + """
+SELECT CAST(year(ds) AS INT) AS year, CAST(month(ds) AS INT) AS month,
+       ROUND(SUM(qty), 2) AS total_qty,
+       CAST(ROUND(SUM(CAST(revenue AS DECIMAL(30,6))), 2) AS DOUBLE) AS total_revenue
+FROM panel GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def q_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: monthly totals over the panel."""
+    return (
+        daily_panel(spark, sf_dir)
+        .groupBy(F.year("ds").alias("year"), F.month("ds").alias("month"))
+        .agg(
+            F.round(F.sum("qty"), 2).alias("total_qty"),
+            money_sum(F.col("revenue")).alias("total_revenue"),
+        )
+        .orderBy("year", "month")
+    )
+
+
+@register(
+    "country_rollup",
+    """
+SELECT n_name AS country, ROUND(SUM(l_quantity), 2) AS total_qty
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1 ORDER BY total_qty DESC
+""",
+)
+def q_country_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 + J-chain: fact-fact join (lineitem ⋈ orders shuffles on the
+    order key) then broadcast dims, rollup by customer country, sort desc."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    nat = read_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("country"))
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .orderBy(F.desc("total_qty"))
+    )
+
+
+@register(
+    "dow_rollup",
+    PANEL_CTE
+    + """
+SELECT CAST(dayofweek(ds) + 1 AS INT) AS dow, ROUND(SUM(qty), 2) AS total_qty
+FROM panel GROUP BY 1 ORDER BY 1
+""",
+)
+def q_dow_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: day-of-week totals (Spark dow semantics: 1=Sunday..7)."""
+    return (
+        daily_panel(spark, sf_dir)
+        .groupBy(F.dayofweek("ds").alias("dow"))
+        .agg(F.round(F.sum("qty"), 2).alias("total_qty"))
+        .orderBy("dow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Row ops: dedup, sampling, time split, null repair (P4-P8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    "SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey FROM lineitem",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: dropDuplicates == hash-aggregate on the projected columns."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    )
+    return dedup_exact(li)
+
+
+@register(
+    "sample_deterministic",
+    """
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS totalprice
+FROM orders WHERE o_orderkey % 10 = 0
+""",
+)
+def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 as a cross-engine-reproducible keyed sample (1-in-10 by key
+    residue); ``df.sample(fraction, seed)`` remains in the API for
+    statistical sampling."""
+    orders = read_table(spark, sf_dir, "orders")
+    return deterministic_sample(orders, "o_orderkey", 10).select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("totalprice")
+    )
+
+
+@register(
+    "time_split_counts",
+    PANEL_CTE
+    + """
+SELECT split, COUNT(*) AS n_rows FROM (
+  SELECT CASE WHEN ds <= DATE '1998-06-30' THEN 'train' ELSE 'test' END AS split
+  FROM panel
+) GROUP BY 1
+""",
+)
+def q_time_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 + A10 + U1: the reference's train/test time split, counted."""
+    panel = daily_panel(spark, sf_dir)
+    train, test = time_split(panel, "ds", "1998-06-30")
+    return union_by_name(
+        train.agg(F.count(F.lit(1)).alias("n_rows")).select(
+            F.lit("train").alias("split"), "n_rows"
+        ),
+        test.agg(F.count(F.lit(1)).alias("n_rows")).select(
+            F.lit("test").alias("split"), "n_rows"
+        ),
+    )
+
+
+@register(
+    "null_repair",
+    """
+SELECT p.p_partkey AS partkey,
+       COALESCE(s.rev, 0) AS revenue,
+       COALESCE(s.n_sales, 0) AS n_sales
+FROM part p
+LEFT JOIN (
+  SELECT l_partkey,
+         CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE) AS rev,
+         COUNT(*) AS n_sales
+  FROM lineitem WHERE l_shipdate < DATE '1996-01-01' GROUP BY 1
+) s ON p.p_partkey = s.l_partkey
+""",
+)
+def q_null_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 + J1: left join creates nulls for parts with no early sales;
+    coalesce repairs them to 0 (the reference's py:617-643 pattern)."""
+    part = read_table(spark, sf_dir, "part")
+    li = read_table(spark, sf_dir, "lineitem")
+    sales = (
+        li.filter(F.col("l_shipdate") < F.lit("1996-01-01"))
+        .groupBy("l_partkey")
+        .agg(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+            F.count(F.lit(1)).alias("n_sales"),
+        )
+    )
+    joined = part.join(sales, part.p_partkey == sales.l_partkey, "left")
+    return joined.select(
+        F.col("p_partkey").alias("partkey"),
+        F.coalesce(F.col("rev"), F.lit(0.0)).alias("revenue"),
+        F.coalesce(F.col("n_sales"), F.lit(0)).alias("n_sales"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / top-k / set ops (O1-O3, U1)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "topk_products",
+    PANEL_CTE
+    + """
+SELECT stock, total_revenue FROM (
+  SELECT stock, CAST(ROUND(SUM(CAST(revenue AS DECIMAL(30,6))), 2) AS DOUBLE) AS total_revenue
+  FROM panel GROUP BY 1
+) ORDER BY total_revenue DESC, stock ASC LIMIT 10
+""",
+)
+def q_topk_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2/O3: top-k by revenue — Spark plans TakeOrderedAndProject, not a
+    full range-partitioned sort. Tie-broken by key for determinism."""
+    totals = (
+        daily_panel(spark, sf_dir)
+        .groupBy("stock")
+        .agg(money_sum(F.col("revenue")).alias("total_revenue"))
+    )
+    return totals.orderBy(F.desc("total_revenue"), F.asc("stock")).limit(10)
+
+
+@register(
+    "union_segments",
+    PANEL_CTE
+    + """
+SELECT segment, ROUND(SUM(qty), 2) AS total_qty, COUNT(*) AS n_rows FROM (
+  SELECT 'top' AS segment, qty FROM panel WHERE country = 'NATION_12'
+  UNION ALL
+  SELECT 'rest' AS segment, qty FROM panel WHERE country <> 'NATION_12'
+) GROUP BY 1
+""",
+)
+def q_union_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 + U1: the reference's UK-vs-Others segmentation shape — split by
+    equality predicate, recombine with unionByName (py:1464-1465, :1594)."""
+    panel = daily_panel(spark, sf_dir)
+    top = panel.filter(F.col("country") == "NATION_12").select(
+        F.lit("top").alias("segment"), "qty"
+    )
+    rest = panel.filter(F.col("country") != "NATION_12").select(
+        F.lit("rest").alias("segment"), "qty"
+    )
+    return (
+        union_by_name(top, rest)
+        .groupBy("segment")
+        .agg(
+            F.round(F.sum("qty"), 2).alias("total_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )

@@ -1,0 +1,55 @@
+"""SparkSession factory with scale-conscious defaults.
+
+The reference creates its session ad-hoc (Sales_forecast_pyspark.py:47-53:
+``local[*]``, shuffle.partitions=4, driver 4g). The engine centralizes
+session creation and turns on the optimizer features a large cluster
+needs: AQE (runtime coalescing + skew-join handling), Arrow transfer for
+the pandas reporting boundary, and a UTC session timezone so date
+semantics are deterministic across environments.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults tuned for the driver's local[32] harness; on a real cluster the
+# caller overrides master/shuffle partitions (rule of thumb: 2-3x total cores,
+# and let AQE coalesce down from there).
+_DEFAULTS = {
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.driver.memory": "8g",
+    "spark.ui.enabled": "false",
+    "spark.sql.autoBroadcastJoinThreshold": "64MB",
+}
+
+
+def get_spark(
+    app_name: str = "sales_forecast_pyspark_spark",
+    master: str | None = None,
+    **conf: str,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``)
+    so the same entry points run under the driver harness and in tests.
+    Keyword overrides win over defaults.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    merged = dict(_DEFAULTS)
+    merged.update({k: str(v) for k, v in conf.items()})
+    for key, value in merged.items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,93 @@
+"""Scan layer: CSV + Parquet sources with declared schemas.
+
+The reference ingests one CSV with ``inferSchema=True``
+(Sales_forecast_pyspark.py:69-74). Inference costs an extra full pass and
+is nondeterministic across dirty data, so the engine defaults to declared
+``StructType`` schemas (inference stays available via ``schema=None``).
+Parquet is first-class because the driver's testdata is parquet and
+because it's the only sane format at 100 TB (column pruning + predicate
+pushdown + min/max skipping all depend on it).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# The reference's raw table schema (Sales_forecast_pyspark.py:69-74 and
+# the notebook's printSchema output).
+ONLINE_RETAIL_SCHEMA = T.StructType(
+    [
+        T.StructField("InvoiceNo", T.StringType(), True),
+        T.StructField("StockCode", T.StringType(), True),
+        T.StructField("Description", T.StringType(), True),
+        T.StructField("Quantity", T.IntegerType(), True),
+        T.StructField("InvoiceDate", T.StringType(), True),
+        T.StructField("UnitPrice", T.DoubleType(), True),
+        T.StructField("CustomerID", T.IntegerType(), True),
+        T.StructField("Country", T.StringType(), True),
+    ]
+)
+
+# Driver testdata star schema (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = ONLINE_RETAIL_SCHEMA,
+    header: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    """CSV scan (reference operator S1, Sales_forecast_pyspark.py:69-70).
+
+    With ``schema=None`` falls back to the reference's inferSchema
+    behavior (two extra jobs: header + inference pass).
+    """
+    reader = spark.read.option("header", header).option("sep", sep)
+    if schema is None:
+        reader = reader.option("inferSchema", True)
+    else:
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
+def parse_invoice_date(df: DataFrame, col: str = "InvoiceDate") -> DataFrame:
+    """The reference's ingest transform (Sales_forecast_pyspark.py:73-74):
+    ``to_date(to_timestamp(col, "M/d/yy H:mm"))`` — time-of-day is
+    deliberately truncated to daily grain.
+    """
+    return df.withColumn(col, F.to_date(F.to_timestamp(F.col(col), "M/d/yy H:mm")))
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one star-schema table from a testdata scale-factor directory."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    """Load the star schema as a dict of DataFrames."""
+    return {name: read_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for ``spark.sql``."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
