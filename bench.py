@@ -1,0 +1,88 @@
+"""Benchmark harness: times the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints ONE JSON
+line the driver can parse:
+
+    {"metric": "total_wall_sec", "value": N, "unit": "sec",
+     "queries": {"daily_rollup": sec, ...}, "sf": 0.1}
+
+Each query executes end-to-end through the noop sink (full plan runs,
+nothing collects to the driver), timed with a monotonic clock. A small
+warmup pass at sf0.001 first touches every table so JVM/codegen startup
+cost is not attributed to the first measured query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from sales_forecast_pyspark_spark.session import get_spark
+from sales_forecast_pyspark_spark.sources.readers import read_table
+
+# Headline queries: the flagship rollup, the heaviest window/feature
+# stages, the evaluation spine, and the scale-sensitive joins.
+BENCH_QUERIES = [
+    "daily_rollup",
+    "country_rollup",
+    "topk_products",
+    "lag_features",
+    "rolling_stats",
+    "ma_baseline",
+    "eval_join",
+    "kpi_by_country",
+]
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def _execute(df) -> None:
+    # noop sink: runs the complete physical plan (all shuffles, all
+    # expressions) without materializing results anywhere.
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="bench")
+
+    from sales_forecast_pyspark_spark.plans.queries import queries
+
+    registry = queries()
+    names = [n for n in BENCH_QUERIES if n in registry]
+
+    # Warmup: touch the fact table + run the flagship plan once at the
+    # smallest SF so codegen/classloading happens off the clock.
+    try:
+        _execute(read_table(spark, "/root/testdata/sf0.001", "lineitem"))
+        _execute(registry["daily_rollup"](spark, "/root/testdata/sf0.001"))
+    except Exception as exc:  # pragma: no cover - warmup is best-effort
+        print(f"warmup failed: {exc}", file=sys.stderr)
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        _execute(registry[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(sf_dir),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

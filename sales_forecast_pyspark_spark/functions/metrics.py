@@ -42,19 +42,21 @@ def regression_metrics(df: DataFrame, label: str, prediction: str) -> dict[str, 
     one-scan-per-metric RegressionEvaluator calls, py:451-471).
 
     R² matches MLlib's RegressionEvaluator definition:
-    ``1 - SS_res / SS_tot`` with SS_tot computed from sufficient
-    statistics (sum, sum of squares) so everything fits in one pass.
+    ``1 - SS_res / SS_tot``. SS_tot comes from ``var_pop(y) * n`` —
+    Spark's variance uses a numerically stable central-moment merge, so
+    this avoids the catastrophic cancellation of the naive
+    ``sum(y²) − (Σy)²/n`` form when labels have a large mean relative to
+    their variance.
     """
     y, p = F.col(label), F.col(prediction)
     row = df.agg(
         F.avg(F.abs(p - y)).alias("mae"),
         F.sqrt(F.avg((p - y) * (p - y))).alias("rmse"),
         F.sum((p - y) * (p - y)).alias("ss_res"),
-        F.sum(y * y).alias("sum_y2"),
-        F.sum(y).alias("sum_y"),
+        F.var_pop(y).alias("var_y"),
         F.count(F.lit(1)).alias("n"),
     ).first()
     n = row["n"]
-    ss_tot = row["sum_y2"] - (row["sum_y"] ** 2) / n if n else float("nan")
+    ss_tot = (row["var_y"] * n) if n and row["var_y"] is not None else float("nan")
     r2 = 1.0 - row["ss_res"] / ss_tot if ss_tot else float("nan")
     return {"mae": row["mae"], "rmse": row["rmse"], "r2": r2, "n": n}

@@ -30,6 +30,12 @@ def join_on(
     return left.join(r, on=list(on) if not isinstance(on, str) else on, how=how)
 
 
+# Left-preserving join modes only: the right side is exploded across all
+# salt buckets, so right/full outer joins would emit every unmatched
+# right row salt_buckets times.
+_SALTED_JOIN_MODES = frozenset({"inner", "left", "left_outer", "left_semi", "left_anti"})
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,
@@ -41,10 +47,16 @@ def salted_join(
     a random bucket and explode the right side across all buckets, so one
     hot key spreads over ``salt_buckets`` reducers.
 
+    Only left-preserving modes are supported (see ``_SALTED_JOIN_MODES``);
     AQE's skew-join handling (on by default in the engine session) covers
     most cases at runtime; use this when a key is so hot that even split
     shuffle blocks overwhelm a task.
     """
+    if how not in _SALTED_JOIN_MODES:
+        raise ValueError(
+            f"salted_join supports left-preserving modes {sorted(_SALTED_JOIN_MODES)}; "
+            f"got {how!r} (the exploded right side would duplicate unmatched rows)"
+        )
     salt = "__salt"
     salted_left = left.withColumn(salt, (F.rand(seed=42) * salt_buckets).cast("int"))
     salted_right = right.withColumn(

@@ -39,7 +39,9 @@ def null_repair(
     return df
 
 
-def deterministic_sample(df: DataFrame, key: str, modulus: int, keep: int = 0) -> DataFrame:
+def deterministic_sample(
+    df: DataFrame, key: str, modulus: int, keep: int = 0, hashed: bool = False
+) -> DataFrame:
     """Deterministic 1/modulus sample by key residue.
 
     The reference samples with ``df.sample(0.2, seed=42)`` (py:1971) —
@@ -47,8 +49,13 @@ def deterministic_sample(df: DataFrame, key: str, modulus: int, keep: int = 0) -
     Keyed residue sampling gives cross-engine determinism and is
     partition-prunable; use ``df.sample`` when statistical randomness
     matters more than reproducibility.
+
+    ``hashed=True`` takes the residue of ``xxhash64(key)`` instead of the
+    raw key — required for non-numeric keys (the reference's StockCode is
+    alphanumeric) and better-spread for clustered numeric ones.
     """
-    return df.filter(F.pmod(F.col(key), F.lit(modulus)) == keep)
+    expr = F.xxhash64(F.col(key)) if hashed else F.col(key)
+    return df.filter(F.pmod(expr, F.lit(modulus)) == keep)
 
 
 def time_split(

@@ -24,13 +24,11 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sales_forecast_pyspark_spark.functions.calendar import with_calendar_columns
 from sales_forecast_pyspark_spark.functions.deterministic import money_sum
 from sales_forecast_pyspark_spark.operators.aggregates import profile_agg, top_k
 from sales_forecast_pyspark_spark.operators.rowops import (
     dedup_exact,
     deterministic_sample,
-    time_split,
 )
 from sales_forecast_pyspark_spark.operators.setops import union_by_name
 from sales_forecast_pyspark_spark.plans.panel import PANEL_CTE, daily_panel
@@ -148,17 +146,25 @@ GROUP BY 1 ORDER BY total_qty DESC
 )
 def q_country_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 + J-chain: fact-fact join (lineitem ⋈ orders shuffles on the
-    order key) then broadcast dims, rollup by customer country, sort desc."""
+    order key), pre-aggregated to customer grain BEFORE touching the
+    customer dimension — customer scales with SF, so broadcasting it (or
+    joining it against raw line items) would not survive 100×. After the
+    custkey rollup both join sides are customer-grain; nation (25 rows)
+    broadcasts."""
     li = read_table(spark, sf_dir, "lineitem")
     orders = read_table(spark, sf_dir, "orders")
     cust = read_table(spark, sf_dir, "customer")
     nat = read_table(spark, sf_dir, "nation")
-    return (
+    per_cust = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("l_quantity").alias("cust_qty"))
+    )
+    return (
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .groupBy(F.col("n_name").alias("country"))
-        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .agg(F.round(F.sum("cust_qty"), 2).alias("total_qty"))
         .orderBy(F.desc("total_qty"))
     )
 
@@ -226,16 +232,19 @@ SELECT split, COUNT(*) AS n_rows FROM (
 """,
 )
 def q_time_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P4 + A10 + U1: the reference's train/test time split, counted."""
+    """P4 + A10: the reference's train/test time split, counted in ONE
+    scan — ``groupBy(when(ds<=cutoff))`` instead of two filtered
+    aggregates (which would scan the panel twice; the reference caches at
+    this frontier instead, py:650-651). ``time_split`` itself is
+    exercised by the forecast pipeline."""
     panel = daily_panel(spark, sf_dir)
-    train, test = time_split(panel, "ds", "1998-06-30")
-    return union_by_name(
-        train.agg(F.count(F.lit(1)).alias("n_rows")).select(
-            F.lit("train").alias("split"), "n_rows"
-        ),
-        test.agg(F.count(F.lit(1)).alias("n_rows")).select(
-            F.lit("test").alias("split"), "n_rows"
-        ),
+    return (
+        panel.groupBy(
+            F.when(F.col("ds") <= F.lit("1998-06-30"), F.lit("train"))
+            .otherwise(F.lit("test"))
+            .alias("split")
+        )
+        .agg(F.count(F.lit(1)).alias("n_rows"))
     )
 
 
