@@ -71,9 +71,12 @@ def add_lags(
 _ROLLING_STATS = {
     "mean": lambda c: F.avg(c),
     "std": lambda c: F.stddev_samp(c),
-    "median": lambda c: F.median(c),
+    # exact median: F.median does not accept a window frame, F.percentile
+    # does, and its even-count interpolation matches ANSI MEDIAN.
+    "median": lambda c: F.percentile(c, F.lit(0.5)),
     "median_approx": lambda c: F.percentile_approx(c, 0.5),
     "sum": lambda c: F.sum(c),
+    "count": lambda c: F.count(c),
     "min": lambda c: F.min(c),
     "max": lambda c: F.max(c),
 }

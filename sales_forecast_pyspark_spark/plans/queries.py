@@ -29,9 +29,16 @@ from sales_forecast_pyspark_spark.operators.aggregates import profile_agg, top_k
 from sales_forecast_pyspark_spark.operators.rowops import (
     dedup_exact,
     deterministic_sample,
+    null_repair,
+)
+from sales_forecast_pyspark_spark.operators.windows import (
+    add_lags,
+    add_momentum,
+    ma_baseline,
+    rolling_exprs,
 )
 from sales_forecast_pyspark_spark.operators.setops import union_by_name
-from sales_forecast_pyspark_spark.plans.panel import PANEL_CTE, daily_panel
+from sales_forecast_pyspark_spark.plans.panel import PANEL_CTE, PANEL_KEYS, daily_panel
 from sales_forecast_pyspark_spark.sources.readers import read_table
 
 
@@ -339,3 +346,147 @@ def q_union_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Window / feature layer (W1-W8) — the heart of the reference
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lag_features",
+    PANEL_CTE
+    + """
+SELECT country, stock, ds, qty,
+       COALESCE(ROUND(LAG(qty, 1) OVER w, 0), 0) AS qty_lag1,
+       COALESCE(ROUND(LAG(qty, 2) OVER w, 0), 0) AS qty_lag2,
+       COALESCE(ROUND(LAG(qty, 3) OVER w, 0), 0) AS qty_lag3,
+       COALESCE(ROUND(LAG(qty, 6) OVER w, 0), 0) AS qty_lag6,
+       COALESCE(ROUND(LAG(qty, 12) OVER w, 0), 0) AS qty_lag12,
+       COALESCE(ROUND(LAG(qty, 1) OVER wd, 0), 0) AS qty_dowlag1,
+       COALESCE(ROUND(LAG(qty, 2) OVER wd, 0), 0) AS qty_dowlag2,
+       COALESCE(ROUND(LAG(revenue, 1) OVER w, 2), 0) AS rev_lag1,
+       ROUND(LN(1 + qty), 6) AS log1p_qty
+FROM panel
+WINDOW w AS (PARTITION BY country, stock ORDER BY ds),
+       wd AS (PARTITION BY country, stock, dayofweek(ds) + 1 ORDER BY ds)
+""",
+)
+def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1-W3: daily lags (1-3), 6-day-cycle lags (6, 12), same-weekday
+    lags over the 3-key (country, stock, dow) partition, a second lagged
+    measure (revenue), and the reference's log1p transform (py:360-363).
+
+    Lags are round-then-coalesce(0), matching the reference's py:614-644
+    order — and rounded to 0 digits as the reference does (py:616). The
+    two (country, stock) specs share one exchange+sort; the weekday spec
+    adds a second (SURVEY.md §2.5 frame semantics)."""
+    panel = daily_panel(spark, sf_dir, calendar=True)
+    out = add_lags(panel, PANEL_KEYS, "ds", ["qty"], [1, 2, 3, 6, 12], round_digits=0)
+    out = add_lags(
+        out,
+        [*PANEL_KEYS, "dow"],
+        "ds",
+        ["qty"],
+        [1, 2],
+        round_digits=0,
+        name_fmt="{col}_dowlag{off}",
+    )
+    out = add_lags(out, PANEL_KEYS, "ds", ["revenue"], [1], round_digits=2,
+                   name_fmt="rev_lag{off}")
+    return out.select(
+        "country", "stock", "ds", "qty",
+        "qty_lag1", "qty_lag2", "qty_lag3", "qty_lag6", "qty_lag12",
+        "qty_dowlag1", "qty_dowlag2", "rev_lag1",
+        F.round(F.log1p("qty"), 6).alias("log1p_qty"),
+    )
+
+
+@register(
+    "rolling_stats",
+    PANEL_CTE
+    + """
+SELECT country, stock, ds, qty,
+  COALESCE(AVG(qty) OVER w3, 0) AS roll_mean_3,
+  COALESCE(AVG(qty) OVER w6, 0) AS roll_mean_6,
+  COALESCE(MEDIAN(qty) OVER w3, 0) AS roll_median_3,
+  COALESCE(MEDIAN(qty) OVER w6, 0) AS roll_median_6,
+  COALESCE(MIN(qty) OVER w3, 0) AS roll_min_3,
+  COALESCE(MIN(qty) OVER w6, 0) AS roll_min_6,
+  COALESCE(MAX(qty) OVER w3, 0) AS roll_max_3,
+  COALESCE(MAX(qty) OVER w6, 0) AS roll_max_6,
+  COALESCE(AVG(qty) OVER wd3, 0) AS dow_roll_mean_3,
+  COALESCE(qty - AVG(qty) OVER w3, 0) AS diff_roll_mean_3,
+  COALESCE(CASE WHEN (COUNT(qty) OVER w3) >= 2 THEN
+    SQRT(((SUM(qty*qty) OVER w3) - (SUM(qty) OVER w3) * (SUM(qty) OVER w3) / (COUNT(qty) OVER w3))
+         / ((COUNT(qty) OVER w3) - 1)) END, 0) AS roll_std_3,
+  COALESCE(CASE WHEN (COUNT(qty) OVER w6) >= 2 THEN
+    SQRT(((SUM(qty*qty) OVER w6) - (SUM(qty) OVER w6) * (SUM(qty) OVER w6) / (COUNT(qty) OVER w6))
+         / ((COUNT(qty) OVER w6) - 1)) END, 0) AS roll_std_6
+FROM panel
+WINDOW
+  w3 AS (PARTITION BY country, stock ORDER BY ds ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING),
+  w6 AS (PARTITION BY country, stock ORDER BY ds ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING),
+  wd3 AS (PARTITION BY country, stock, dayofweek(ds) + 1 ORDER BY ds ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+""",
+)
+def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4-W7: trailing row-frame rolling stats (mean/median/min/max over
+    frames (-3,-1) and (-6,-1)), a weekday-partitioned rolling mean (W6),
+    momentum diffs (W7), and sample std.
+
+    Frame semantics per SURVEY.md §2.5: row-based, trailing, EXCLUDING
+    the current row; nulls (empty frames) filled with 0 afterwards so "no
+    history" == "zero sales" (the reference's deliberate wart,
+    py:969-982). Std is computed from rolling sufficient statistics
+    (sum, sum-of-squares, count) instead of ``stddev_samp`` so the result
+    is bit-identical across engines on integer-valued inputs;
+    ``stddev_samp``/``percentile_approx`` remain available as stats in
+    ``operators.windows`` (unit-tested with tolerance instead)."""
+    panel = daily_panel(spark, sf_dir, calendar=True)
+    p = panel.select("*", (F.col("qty") * F.col("qty")).alias("qty2"))
+    p = p.select(
+        "*",
+        *rolling_exprs(PANEL_KEYS, "ds", "qty", [3, 6],
+                       ("mean", "median", "min", "max", "sum", "count")),
+        *rolling_exprs(PANEL_KEYS, "ds", "qty2", [3, 6], ("sum",),
+                       name_fmt="roll2_{stat}_{w}"),
+        *rolling_exprs([*PANEL_KEYS, "dow"], "ds", "qty", [3], ("mean",),
+                       name_fmt="dow_roll_{stat}_{w}"),
+    )
+    p = add_momentum(p, "qty", ["roll_mean_3"])  # -> diff_roll_mean_3
+
+    def std_expr(w: int):
+        cnt = F.col(f"roll_count_{w}")
+        s = F.col(f"roll_sum_{w}")
+        s2 = F.col(f"roll2_sum_{w}")
+        return F.when(cnt >= 2, F.sqrt((s2 - s * s / cnt) / (cnt - 1)))
+
+    p = p.select("*", std_expr(3).alias("roll_std_3"), std_expr(6).alias("roll_std_6"))
+    feature_cols = [
+        "roll_mean_3", "roll_mean_6", "roll_median_3", "roll_median_6",
+        "roll_min_3", "roll_min_6", "roll_max_3", "roll_max_6",
+        "dow_roll_mean_3", "diff_roll_mean_3", "roll_std_3", "roll_std_6",
+    ]
+    p = null_repair(p, fill={c: 0 for c in feature_cols})
+    return p.select("country", "stock", "ds", "qty", *feature_cols)
+
+
+@register(
+    "ma_baseline",
+    PANEL_CTE
+    + """
+SELECT country, stock, ds, qty,
+  COALESCE(
+    AVG(qty) OVER (PARTITION BY country, stock ORDER BY ds ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING),
+    LAG(qty, 1) OVER (PARTITION BY country, stock ORDER BY ds)
+  ) AS baseline_qty
+FROM panel
+""",
+)
+def q_ma_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8: the 6-row trailing moving-average baseline forecast with the
+    lag-1 fallback (``coalesce(ma6, lag1)``, py:1272-1294). First row of
+    each series stays null (no history at all) — preserved, not filled."""
+    out = ma_baseline(daily_panel(spark, sf_dir), PANEL_KEYS, "ds", "qty", window=6)
+    return out.select("country", "stock", "ds", "qty", "baseline_qty")

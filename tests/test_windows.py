@@ -1,0 +1,123 @@
+"""Frame-semantics unit tests for the window layer (SURVEY.md §5.3).
+
+Tiny inline DataFrames isolate the semantics the oracle queries can't:
+lag-with-calendar-gap, trailing-frame exclusivity, stddev_samp on 1-row
+frames, the MA6 fallback chain, and approx-vs-exact median drift.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from sales_forecast_pyspark_spark.operators.windows import (
+    add_lags,
+    add_rolling,
+    ma_baseline,
+    rolling_exprs,
+)
+
+
+@pytest.fixture(scope="module")
+def series(spark):
+    # One series with a calendar GAP: 2024-01-04 is missing.
+    rows = [
+        ("A", "2024-01-01", 10.0),
+        ("A", "2024-01-02", 20.0),
+        ("A", "2024-01-03", 30.0),
+        ("A", "2024-01-05", 40.0),  # gap: no 01-04
+        ("A", "2024-01-06", 50.0),
+        ("B", "2024-01-01", 7.0),  # second key: frames must not leak across
+    ]
+    df = spark.createDataFrame(rows, "k string, ds string, v double")
+    return df.withColumn("ds", F.col("ds").cast("date"))
+
+
+def _by_key(df, cols):
+    out = {}
+    for r in df.collect():
+        out[(r["k"], str(r["ds"]))] = tuple(r[c] for c in cols)
+    return out
+
+
+def test_lag_ignores_calendar_gaps(series):
+    """lag(1) is ROW-based: on 01-05 it sees 01-03 (previous row), not a
+    null for the missing 01-04 (SURVEY.md §2.5 frame semantics)."""
+    out = add_lags(series, ["k"], "ds", ["v"], [1], round_digits=0)
+    got = _by_key(out, ["v_lag1"])
+    assert got[("A", "2024-01-05")] == (30.0,)
+    # first row of each partition: lag is null -> coalesced to 0
+    assert got[("A", "2024-01-01")] == (0.0,)
+    assert got[("B", "2024-01-01")] == (0.0,)  # no leak from series A
+
+
+def test_trailing_frame_excludes_current_row(series):
+    """rowsBetween(-2, -1): mean on 01-03 is avg(10, 20) = 15 — the
+    current row's 30 must NOT contribute."""
+    out = add_rolling(series, ["k"], "ds", "v", [2], stats=("mean",), fill=None)
+    got = _by_key(out, ["roll_mean_2"])
+    assert got[("A", "2024-01-03")] == (15.0,)
+    # frame has only 1 row on the second day
+    assert got[("A", "2024-01-02")] == (10.0,)
+    # empty frame on day one -> null (fill=None keeps it)
+    assert got[("A", "2024-01-01")] == (None,)
+
+
+def test_stddev_samp_null_on_one_row_frame(series):
+    """stddev_samp (n-1) is undefined for a single-row frame -> null,
+    and fillna(0) then makes it 0 (the reference's py:969-982 wart)."""
+    raw = series.select(
+        "k", "ds", *rolling_exprs(["k"], "ds", "v", [2], stats=("std",))
+    )
+    got = _by_key(raw, ["roll_std_2"])
+    assert got[("A", "2024-01-02")] == (None,)  # 1-row frame
+    filled = add_rolling(series, ["k"], "ds", "v", [2], stats=("std",), fill=0)
+    gotf = _by_key(filled, ["roll_std_2"])
+    assert gotf[("A", "2024-01-02")] == (0.0,)
+    # 2-row frame {10, 20}: sample std = sqrt(50)
+    assert math.isclose(gotf[("A", "2024-01-03")][0], math.sqrt(50.0))
+
+
+def test_ma_baseline_fallback_chain(series):
+    """baseline = coalesce(trailing-6 MA, lag1): null only where the
+    series has no history at all (first row)."""
+    out = ma_baseline(series, ["k"], "ds", "v", window=6)
+    got = _by_key(out, ["baseline_qty"])
+    assert got[("A", "2024-01-01")] == (None,)
+    assert got[("A", "2024-01-02")] == (10.0,)
+    assert got[("A", "2024-01-03")] == (15.0,)  # avg(10, 20)
+    assert got[("B", "2024-01-01")] == (None,)
+
+
+def test_exact_median_interpolates_and_approx_picks_element(series):
+    """Exact percentile(0.5) interpolates even-count frames (ANSI MEDIAN
+    semantics); percentile_approx returns an actual element — the
+    reference's py:920-922 behavior. Both must agree on odd counts."""
+    out = series.select(
+        "k",
+        "ds",
+        *rolling_exprs(["k"], "ds", "v", [2], stats=("median", "median_approx")),
+    )
+    got = _by_key(out, ["roll_median_2", "roll_median_approx_2"])
+    exact, approx = got[("A", "2024-01-03")]  # frame {10, 20}
+    assert exact == 15.0  # interpolated
+    assert approx in (10.0, 20.0)  # picks an element
+    # odd-count frame {10}: both agree
+    assert got[("A", "2024-01-02")] == (10.0, 10.0)
+
+
+def test_weekday_partition_lags(spark):
+    """W3: a dow key in the partition makes lag(1) reach the same weekday
+    one week back, skipping the other six days."""
+    rows = [("A", f"2024-01-{d:02d}", float(d)) for d in range(1, 15)]
+    df = spark.createDataFrame(rows, "k string, ds string, v double")
+    df = df.withColumn("ds", F.col("ds").cast("date")).withColumn(
+        "dow", F.dayofweek("ds")
+    )
+    out = add_lags(df, ["k", "dow"], "ds", ["v"], [1], round_digits=0)
+    got = {str(r["ds"]): r["v_lag1"] for r in out.collect()}
+    assert got["2024-01-08"] == 1.0  # Monday -> previous Monday
+    assert got["2024-01-14"] == 7.0  # Sunday -> previous Sunday
+    assert got["2024-01-07"] == 0.0  # first Sunday: no history -> 0
