@@ -42,6 +42,33 @@ def money_sum(expr: Column, digits: int = 2, scale: int = 6) -> Column:
     return F.round(F.sum(expr.cast(f"decimal(30,{scale})")), digits).cast("double")
 
 
+def weighted_sum(
+    a: Column, b: Column, scale: int = 7, precision: int = 15, out_digits: int = 4
+) -> Column:
+    """Order-independent ``sum(a * b)`` for doubles.
+
+    Multiplying two doubles then casting the product to decimal is NOT
+    cross-engine-safe: Spark casts via the shortest decimal string
+    (HALF_UP) while e.g. DuckDB rounds the exact binary value, and
+    products routinely land on tie boundaries where the two disagree.
+    Instead each FACTOR is rounded at ``scale`` — safe when the factor's
+    value set is either exactly-representable at that scale or
+    non-terminating (17-significant-digit shortest reprs), which holds
+    for small-denominator window means and decimal-derived averages —
+    then multiplied in decimal (exact: (15,7)×(15,7) → (31,14) fits
+    without precision loss; the sum widens to (38,14)) and summed exactly.
+
+    The exact sum is rounded to ``out_digits`` IN DECIMAL before the
+    double cast: casting a 14-scale decimal to double is not correctly
+    rounded in every engine (two-step int/10^14 conversions drift by an
+    ulp), while a 4-scale decimal with a sub-2^53 scaled integer converts
+    exactly-rounded everywhere.
+    """
+    da = F.round(a, scale).cast(f"decimal({precision},{scale})")
+    db = F.round(b, scale).cast(f"decimal({precision},{scale})")
+    return F.round(F.sum(da * db), out_digits).cast("double")
+
+
 def stable_avg(expr: Column, scale: int = 7) -> Column:
     """Order-independent mean: exact decimal sum of the per-row values
     (pre-rounded at ``scale``) divided by the non-null count — one

@@ -38,6 +38,14 @@ from sales_forecast_pyspark_spark.operators.windows import (
     rolling_exprs,
 )
 from sales_forecast_pyspark_spark.operators.setops import union_by_name
+from sales_forecast_pyspark_spark.plans.evaluation import (
+    EVAL_CTE,
+    build_eval,
+    date_rollup,
+    kpi_by_country,
+    kpi_global,
+    value_weighted_error,
+)
 from sales_forecast_pyspark_spark.plans.panel import PANEL_CTE, PANEL_KEYS, daily_panel
 from sales_forecast_pyspark_spark.sources.readers import read_table
 
@@ -490,3 +498,93 @@ def q_ma_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     each series stays null (no history at all) — preserved, not filled."""
     out = ma_baseline(daily_panel(spark, sf_dir), PANEL_KEYS, "ds", "qty", window=6)
     return out.select("country", "stock", "ds", "qty", "baseline_qty")
+
+
+# ---------------------------------------------------------------------------
+# Evaluation spine: J2 + A6-A9 (predictions ⋈ baseline, error KPIs)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "eval_join",
+    EVAL_CTE
+    + """
+SELECT country, stock, ds, qty, avg_price, pred_qty, baseline_qty,
+       err, abs_err, ape, base_err, base_abs_err, base_ape
+FROM eval
+""",
+)
+def q_eval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: the 3-key left join of predictions to the MA6 baseline on
+    (country, stock, ds) — the spine of every KPI table in the reference
+    (py:1308-1317) — plus model and baseline error columns."""
+    return build_eval(spark, sf_dir)
+
+
+@register(
+    "date_rollup",
+    EVAL_CTE
+    + """
+SELECT ds, ROUND(SUM(qty), 2) AS total_qty,
+       CAST(ROUND(SUM(CAST(pred_qty AS DECIMAL(30,7))), 0) AS DOUBLE) AS total_pred,
+       COUNT(*) AS n_rows
+FROM eval GROUP BY ds ORDER BY ds
+""",
+)
+def q_date_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: daily actual-vs-predicted totals (py:516-527)."""
+    return date_rollup(build_eval(spark, sf_dir))
+
+
+_KPI_SQL = """
+  CAST(SUM(CAST(ROUND(err, 7) AS DECIMAL(30,7))) AS DOUBLE) / NULLIF(COUNT(err), 0) AS bias,
+  CAST(SUM(CAST(ROUND(abs_err, 7) AS DECIMAL(30,7))) AS DOUBLE) / NULLIF(COUNT(abs_err), 0) AS mae,
+  CAST(SUM(CAST(ROUND(ape, 7) AS DECIMAL(30,7))) AS DOUBLE) / NULLIF(COUNT(ape), 0) AS mape,
+  CAST(SUM(CAST(ROUND(base_err, 7) AS DECIMAL(30,7))) AS DOUBLE) / NULLIF(COUNT(base_err), 0) AS base_bias,
+  CAST(SUM(CAST(ROUND(base_abs_err, 7) AS DECIMAL(30,7))) AS DOUBLE) / NULLIF(COUNT(base_abs_err), 0) AS base_mae,
+  CAST(SUM(CAST(ROUND(base_ape, 7) AS DECIMAL(30,7))) AS DOUBLE) / NULLIF(COUNT(base_ape), 0) AS base_mape,
+  COUNT(*) AS n_rows
+"""
+
+
+@register("kpi_global", EVAL_CTE + f"SELECT {_KPI_SQL} FROM eval")
+def q_kpi_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: global no-group KPI aggregate — bias/MAE/MAPE for model and
+    baseline in one pass (py:1347-1357)."""
+    return kpi_global(build_eval(spark, sf_dir))
+
+
+@register(
+    "kpi_by_country",
+    EVAL_CTE + f"SELECT country, {_KPI_SQL} FROM eval GROUP BY country ORDER BY country",
+)
+def q_kpi_by_country(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: per-country KPI aggregate (py:1363-1375)."""
+    return kpi_by_country(build_eval(spark, sf_dir))
+
+
+@register(
+    "value_weighted_error",
+    EVAL_CTE
+    + """
+SELECT country,
+       total_abs_error_value_model,
+       total_abs_error_value_baseline,
+       n_rows,
+       (1.0 - total_abs_error_value_model / NULLIF(total_abs_error_value_baseline, 0.0)) * 100 AS value_error_reduction_pct
+FROM (
+  SELECT country,
+         CAST(ROUND(SUM(CAST(ROUND(abs_err, 7) AS DECIMAL(19,7))
+                  * CAST(ROUND(COALESCE(avg_price, 0.0), 7) AS DECIMAL(19,7))), 4) AS DOUBLE) AS total_abs_error_value_model,
+         CAST(ROUND(SUM(CAST(ROUND(base_abs_err, 7) AS DECIMAL(19,7))
+                  * CAST(ROUND(COALESCE(avg_price, 0.0), 7) AS DECIMAL(19,7))), 4) AS DOUBLE) AS total_abs_error_value_baseline,
+         COUNT(*) AS n_rows
+  FROM eval GROUP BY country
+)
+ORDER BY total_abs_error_value_model DESC, country ASC
+""",
+)
+def q_value_weighted_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: value-weighted error per country with post-agg %-reduction
+    (py:1775-1838), ordered by model error value desc (py:1837)."""
+    return value_weighted_error(build_eval(spark, sf_dir), by_country=True)
