@@ -588,3 +588,86 @@ def q_value_weighted_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9: value-weighted error per country with post-agg %-reduction
     (py:1775-1838), ordered by model error value desc (py:1837)."""
     return value_weighted_error(build_eval(spark, sf_dir), by_country=True)
+
+
+# ---------------------------------------------------------------------------
+# MLlib forecast pipeline (M1-M10) — rows-only checks (ML is not
+# SQL-expressible; determinism is covered by tests/test_forecast.py)
+# ---------------------------------------------------------------------------
+
+
+def _forecast_features(spark: SparkSession, sf_dir: str):
+    """Shared feature build for the forecast queries: a reduced preset
+    (enough to exercise W1-W7 shapes without tripling test runtime),
+    cached at the feature frontier (M10) because LR's L-BFGS passes
+    re-read this lineage up to maxIter times."""
+    from sales_forecast_pyspark_spark.forecast import build_features, materialize
+    from sales_forecast_pyspark_spark.operators.rowops import time_split
+
+    panel = daily_panel(spark, sf_dir, calendar=True)
+    feats, cols = build_features(
+        panel,
+        daily_lags=(1, 2, 3),
+        cycle_lags=(6,),
+        weekday_lags=(1,),
+        rolling_windows=(3, 6),
+        weekday_windows=(3,),
+        rolling_stats=("mean", "std"),
+    )
+    feats = materialize(feats)
+    train, test = time_split(feats, "ds", "1998-06-30")
+    numeric = [*cols, "year", "month", "week", "day", "dow"]
+    return train, test, numeric
+
+
+@register("forecast_lr")  # rows-only: ML not SQL-expressible
+def q_forecast_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1+M2+M4+M6+M10: StringIndexer(keep) on country and stock,
+    VectorAssembler(skip), Lasso LinearRegression with the reference's
+    winning config (py:1160-1169), features fit once on train."""
+    from sales_forecast_pyspark_spark.forecast import (
+        feature_pipeline,
+        lr_preset,
+        prepare_features,
+        train_and_eval,
+    )
+
+    train, test, numeric = _forecast_features(spark, sf_dir)
+    pipe = feature_pipeline(["country", "stock"], numeric)
+    _, train_p, test_p = prepare_features(pipe, train, test)
+    res = train_and_eval("lr", train_p, test_p, lr_preset("qty"))
+    return res.predictions.select(
+        "country", "stock", "ds", "qty", F.round("prediction", 4).alias("pred_qty")
+    )
+
+
+@register("forecast_segmented")  # rows-only: ML not SQL-expressible
+def q_forecast_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9: the reference's UK/Others segmentation (py:1464-1533) — a
+    fresh feature pipeline + LR per segment, unionByName recombine,
+    aggregated to per-segment row counts + rounded MAE."""
+    from sales_forecast_pyspark_spark.forecast import (
+        feature_pipeline,
+        fit_per_segment,
+        lr_preset,
+    )
+
+    train, test, numeric = _forecast_features(spark, sf_dir)
+    preds, _ = fit_per_segment(
+        train,
+        test,
+        segments={
+            "top": F.col("country") == "NATION_12",
+            "rest": F.col("country") != "NATION_12",
+        },
+        pipeline_factory=lambda: feature_pipeline(["country", "stock"], numeric),
+        model_factory=lambda: lr_preset("qty"),
+    )
+    return (
+        preds.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.avg(F.abs(F.col("prediction") - F.col("qty"))), 3).alias("mae"),
+        )
+        .orderBy("segment")
+    )
