@@ -1,0 +1,37 @@
+"""LLM-training-data operators: text analysis, exact + near dedup,
+similarity search, multimodal column plumbing.
+
+These extend the reference's relational surface with the operations a
+large-scale training-data pipeline needs (the brief's north-star list);
+every operator is designed shuffle-conscious: no all-pairs joins without
+a blocking/bucketing stage, no driver-side collects, JVM-side
+expressions wherever the semantics allow.
+"""
+
+from sales_forecast_pyspark_spark.llmdata.dedup import (
+    fingerprint_expr,
+    minhash_near_dedup,
+    ngram_jaccard_pairs,
+    shingles_expr,
+    simhash_pairs,
+)
+from sales_forecast_pyspark_spark.llmdata.text import (
+    STOPWORD_PATTERN,
+    lang_id_expr,
+    quality_exprs,
+    text_stats,
+    tokens_expr,
+)
+
+__all__ = [
+    "STOPWORD_PATTERN",
+    "fingerprint_expr",
+    "lang_id_expr",
+    "minhash_near_dedup",
+    "ngram_jaccard_pairs",
+    "quality_exprs",
+    "shingles_expr",
+    "simhash_pairs",
+    "text_stats",
+    "tokens_expr",
+]

@@ -1,0 +1,232 @@
+"""Deduplication operators: exact fingerprint, exact n-gram Jaccard
+(blocked by shared shingles), MinHash+banding LSH, and SimHash.
+
+Scale design (the whole point of these shapes):
+- Fingerprint dedup is ONE hash-aggregate shuffle on a 32-byte key —
+  the cheapest exact strategy at any scale.
+- Exact Jaccard blocks candidate pairs on shared shingles. Fine for
+  verification workloads; a single ubiquitous shingle still fans out
+  quadratically, which is why the scale path is MinHash: signatures are
+  a fixed-width groupBy, banding turns "similar" into "equal bucket
+  key", and only bucket-mates are verified. No all-pairs join exists
+  anywhere in this module.
+- SimHash collapses a document to 64 bits; candidates share one of four
+  16-bit chunks (any pair within Hamming distance 3 must agree on at
+  least one chunk), verified with bit_count(xor).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sales_forecast_pyspark_spark.llmdata.text import tokens_expr
+
+
+def fingerprint_expr(text: str | Column) -> Column:
+    """Whitespace-normalized lowercase md5 — md5 (not xxhash64) so
+    external engines can reproduce the fingerprint for oracle checks."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.trim(F.regexp_replace(F.lower(t), r"\s+", " ")))
+
+
+def shingles_expr(text: str | Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array column. Documents with
+    fewer than ``n`` tokens yield their whole token join as the single
+    shingle (so short docs still participate in dedup)."""
+    toks = tokens_expr(text)
+    windows = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, windows).otherwise(F.array(F.array_join(toks, " ")))
+    )
+
+
+def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col), F.explode(shingles_expr(text_col, n)).alias("shingle")
+    )
+
+
+def _jaccard_on_pairs(
+    sh: DataFrame, pairs: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact Jaccard for the given candidate pairs: shared-shingle counts
+    via a shingle-key join restricted (left-semi) to candidates, then
+    |A∩B| / (|A| + |B| − |A∩B|)."""
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    shared = (
+        a.join(b, ["shingle"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .join(pairs, ["doc_a", "doc_b"], "left_semi")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    na = counts.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    nb = counts.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        shared.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            "n_a",
+            "n_b",
+            (
+                F.col("shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs, candidates blocked on shared
+    shingles (docs with no shingle in common can't pass any threshold >0,
+    so they are never paired). Fully SQL-expressible → oracle-checked."""
+    sh = _exploded_shingles(df, id_col, text_col, n)
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    candidates = (
+        a.join(b, ["shingle"]).filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _jaccard_on_pairs(sh, candidates, id_col, threshold)
+
+
+def minhash_near_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + banding LSH near-dedup: shingle → 32 xxhash64 min-hash
+    signature (one groupBy) → 8 bands of 4 rows hashed to bucket keys →
+    candidate pairs are bucket-mates in ANY band → exact-Jaccard verify
+    on candidates only.
+
+    This is the 100 TB path: signature build is linear, banding turns
+    similarity search into equality joins, and verification touches only
+    the candidate set. ~32 hashes/8 bands targets recall ~P(collide) =
+    1-(1-j^4)^8, steep around j≈0.5.
+    """
+    rows_per_band = num_hashes // bands
+    sh = _exploded_shingles(df, id_col, text_col, n)
+    sig = sh.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    band_buckets = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"h{b * rows_per_band + j}") for j in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    left = band_buckets.select(
+        F.col(id_col).alias("doc_a"), "band", "bucket"
+    )
+    right = band_buckets.select(
+        F.col(id_col).alias("doc_b"), "band", "bucket"
+    )
+    candidates = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _jaccard_on_pairs(sh, candidates, id_col, threshold)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup: 64-bit signature from the sign of per-bit
+    weighted token-hash sums; candidate pairs share at least one of four
+    16-bit chunks (pigeonhole: hamming<=3 over 4 chunks forces an equal
+    chunk), verified with bit_count(xor).
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("t"))
+    h = F.xxhash64("t")
+    bit_sums = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    sig_expr = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig_expr = bit if sig_expr is None else sig_expr.bitwiseOR(bit)
+    sig = bit_sums.select(F.col(id_col), sig_expr.alias("simhash"))
+
+    chunks = sig.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_idx"),
+                        F.shiftright(F.col("simhash"), 16 * c)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select(id_col, "simhash", "cc.chunk_idx", "cc.chunk")
+    left = chunks.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sig_a"), "chunk_idx", "chunk"
+    )
+    right = chunks.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sig_b"), "chunk_idx", "chunk"
+    )
+    return (
+        left.join(right, ["chunk_idx", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1,0 +1,116 @@
+"""Text analysis over the documents table — all JVM-side expressions
+(split/filter/regexp/length inside whole-stage codegen; no Python UDFs
+in the hot path, per the brief's scale rules).
+
+Components: tokenization, token/char statistics, n-gram-heuristic
+language ID (stopword density), and a composite quality score built from
+length, stopword and punctuation signals — the classic pre-training
+corpus filters.
+"""
+
+# NOTE: no `from __future__ import annotations` here — it stringifies
+# type hints module-wide, which breaks pandas_udf's signature inspection.
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Single-backslash word boundaries: the same pattern string works in
+# Java regex (Spark) and RE2 (DuckDB oracles).
+STOPWORD_PATTERN = r"\b(the|and|of|to|in|is|it|for|on|a)\b"
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens_expr(text: str | Column) -> Column:
+    """Lowercased alnum tokens: split on non-[a-z0-9] runs, drop empties."""
+    return F.filter(
+        F.split(F.lower(_c(text)), "[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+
+
+def lang_id_expr(
+    text: str | Column, threshold: float = 0.03, lang: str = "en"
+) -> Column:
+    """N-gram-heuristic language ID: density of high-frequency English
+    stopwords among tokens. Returns ``lang`` when density >= threshold,
+    else 'unk'. Extendable per-language by adding pattern/threshold
+    pairs; deliberately cheap (two regex passes) so it runs as a corpus
+    pre-filter, not a classifier."""
+    stops = F.regexp_count(F.lower(_c(text)), F.lit(STOPWORD_PATTERN))
+    n_tokens = F.size(tokens_expr(text))
+    return F.when(
+        (stops / F.nullif(n_tokens, F.lit(0))) >= threshold, F.lit(lang)
+    ).otherwise(F.lit("unk"))
+
+
+def quality_exprs(text: str | Column) -> dict[str, Column]:
+    """Quality-signal columns: char/token counts, mean token length,
+    punctuation ratio, stopword hits, and a composite [0,1] score
+    (length + stopword-density + punctuation-penalty, equally weighted).
+
+    Every expression is integer-derived arithmetic, so results are
+    bit-identical across engines and partitionings.
+    """
+    t = _c(text)
+    low = F.lower(t)
+    toks = tokens_expr(t)
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    alpha_chars = F.length(F.regexp_replace(low, "[^a-z0-9]", ""))
+    punct_chars = F.length(F.regexp_replace(low, "[a-z0-9 ]", ""))
+    stop_hits = F.regexp_count(low, F.lit(STOPWORD_PATTERN))
+    mean_token_len = alpha_chars / F.nullif(n_tokens, F.lit(0))
+    punct_ratio = punct_chars / F.nullif(n_chars, F.lit(0))
+    stop_ratio = stop_hits / F.nullif(n_tokens, F.lit(0))
+    # Explicit zero for empty docs: least/greatest SKIP nulls in both
+    # Spark and ANSI engines, which would silently hand an empty doc a
+    # perfect stopword sub-score.
+    quality = F.when(
+        (n_tokens > 0) & (n_chars > 0),
+        (
+            F.least(n_chars / F.lit(500.0), F.lit(1.0))
+            + F.least(stop_ratio * 10.0, F.lit(1.0))
+            + F.greatest(F.lit(1.0) - punct_ratio * 5.0, F.lit(0.0))
+        )
+        / 3.0,
+    ).otherwise(F.lit(0.0))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "alpha_chars": alpha_chars,
+        "punct_chars": punct_chars,
+        "stop_hits": stop_hits,
+        "mean_token_len": mean_token_len,
+        "punct_ratio": punct_ratio,
+        "quality": quality,
+    }
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One batched projection adding every quality signal + lang id —
+    a single narrow stage over the scan, no shuffle."""
+    exprs = quality_exprs(text_col)
+    return df.select(
+        "*",
+        *[e.alias(n) for n, e in exprs.items()],
+        lang_id_expr(text_col).alias("lang_id"),
+    )
+
+
+def token_count_pandas(df: DataFrame, text_col: str = "text", out_col: str = "n_tokens_pd") -> DataFrame:
+    """Arrow-batched pandas UDF token counter — the vectorized-Python
+    escape hatch for tokenizers that genuinely can't be expressed as JVM
+    expressions (BPE and friends). Parity-tested against ``tokens_expr``;
+    prefer the JVM path when regex splitting suffices."""
+    import re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def _count(s: pd.Series) -> pd.Series:
+        pat = re.compile(r"[^a-z0-9]+")
+        return s.fillna("").map(lambda x: sum(1 for t in pat.split(x.lower()) if t))
+
+    return df.withColumn(out_col, _count(F.col(text_col)))

@@ -671,3 +671,132 @@ def q_forecast_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM-data operators: text analysis + dedup (documents table)
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = r"\b(the|and|of|to|in|is|it|for|on|a)\b"
+
+_DOC_TOKENS_CTE = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(text) AS INT) AS n_chars,
+         CAST(length(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS INT) AS n_tokens,
+         CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS INT) AS alpha_chars,
+         CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS INT) AS punct_chars,
+         CAST(length(regexp_extract_all(lower(text), '{pat}')) AS INT) AS stop_hits
+  FROM documents
+)
+""".replace("{pat}", _STOP_SQL)
+
+
+@register(
+    "doc_stats",
+    _DOC_TOKENS_CTE
+    + """
+SELECT doc_id, n_chars, n_tokens, alpha_chars, punct_chars, stop_hits,
+       alpha_chars / NULLIF(n_tokens, 0) AS mean_token_len,
+       punct_chars / NULLIF(n_chars, 0) AS punct_ratio,
+       CASE WHEN n_tokens > 0 AND n_chars > 0 THEN
+         (LEAST(n_chars / 500.0, 1.0)
+          + LEAST((stop_hits / NULLIF(n_tokens, 0)) * 10.0, 1.0)
+          + GREATEST(1.0 - (punct_chars / NULLIF(n_chars, 0)) * 5.0, 0.0)) / 3.0
+       ELSE 0.0 END AS quality,
+       CASE WHEN (stop_hits / NULLIF(n_tokens, 0)) >= 0.03 THEN 'en' ELSE 'unk' END AS lang_id
+FROM t ORDER BY doc_id
+""",
+)
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: token/char statistics, punctuation ratio, stopword
+    density, composite quality score, and n-gram-heuristic language ID —
+    one narrow JVM-side projection over the documents scan."""
+    from sales_forecast_pyspark_spark.llmdata import text_stats
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text_stats(docs).drop("text").orderBy("doc_id")
+
+
+@register(
+    "doc_fingerprints",
+    r"""
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+FROM documents ORDER BY doc_id
+""",
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting for exact dedup: whitespace-normalized
+    lowercase md5 — groupBy(fp) is then a single hash-aggregate shuffle
+    at any scale."""
+    from sales_forecast_pyspark_spark.llmdata import fingerprint_expr
+
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint_expr("text").alias("fp")).orderBy("doc_id")
+
+
+_SHINGLE_CTE = """
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+),
+shl AS (
+  SELECT doc_id, list_distinct(CASE WHEN length(toks) >= 3
+      THEN list_transform(range(1, length(toks) - 3 + 2), i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+      ELSE [array_to_string(toks, ' ')] END) AS shingles
+  FROM tok
+),
+sh AS (SELECT doc_id, UNNEST(shingles) AS shingle FROM shl),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+sp AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+"""
+
+
+@register(
+    "ngram_jaccard_pairs",
+    _SHINGLE_CTE
+    + """
+SELECT doc_a, doc_b, shared, na.n AS n_a, nb.n AS n_b,
+       CAST(shared AS DOUBLE) / (na.n + nb.n - shared) AS jaccard
+FROM sp
+JOIN cnt na ON sp.doc_a = na.doc_id
+JOIN cnt nb ON sp.doc_b = nb.doc_id
+WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.5
+ORDER BY doc_a, doc_b
+""",
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-Jaccard near-dup pairs, candidate pairs blocked on a
+    shared shingle (never all-pairs). The driver's synthetic corpus
+    plants near-dups at jaccard ≈ 0.98; threshold 0.5 isolates them."""
+    from sales_forecast_pyspark_spark.llmdata import ngram_jaccard_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+@register("near_dedup_minhash")  # rows-only: xxhash64 has no DuckDB equivalent
+def q_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32)+banding(8x4) LSH near-dedup with exact-Jaccard
+    verification on bucket-mate candidates — the scale path (signature
+    groupBy + equality joins; no similarity scan). Deterministic:
+    xxhash64 is seed-free. Recall vs the exact query is tested in
+    tests/test_llmdata.py."""
+    from sales_forecast_pyspark_spark.llmdata import minhash_near_dedup
+
+    docs = read_table(spark, sf_dir, "documents")
+    return minhash_near_dedup(docs, "doc_id", "text", threshold=0.5)
+
+
+@register("simhash_pairs")  # rows-only: xxhash64 has no DuckDB equivalent
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit signatures, 16-bit-chunk candidate
+    blocking (pigeonhole for hamming<=3), bit_count(xor) verification."""
+    from sales_forecast_pyspark_spark.llmdata import simhash_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
