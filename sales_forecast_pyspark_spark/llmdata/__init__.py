@@ -15,6 +15,15 @@ from sales_forecast_pyspark_spark.llmdata.dedup import (
     shingles_expr,
     simhash_pairs,
 )
+from sales_forecast_pyspark_spark.llmdata.multimodal import (
+    attach_binary,
+    extract_features,
+    fake_decode,
+)
+from sales_forecast_pyspark_spark.llmdata.similarity import (
+    cosine_topk,
+    lsh_similarity_join,
+)
 from sales_forecast_pyspark_spark.llmdata.text import (
     STOPWORD_PATTERN,
     lang_id_expr,
@@ -25,6 +34,11 @@ from sales_forecast_pyspark_spark.llmdata.text import (
 
 __all__ = [
     "STOPWORD_PATTERN",
+    "attach_binary",
+    "cosine_topk",
+    "extract_features",
+    "fake_decode",
+    "lsh_similarity_join",
     "fingerprint_expr",
     "lang_id_expr",
     "minhash_near_dedup",

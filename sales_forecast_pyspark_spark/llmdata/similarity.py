@@ -1,0 +1,104 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, per the brief:
+- ``cosine_topk``: brute-force exact top-k — the BASELINE. The query set
+  is broadcast (it is small by construction); every (query, candidate)
+  pair is scored with JVM higher-order functions (zip_with + aggregate,
+  inside codegen) and ranked per query. Cost is |Q| × N — linear in the
+  corpus for a bounded query set, embarrassingly parallel, no shuffle
+  except the final per-query top-k.
+- ``lsh_similarity_join``: the SCALE path — MLlib
+  BucketedRandomProjectionLSH over the full corpus: hyperplane
+  bucketing turns the N×N similarity join into equality joins on bucket
+  keys; ``approxSimilarityJoin`` returns pairs within a distance
+  threshold. Seeded, so results are reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sales_forecast_pyspark_spark.functions.vectors import cosine_similarity
+
+
+def cosine_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Scores are rounded to 6 decimals BEFORE ranking so the ordering is
+    reproducible across engines and partitionings (ties broken by
+    neighbor id). Arrays are cast to double first: float arithmetic
+    would diverge from any double-based oracle.
+    """
+    cand = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    pairs = cand.join(F.broadcast(q))
+    if not include_self:
+        pairs = pairs.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_similarity("v", "qv"), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def lsh_similarity_join(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+    distance_threshold: float = 1.2,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate all-pairs similarity via MLlib's
+    BucketedRandomProjectionLSH (random-hyperplane bucketing, Euclidean
+    distance). Returns (id_a, id_b, dist) for pairs within the
+    threshold, id_a < id_b. At 100 TB this is the shape that works:
+    bucketing is a narrow map, the join is equality on bucket keys, and
+    only bucket-mates are scored."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = df.select(
+        F.col(id_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("vec")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="vec",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(vecs)
+    joined = model.approxSimilarityJoin(vecs, vecs, distance_threshold, "dist")
+    return (
+        joined.select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            F.round("dist", 6).alias("dist"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .orderBy("id_a", "id_b")
+    )

@@ -800,3 +800,77 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# LLM-data operators: similarity search + multimodal (embeddings/documents)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_topk",
+    """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 10
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cos_sim
+  FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= 5
+ORDER BY query_id, rank
+""",
+)
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for a bounded query set (vec_id <
+    10): broadcast queries × corpus scan, JVM higher-order-function dot
+    products, rank on round-6 scores with id tie-breaks so the ordering
+    is engine- and partitioning-independent."""
+    from sales_forecast_pyspark_spark.llmdata import cosine_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register("ann_lsh_pairs")  # rows-only: MLlib LSH hyperplanes are not SQL-expressible
+def q_ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN scale path: BucketedRandomProjectionLSH approximate
+    similarity self-join (seeded) — bucketing converts the N x N
+    similarity scan into equality joins; only bucket-mates are scored."""
+    from sales_forecast_pyspark_spark.llmdata import lsh_similarity_join
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return lsh_similarity_join(emb, distance_threshold=1.2)
+
+
+@register(
+    "multimodal_features",
+    """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       md5(text) AS content_md5,
+       lower(hex(encode(substring(text, 1, 4)))) AS header_hex,
+       CAST(octet_length(encode(text)) % 1024 + 1 AS INT) AS fake_width,
+       CAST((octet_length(encode(text)) * 7) % 1024 + 1 AS INT) AS fake_height
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: binary content column ->
+    mapInPandas Arrow-batched extraction (byte length, md5, header hex,
+    deterministic fake-decode dimensions). The pandas path is
+    oracle-checked against pure SQL on the same bytes — proving the
+    Arrow round-trip is lossless."""
+    from sales_forecast_pyspark_spark.llmdata import attach_binary, extract_features
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return extract_features(attach_binary(docs)).orderBy("doc_id")

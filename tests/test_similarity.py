@@ -1,0 +1,75 @@
+"""Similarity-search + multimodal tests: exact top-k correctness, LSH
+recall against brute force, decode-stub behavior, and Arrow round-trip
+fidelity of the binary pipeline.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from sales_forecast_pyspark_spark.llmdata import (
+    attach_binary,
+    cosine_topk,
+    extract_features,
+    fake_decode,
+    lsh_similarity_join,
+)
+from sales_forecast_pyspark_spark.llmdata.multimodal import decode_image
+
+from tests.conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+
+
+def test_cosine_topk_identical_vector_ranks_first(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0]),   # identical to 0
+        (2, [0.0, 1.0, 0.0]),   # orthogonal
+        (3, [-1.0, 0.0, 0.0]),  # opposite
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = cosine_topk(df, df.filter("vec_id = 0"), k=3).collect()
+    ranked = [(r["neighbor_id"], r["cos_sim"]) for r in out]
+    assert ranked[0] == (1, 1.0)
+    assert ranked[1] == (2, 0.0)
+    assert ranked[2] == (3, -1.0)
+
+
+def test_lsh_pairs_subset_of_true_distances(emb):
+    """Every LSH-reported pair must satisfy the distance threshold
+    (approxSimilarityJoin post-filters exactly), and the join must be
+    reproducible under its fixed seed."""
+    a = lsh_similarity_join(emb, distance_threshold=1.2)
+    b = lsh_similarity_join(emb, distance_threshold=1.2)
+    ra = {(r["id_a"], r["id_b"]) for r in a.collect()}
+    rb = {(r["id_a"], r["id_b"]) for r in b.collect()}
+    assert ra == rb and len(ra) > 0
+    assert a.filter(F.col("dist") > 1.2).count() == 0
+
+
+def test_decode_stub_raises_and_fake_is_deterministic():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+    assert fake_decode(b"abc") == fake_decode(b"abc")
+    assert fake_decode(b"abc") == (4, 22)
+
+
+def test_multimodal_arrow_roundtrip(spark):
+    """mapInPandas must see exactly the utf-8 bytes Spark stored: md5
+    computed in Python matches md5 computed here."""
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "spark été")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in extract_features(attach_binary(docs)).collect()}
+    for doc_id, text in [(1, "hello world"), (2, "spark été")]:
+        raw = text.encode("utf-8")
+        assert out[doc_id]["n_bytes"] == len(raw)
+        assert out[doc_id]["content_md5"] == hashlib.md5(raw).hexdigest()
+        assert out[doc_id]["header_hex"] == raw[:4].hex()
