@@ -874,3 +874,77 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     return extract_features(attach_binary(docs)).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Event-stream operators: tumbling windows + sessionization (events table)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_window",
+    """
+SELECT event_type,
+       time_bucket(INTERVAL '1 hour', ts) AS win_start,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(30,6))), 2) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation per event type — the batch
+    twin of the streaming pipeline in streaming/stream_ops.py (same
+    window expression; batch-stream equivalence is tested)."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            "event_type", F.col("w.start").alias("win_start"), "n_events", "total_value"
+        )
+        .orderBy("event_type", "win_start")
+    )
+
+
+@register(
+    "sessionization",
+    """
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM d
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS last_event,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, sess_id
+ORDER BY user_id, session_start
+""",
+)
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap via the built-in
+    ``session_window`` (no custom stateful code needed in batch; the
+    streaming twin uses the same expression). The oracle reproduces the
+    semantics with a gaps-and-islands window query."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("last_event"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "last_event", "n_events")
+        .orderBy("user_id", "session_start")
+    )

@@ -27,6 +27,10 @@ _DEFAULTS = {
     "spark.driver.memory": "8g",
     "spark.ui.enabled": "false",
     "spark.sql.autoBroadcastJoinThreshold": "64MB",
+    # The events testdata ships TIMESTAMP(NANOS) parquet, which the
+    # vectorized reader rejects; read as long nanos and normalize in the
+    # scan layer (sources.readers.read_table).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

@@ -76,8 +76,18 @@ def parse_invoice_date(df: DataFrame, col: str = "InvoiceDate") -> DataFrame:
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one star-schema table from a testdata scale-factor directory."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Read one star-schema table from a testdata scale-factor directory.
+
+    The events table stores nanosecond-precision timestamps, which
+    Spark's parquet reader surfaces as long nanos (see the
+    ``nanosAsLong`` session default); they are normalized here to
+    microsecond TIMESTAMP by truncating division — the same truncation
+    external engines apply when narrowing nanos.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
 
 
 def load_tables(

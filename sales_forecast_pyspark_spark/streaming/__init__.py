@@ -1,0 +1,15 @@
+"""Structured Streaming operators (SURVEY.md §2.10 extension)."""
+
+from sales_forecast_pyspark_spark.streaming.stream_ops import (
+    run_available_now,
+    sessionize_stream,
+    stream_events,
+    windowed_event_totals,
+)
+
+__all__ = [
+    "run_available_now",
+    "sessionize_stream",
+    "stream_events",
+    "windowed_event_totals",
+]

@@ -1,0 +1,102 @@
+"""Structured Streaming over the events table: readStream source,
+watermarked tumbling-window aggregation, session windows, and an
+availableNow runner for batch-equivalence testing.
+
+The reference is batch-only (SURVEY.md §2.10); this module is the
+streaming extension the driver's events table invites. Design rules:
+event-time semantics via watermarks (late data beyond the watermark is
+dropped, state is bounded), the SAME window expressions as the batch
+queries so batch-stream equivalence is testable, and checkpointable
+sinks in production (the memory sink here is for tests/demos).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Streaming scans require a declared schema (no inference mid-stream).
+# ts arrives as long nanos (see session.py nanosAsLong) and is
+# normalized exactly like the batch scan layer.
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (each file = one
+    micro-batch under availableNow; in production this is a directory
+    that accumulates files, or a Kafka source with the same schema)."""
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def windowed_event_totals(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window totals per event type — the streaming
+    twin of the ``events_window`` batch query (same window expression;
+    equivalence is asserted in tests). The watermark bounds aggregation
+    state: windows older than (max event time - watermark) are finalized
+    and their state dropped."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("event_type", F.window("ts", window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(30,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "event_type", F.col("w.start").alias("win_start"), "n_events", "total_value"
+        )
+    )
+
+
+def sessionize_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming sessionization with the built-in ``session_window`` —
+    the stateful-operator path without custom state code (dynamic-gap or
+    custom-merge semantics would drop to applyInPandasWithState)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("last_event"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "last_event", "n_events")
+    )
+
+
+def run_available_now(
+    df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion over the currently
+    available input (trigger=availableNow) into an in-memory table and
+    return it as a batch DataFrame. Test/demo harness — production sinks
+    are kafka/parquet/delta with checkpointLocation."""
+    query = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return df.sparkSession.table(query_name)
