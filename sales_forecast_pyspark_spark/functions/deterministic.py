@@ -69,18 +69,26 @@ def weighted_sum(
     return F.round(F.sum(da * db), out_digits).cast("double")
 
 
-def stable_avg(expr: Column, scale: int = 7) -> Column:
+def stable_avg(
+    expr: Column, scale: int = 7, round_digits: int | None = None
+) -> Column:
     """Order-independent mean: exact decimal sum of the per-row values
     (pre-rounded at ``scale``) divided by the non-null count — one
     deterministic double division instead of an order-dependent running
-    mean. The result is deliberately NOT rounded: quotients of money by
-    small counts sit exactly on 2-decimal halves (12.33/2 = 6.165), where
-    cross-engine double rounding diverges.
+    mean. By default the result is deliberately NOT rounded: quotients
+    of money by small counts sit exactly on 2-decimal halves
+    (12.33/2 = 6.165), where cross-engine double rounding diverges.
+
+    ``round_digits`` enables REFERENCE-PARITY mode — the reference's
+    ``round(avg(UnitPrice), 2)`` (Sales_forecast_pyspark.py:162) — for
+    golden-number regression tests against its published outputs. Do not
+    use parity mode in oracle-hashed queries (see above).
 
     ``scale=7`` is chosen so ratios of 2-decimal prices by quantities
     <= 50 can never land on an exact half at the rounding scale (the
     quotient's power-of-two factor analysis rules it out) and the nearest
     representable gap (~1e-11) clears double noise by >20x.
     """
-    total = F.sum(F.round(expr, scale).cast(f"decimal(30,{scale})")).cast("double")
-    return total / F.nullif(F.count(expr), F.lit(0))
+    total = dec_sum(F.round(expr, scale), scale=scale)
+    mean = total / F.nullif(F.count(expr), F.lit(0))
+    return F.round(mean, round_digits) if round_digits is not None else mean

@@ -1,15 +1,26 @@
-"""Write sinks.
+"""Write sinks + the pandas reporting boundary.
 
-The reference has no Spark write sink (its only outputs are
-``toPandas()`` report tables and matplotlib PNGs — Sales_forecast_pyspark.py
-S3/S6 in SURVEY.md §2.1). The engine adds parquet writes because any
-pipeline at scale must persist intermediate tables; partitioned writes
-enable downstream partition pruning.
+The reference's only outputs are ``toPandas()`` report tables and
+matplotlib PNGs (S3/S6 in SURVEY.md §2.1, ~16 call sites). The engine
+adds parquet writes because any pipeline at scale must persist
+intermediate tables, and wraps the collect-to-client boundary so every
+report path goes through one guarded, Arrow-accelerated function.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+
+
+def to_report_frame(df: DataFrame, limit: int | None = 10000):
+    """S3: the collect-to-client boundary (Sales_forecast_pyspark.py:184
+    etc.) — Arrow-batched ``toPandas()`` (enabled in session defaults)
+    with a guard limit, because an unbounded driver-side collect is the
+    classic scale accident. Pass ``limit=None`` only for aggregates you
+    KNOW are small."""
+    if limit is not None:
+        df = df.limit(limit)
+    return df.toPandas()
 
 
 def write_parquet(

@@ -1,0 +1,70 @@
+"""IO boundary tests: parquet sink round-trip (S6), CSV scan with the
+declared reference schema + date parse (S1), and the guarded pandas
+reporting boundary (S3).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+from pyspark.sql import functions as F
+
+from sales_forecast_pyspark_spark.functions.deterministic import stable_avg
+from sales_forecast_pyspark_spark.sources.readers import (
+    ONLINE_RETAIL_SCHEMA,
+    parse_invoice_date,
+    read_csv,
+)
+from sales_forecast_pyspark_spark.sources.sinks import to_report_frame, write_parquet
+
+
+def test_parquet_roundtrip_partitioned(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, "a", 3.5)], "id long, k string, v double"
+    )
+    path = os.path.join(str(tmp_path), "t")
+    write_parquet(df, path, partition_by=["k"])
+    back = spark.read.parquet(path)
+    assert sorted((r["id"], r["k"], r["v"]) for r in back.collect()) == [
+        (1, "a", 1.5),
+        (2, "b", 2.5),
+        (3, "a", 3.5),
+    ]
+    # partitioned layout on disk -> partition pruning is possible
+    assert any(d.startswith("k=") for d in os.listdir(path))
+
+
+def test_csv_scan_with_reference_schema(spark, tmp_path):
+    """S1: the reference's exact ingest path — declared schema (no
+    inference pass) + to_date(to_timestamp(.., 'M/d/yy H:mm'))."""
+    csv = tmp_path / "retail.csv"
+    csv.write_text(
+        "InvoiceNo,StockCode,Description,Quantity,InvoiceDate,UnitPrice,CustomerID,Country\n"
+        "536365,85123A,HEART HOLDER,6,12/1/10 8:26,2.55,17850,United Kingdom\n"
+        "C536379,D,Discount,-1,12/1/10 9:41,27.5,14527,United Kingdom\n"
+    )
+    df = parse_invoice_date(read_csv(spark, str(csv), schema=ONLINE_RETAIL_SCHEMA))
+    rows = {r["InvoiceNo"]: r for r in df.collect()}
+    assert rows["536365"]["InvoiceDate"] == datetime.date(2010, 12, 1)
+    assert rows["536365"]["Quantity"] == 6
+    assert rows["C536379"]["Quantity"] == -1  # cancellations kept, negative
+    assert rows["C536379"]["UnitPrice"] == 27.5
+
+
+def test_report_frame_guard(spark):
+    df = spark.range(100).select(F.col("id"))
+    pdf = to_report_frame(df, limit=7)
+    assert len(pdf) == 7
+    assert to_report_frame(df.groupBy().count(), limit=None).iloc[0, 0] == 100
+
+
+def test_stable_avg_reference_parity_mode(spark):
+    """Golden-shape check: parity mode reproduces the reference's
+    round(avg(x), 2) on a fixture with an exact .xx5 half (the case the
+    default mode deliberately avoids)."""
+    df = spark.createDataFrame([(12.33,), (0.0,)], "p double")
+    got = df.agg(stable_avg(F.col("p"), round_digits=2).alias("a")).first()["a"]
+    assert got == 6.17  # HALF_UP of 6.165, the reference's rounding
+    raw = df.agg(stable_avg(F.col("p")).alias("a")).first()["a"]
+    assert abs(raw - 6.165) < 1e-12
