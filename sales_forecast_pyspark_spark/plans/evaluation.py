@@ -95,14 +95,30 @@ def evaluate_predictions(
 def build_eval(spark: SparkSession, sf_dir: str, cutoff: str = CUTOFF) -> DataFrame:
     """The full spine with the MA3 stand-in model: windows computed BEFORE
     the time split (filters must not cut window history — SURVEY.md §4
-    row 1), then test rows joined to the MA6 baseline."""
+    row 1), then test rows joined to the MA6 baseline.
+
+    Both join inputs project from ONE window-augmented panel plan: the
+    two window specs share the (country, stock) partitioning, so a
+    single WindowExec computes pred and baseline together in each
+    branch. (Catalyst's column pruning narrows the two branches
+    differently, so ReuseExchange does NOT merge them — each side still
+    scans; at production scale persist the panel first, the reference's
+    cache frontier, py:650-651.)"""
     panel = daily_panel(spark, sf_dir)
-    pred = panel.select(
-        "country", "stock", "ds", "qty", "avg_price",
-        *rolling_exprs(PANEL_KEYS, "ds", "qty", [3], ("mean",), name_fmt="pred_qty"),
+    aug = ma_baseline(
+        panel.select(
+            "country", "stock", "ds", "qty", "avg_price",
+            *rolling_exprs(PANEL_KEYS, "ds", "qty", [3], ("mean",), name_fmt="pred_qty"),
+        ),
+        PANEL_KEYS,
+        "ds",
+        "qty",
+        window=6,
     )
-    test_pred = pred.filter(F.col("ds") > F.lit(cutoff))
-    base = ma_baseline(panel, PANEL_KEYS, "ds", "qty", window=6)
+    test_pred = aug.filter(F.col("ds") > F.lit(cutoff)).select(
+        "country", "stock", "ds", "qty", "avg_price", "pred_qty"
+    )
+    base = aug.select("country", "stock", "ds", "baseline_qty")
     return evaluate_predictions(test_pred, base)
 
 

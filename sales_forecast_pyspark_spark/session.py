@@ -31,6 +31,13 @@ _DEFAULTS = {
     # vectorized reader rejects; read as long nanos and normalize in the
     # scan layer (sources.readers.read_table).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Local-harness scan parallelism: the testdata is ONE ~10-20MB file
+    # per table, which the default 4MB open-cost packs into 2-3 tasks,
+    # serializing the scan on a 32-core local runner (measured 2.5x on
+    # the flagship rollup). On a cluster with many files, revert to the
+    # defaults (128m / 4m) — split overhead amortizes differently there.
+    "spark.sql.files.maxPartitionBytes": "16m",
+    "spark.sql.files.openCostInBytes": "1m",
 }
 
 
