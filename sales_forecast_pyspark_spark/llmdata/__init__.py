@@ -22,6 +22,7 @@ from sales_forecast_pyspark_spark.llmdata.multimodal import (
 )
 from sales_forecast_pyspark_spark.llmdata.similarity import (
     cosine_topk,
+    ivf_topk,
     lsh_similarity_join,
 )
 from sales_forecast_pyspark_spark.llmdata.text import (
@@ -38,6 +39,7 @@ __all__ = [
     "cosine_topk",
     "extract_features",
     "fake_decode",
+    "ivf_topk",
     "lsh_similarity_join",
     "fingerprint_expr",
     "lang_id_expr",

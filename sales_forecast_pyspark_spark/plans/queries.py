@@ -948,3 +948,97 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "session_start", "last_event", "n_events")
         .orderBy("user_id", "session_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# ML predictions through the evaluation spine (M4 + J2 + A8, M8)
+# ---------------------------------------------------------------------------
+
+
+@register("forecast_eval_kpi")  # rows-only: ML predictions are not SQL-expressible
+def q_forecast_eval_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full loop (py:1297-1375) with REAL model output:
+    LR predictions left-joined to the MA6 baseline on the 3-part key via
+    the same evaluate_predictions path the oracle-checked spine uses,
+    then the per-country KPI table. Proves the ML surface and the
+    reporting spine compose."""
+    from sales_forecast_pyspark_spark.forecast import (
+        feature_pipeline,
+        lr_preset,
+        prepare_features,
+        train_and_eval,
+    )
+    from sales_forecast_pyspark_spark.operators.windows import ma_baseline as _mb
+    from sales_forecast_pyspark_spark.plans.evaluation import (
+        evaluate_predictions,
+        kpi_by_country,
+    )
+
+    train, test, numeric = _forecast_features(spark, sf_dir)
+    pipe = feature_pipeline(["country", "stock"], numeric)
+    _, train_p, test_p = prepare_features(pipe, train, test)
+    res = train_and_eval("lr", train_p, test_p, lr_preset("qty"))
+    pred = res.predictions.select(
+        "country", "stock", "ds", "qty", "avg_price",
+        F.col("prediction").alias("pred_qty"),
+    )
+    base = _mb(daily_panel(spark, sf_dir), PANEL_KEYS, "ds", "qty", window=6)
+    ev = evaluate_predictions(pred, base)
+    return kpi_by_country(ev)
+
+
+@register("lr_coefficients_top")  # rows-only: model internals are not SQL-expressible
+def q_lr_coefficients_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 (py:1992-2016): fit the flagship LR, rank features by
+    |coefficient| and return the top 15 plus the intercept — the
+    reference's model-interpretation report."""
+    from sales_forecast_pyspark_spark.forecast import (
+        feature_pipeline,
+        lr_coefficients,
+        lr_preset,
+        prepare_features,
+    )
+
+    train, test, numeric = _forecast_features(spark, sf_dir)
+    pipe = feature_pipeline(["country", "stock"], numeric)
+    fp, train_p, _ = prepare_features(pipe, train, test)
+    model = lr_preset("qty").fit(train_p)
+    ranked = lr_coefficients(fp, model)
+    top = ranked[:15] + [ranked[-1]]
+    rows = [(i + 1, name, round(coef, 4)) for i, (name, coef) in enumerate(top)]
+    return spark.createDataFrame(rows, "rank int, feature string, coefficient double")
+
+
+@register("ann_ivf_topk")  # rows-only: KMeans cells are not SQL-expressible
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 for the same query set as ann_topk: seeded
+    KMeans cells, 4-of-16 cell probes, exact cosine ranking inside the
+    probed cells. Recall vs the exact query is asserted in tests."""
+    from sales_forecast_pyspark_spark.llmdata import ivf_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register("embedding_near_dups")  # rows-only: LSH hyperplanes are not SQL-expressible
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: LSH candidate generation, then
+    exact cosine on candidates only. The synthetic embeddings are random
+    (max pairwise cosine ~0.51), so the threshold is set at 0.45 to
+    demonstrate the operator's output shape; production corpora use
+    0.9+."""
+    from sales_forecast_pyspark_spark.llmdata import lsh_similarity_join
+    from sales_forecast_pyspark_spark.functions.vectors import cosine_similarity
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    pairs = lsh_similarity_join(emb, distance_threshold=1.2)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", F.round(cosine_similarity("va", "vb"), 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.45)
+        .orderBy("id_a", "id_b")
+    )

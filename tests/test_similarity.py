@@ -73,3 +73,23 @@ def test_multimodal_arrow_roundtrip(spark):
         assert out[doc_id]["n_bytes"] == len(raw)
         assert out[doc_id]["content_md5"] == hashlib.md5(raw).hexdigest()
         assert out[doc_id]["header_hex"] == raw[:4].hex()
+
+
+def test_ivf_topk_recall_and_determinism(emb, spark):
+    """IVF with 4-of-16 probes on random 64-d vectors (IVF's worst case:
+    no cluster structure) must still reach reasonable recall vs exact
+    brute force, and repeat identically under its seed."""
+    from sales_forecast_pyspark_spark.llmdata import ivf_topk
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(emb, queries, k=5).collect()}
+    a = {(r["query_id"], r["neighbor_id"])
+         for r in ivf_topk(emb, queries, k=5).collect()}
+    b = {(r["query_id"], r["neighbor_id"])
+         for r in ivf_topk(emb, queries, k=5).collect()}
+    assert a == b
+    assert len(exact & a) / len(exact) >= 0.5
+    # every query still gets a full top-5 (probed cells are never empty
+    # here: 500 vectors / 16 cells >> 5)
+    assert len(a) == len(exact) == 50
