@@ -33,6 +33,10 @@ BENCH_QUERIES = [
     "ma_baseline",
     "eval_join",
     "kpi_by_country",
+    "value_weighted_error",
+    "events_window",
+    "sessionization",
+    "near_dedup_minhash",
 ]
 
 

@@ -51,21 +51,34 @@ def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> Dat
 
 
 def _jaccard_on_pairs(
-    sh: DataFrame, pairs: DataFrame, id_col: str, threshold: float
+    sh: DataFrame, pairs: DataFrame | None, id_col: str, threshold: float
 ) -> DataFrame:
-    """Exact Jaccard for the given candidate pairs: shared-shingle counts
-    via a shingle-key join restricted (left-semi) to candidates, then
-    |A∩B| / (|A| + |B| − |A∩B|)."""
+    """Exact Jaccard: |A∩B| / (|A| + |B| − |A∩B|).
+
+    With ``pairs=None`` (the exact operator) shared counts come from one
+    shingle-key self-join over ALL co-shingled docs. With a candidate
+    ``pairs`` table (the LSH operators) the intersection is computed by
+    fanning each candidate out over doc_a's shingles and equality-joining
+    doc_b's — work bounded by |candidates| × |shingles(doc_a)|, NOT by
+    the global co-shingle fan-out (recomputing that would make LSH
+    strictly slower than exact)."""
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
-    shared = (
-        a.join(b, ["shingle"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .join(pairs, ["doc_a", "doc_b"], "left_semi")
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
+    if pairs is None:
+        shared = (
+            a.join(b, ["shingle"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
+    else:
+        shared = (
+            pairs.join(a, ["doc_a"])
+            .join(b, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
     na = counts.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("n_a"))
     nb = counts.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("n_b"))
     return (
@@ -98,14 +111,7 @@ def ngram_jaccard_pairs(
     shingles (docs with no shingle in common can't pass any threshold >0,
     so they are never paired). Fully SQL-expressible → oracle-checked."""
     sh = _exploded_shingles(df, id_col, text_col, n)
-    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
-    candidates = (
-        a.join(b, ["shingle"]).filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    return _jaccard_on_pairs(sh, candidates, id_col, threshold)
+    return _jaccard_on_pairs(sh, None, id_col, threshold)
 
 
 def minhash_near_dedup(

@@ -61,8 +61,12 @@ def daily_panel(spark: SparkSession, sf_dir: str, calendar: bool = False) -> Dat
     sup = read_table(spark, sf_dir, "supplier")
     nat = read_table(spark, sf_dir, "nation")
 
+    # nation (25 rows) is force-broadcast; supplier is NOT — it scales
+    # with SF (at 100 TB it is GBs), so the size-based planner + AQE
+    # pick the strategy: broadcast at test scales, shuffle join beyond
+    # the threshold.
     enriched = (
-        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
         .select(
             F.col("n_name").alias("country"),
