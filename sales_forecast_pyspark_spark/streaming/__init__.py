@@ -2,6 +2,7 @@
 
 from sales_forecast_pyspark_spark.streaming.stream_ops import (
     run_available_now,
+    running_user_totals,
     sessionize_stream,
     stream_events,
     windowed_event_totals,
@@ -9,6 +10,7 @@ from sales_forecast_pyspark_spark.streaming.stream_ops import (
 
 __all__ = [
     "run_available_now",
+    "running_user_totals",
     "sessionize_stream",
     "stream_events",
     "windowed_event_totals",

@@ -84,6 +84,39 @@ def sessionize_stream(
     )
 
 
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    cumulative event count + value total, maintained in GroupState
+    across micro-batches and emitted on every update.
+
+    This is the escape hatch for stateful semantics the built-in
+    window/session operators can't express (custom merge logic, decaying
+    counters, cross-batch dedup). State is one tiny tuple per user key —
+    bounded by key cardinality, not stream length; with no timeout the
+    state lives for the query's lifetime, so keys must be bounded (use a
+    TTL timeout for unbounded key spaces)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def _update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_available_now(
     df: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> DataFrame:

@@ -36,3 +36,32 @@ def test_streaming_sessionization_matches_batch(spark):
     cols = ["user_id", "session_start", "last_event", "n_events"]
     assert _rows(got, cols) == _rows(batch, cols)
     assert got.count() > 0
+
+
+def test_stateful_running_totals_match_batch(spark):
+    """applyInPandasWithState cumulative per-user totals: after the
+    stream drains (one availableNow pass), the latest emitted state per
+    user must equal the batch groupBy aggregate."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from sales_forecast_pyspark_spark.sources.readers import read_table
+    from sales_forecast_pyspark_spark.streaming import running_user_totals
+
+    stream = running_user_totals(stream_events(spark, SF_SMALL))
+    got = run_available_now(stream, "stream_state_test", output_mode="update")
+    # update mode may emit once per micro-batch; keep the last emit per user
+    latest = {r["user_id"]: (r["n_events"], r["total_value"]) for r in got.collect()}
+
+    batch = (
+        read_table(spark, SF_SMALL, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v"))
+    )
+    expect = {r["user_id"]: (r["n"], r["v"]) for r in batch.collect()}
+    assert set(latest) == set(expect)
+    for uid, (n, v) in expect.items():
+        gn, gv = latest[uid]
+        assert gn == n, (uid, gn, n)
+        assert math.isclose(gv, v, abs_tol=0.05), (uid, gv, v)
