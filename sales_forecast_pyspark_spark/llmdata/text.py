@@ -29,6 +29,25 @@ def tokens_expr(text: str | Column) -> Column:
     )
 
 
+# GPT-style subword-ish segmentation for lowercase ascii: a leading-space
+# word, a single digit, a punctuation run, or a whitespace char each count
+# as one token. Same pattern string works in Java regex and RE2.
+BPE_ISH_PATTERN = r" ?[a-z]+|[0-9]| ?[^a-z0-9\s]+|\s"
+
+
+def whitespace_token_count_expr(text):
+    """Plain whitespace token count (split on \s+ runs)."""
+    t = _c(text)
+    return F.size(F.filter(F.split(t, r"\s+"), lambda x: x != F.lit("")))
+
+
+def bpe_token_count_expr(text):
+    """BPE-ish token count: approximates subword tokenizer token counts
+    (the cost metric LLM pipelines budget by) with a single JVM-side
+    regex pass — ~1 token per short word / digit / punct run / space."""
+    return F.regexp_count(F.lower(_c(text)), F.lit(BPE_ISH_PATTERN))
+
+
 def lang_id_expr(
     text: str | Column, threshold: float = 0.03, lang: str = "en"
 ) -> Column:

@@ -1042,3 +1042,29 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim") >= 0.45)
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "token_counts",
+    r"""
+SELECT doc_id,
+       CAST(length(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS INT) AS ws_tokens,
+       CAST(length(regexp_extract_all(lower(text), ' ?[a-z]+|[0-9]| ?[^a-z0-9\s]+|\s')) AS INT) AS bpe_tokens
+FROM documents ORDER BY doc_id
+""",
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways an LLM-data pipeline budgets text:
+    whitespace tokens and a BPE-ish regex segmentation (word / digit /
+    punct-run / space units) — single JVM regex passes, no UDF."""
+    from sales_forecast_pyspark_spark.llmdata.text import (
+        bpe_token_count_expr,
+        whitespace_token_count_expr,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        whitespace_token_count_expr("text").alias("ws_tokens"),
+        bpe_token_count_expr("text").alias("bpe_tokens"),
+    ).orderBy("doc_id")
