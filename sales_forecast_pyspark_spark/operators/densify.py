@@ -1,0 +1,63 @@
+"""Panel densification: calendar-gap analysis and gap filling.
+
+The reference's window features are ROW-based and deliberately ignore
+calendar gaps (SURVEY.md §2.5) — six rows back is not six days back. At
+scale, users who want time-based semantics first densify the panel:
+generate the full per-series calendar with JVM ``sequence`` + ``explode``
+(no UDF), left-join the observations, zero-fill. Densification multiplies
+row counts by span/observations, so ``series_gaps`` (cheap, aggregate
+only) is the audit step before choosing to densify.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def series_gaps(
+    df: DataFrame, keys: Sequence[str], date_col: str = "ds"
+) -> DataFrame:
+    """Per-series calendar coverage: span days, observed days, missing
+    days — one hash aggregate, no fan-out. Use to bound the cost of
+    densification before running it."""
+    span = F.datediff(F.max(date_col), F.min(date_col)) + 1
+    return (
+        df.groupBy(*keys)
+        .agg(
+            F.min(date_col).alias("first_day"),
+            F.max(date_col).alias("last_day"),
+            span.alias("span_days"),
+            F.count(F.lit(1)).alias("n_obs"),
+            (span - F.count(F.lit(1))).alias("n_missing"),
+        )
+        .orderBy(*keys)
+    )
+
+
+def densify_series(
+    df: DataFrame,
+    keys: Sequence[str],
+    date_col: str = "ds",
+    fill_zero: Sequence[str] = (),
+) -> DataFrame:
+    """Fill calendar gaps per series: explode the min..max date sequence
+    per key group, left-join observations, zero-fill the named measure
+    columns. All JVM-side (sequence/explode/join) — the fan-out equals
+    the total span-day count, which ``series_gaps`` quantifies first."""
+    calendar = (
+        df.groupBy(*keys)
+        .agg(F.min(date_col).alias("__d0"), F.max(date_col).alias("__d1"))
+        .select(
+            *keys,
+            F.explode(
+                F.sequence(F.col("__d0"), F.col("__d1"), F.expr("interval 1 day"))
+            ).alias(date_col),
+        )
+    )
+    out = calendar.join(df, on=[*keys, date_col], how="left")
+    if fill_zero:
+        out = out.fillna(0, subset=list(fill_zero))
+    return out

@@ -1068,3 +1068,25 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         whitespace_token_count_expr("text").alias("ws_tokens"),
         bpe_token_count_expr("text").alias("bpe_tokens"),
     ).orderBy("doc_id")
+
+
+@register(
+    "series_gaps",
+    PANEL_CTE
+    + """
+SELECT country, stock,
+       MIN(ds) AS first_day, MAX(ds) AS last_day,
+       CAST(date_diff('day', MIN(ds), MAX(ds)) + 1 AS INT) AS span_days,
+       COUNT(*) AS n_obs,
+       CAST(date_diff('day', MIN(ds), MAX(ds)) + 1 - COUNT(*) AS BIGINT) AS n_missing
+FROM panel GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def q_series_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-coverage audit per series: span vs observed days — the
+    bounded aggregate that prices a densify_series run before the
+    span-day fan-out is paid (the reference's row-frame windows skip
+    densification entirely; time-based semantics need it)."""
+    from sales_forecast_pyspark_spark.operators.densify import series_gaps
+
+    return series_gaps(daily_panel(spark, sf_dir), PANEL_KEYS, "ds")

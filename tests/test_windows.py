@@ -121,3 +121,44 @@ def test_weekday_partition_lags(spark):
     assert got["2024-01-08"] == 1.0  # Monday -> previous Monday
     assert got["2024-01-14"] == 7.0  # Sunday -> previous Sunday
     assert got["2024-01-07"] == 0.0  # first Sunday: no history -> 0
+
+
+def test_densify_fills_calendar_gaps(series):
+    """densify_series inserts the missing 2024-01-04 row with zero-filled
+    measures; series_gaps prices it beforehand."""
+    from sales_forecast_pyspark_spark.operators.densify import (
+        densify_series,
+        series_gaps,
+    )
+
+    gaps = {r["k"]: (r["span_days"], r["n_obs"], r["n_missing"])
+            for r in series_gaps(series, ["k"], "ds").collect()}
+    assert gaps["A"] == (6, 5, 1)
+    assert gaps["B"] == (1, 1, 0)
+
+    dense = densify_series(series, ["k"], "ds", fill_zero=["v"])
+    got = _by_key(dense, ["v"])
+    assert got[("A", "2024-01-04")] == (0.0,)  # the gap, zero-filled
+    assert got[("A", "2024-01-03")] == (30.0,)  # originals intact
+    assert dense.count() == 7  # 6 days for A + 1 for B
+
+
+def test_pandas_zscore_matches_jvm(series):
+    """applyInPandas grouped-map parity: per-group z-scores must equal
+    the JVM window twin (pandas ddof=1 == stddev_samp)."""
+    import math
+
+    from sales_forecast_pyspark_spark.operators.pandas_ops import (
+        zscore_jvm,
+        zscore_pandas,
+    )
+
+    jvm = _by_key(zscore_jvm(series, ["k"], "v"), ["zscore"])
+    pd_ = _by_key(zscore_pandas(series, ["k"], "v"), ["zscore"])
+    assert set(jvm) == set(pd_)
+    for key in jvm:
+        a, b = jvm[key][0], pd_[key][0]
+        if a is None or b is None:
+            assert a is None and b is None, (key, a, b)  # 1-row group B
+        else:
+            assert math.isclose(a, b, rel_tol=1e-12), (key, a, b)
