@@ -3,6 +3,15 @@ from sales_forecast_pyspark_spark.operators.aggregates import (
     profile_agg,
     top_k,
 )
+from sales_forecast_pyspark_spark.operators.densify import (
+    densify_series,
+    series_gaps,
+)
+from sales_forecast_pyspark_spark.operators.joins import join_on, salted_join
+from sales_forecast_pyspark_spark.operators.pandas_ops import (
+    zscore_jvm,
+    zscore_pandas,
+)
 from sales_forecast_pyspark_spark.operators.rowops import (
     dedup_exact,
     deterministic_sample,
@@ -18,16 +27,22 @@ from sales_forecast_pyspark_spark.operators.windows import (
 )
 
 __all__ = [
-    "daily_rollup",
-    "profile_agg",
-    "top_k",
-    "dedup_exact",
-    "deterministic_sample",
-    "null_repair",
-    "time_split",
-    "union_by_name",
     "add_lags",
     "add_momentum",
     "add_rolling",
+    "daily_rollup",
+    "dedup_exact",
+    "densify_series",
+    "deterministic_sample",
+    "join_on",
     "ma_baseline",
+    "null_repair",
+    "profile_agg",
+    "salted_join",
+    "series_gaps",
+    "time_split",
+    "top_k",
+    "union_by_name",
+    "zscore_jvm",
+    "zscore_pandas",
 ]
