@@ -885,7 +885,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_window",
     """
 SELECT event_type,
-       time_bucket(INTERVAL '1 hour', ts) AS win_start,
+       strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
        COUNT(*) AS n_events,
        CAST(ROUND(SUM(CAST(value AS DECIMAL(30,6))), 2) AS DOUBLE) AS total_value
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
@@ -903,7 +903,13 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum(F.col("value")).alias("total_value"),
         )
         .select(
-            "event_type", F.col("w.start").alias("win_start"), "n_events", "total_value"
+            "event_type",
+            # rendered to a string IN SESSION TZ (UTC): naive-timestamp
+            # collection converts through the client's local timezone,
+            # which is outside the engine's control
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "n_events",
+            "total_value",
         )
         .orderBy("event_type", "win_start")
     )
@@ -926,7 +932,9 @@ s AS (
                              ROWS UNBOUNDED PRECEDING) AS sess_id
   FROM d
 )
-SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS last_event,
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_event,
        COUNT(*) AS n_events
 FROM s GROUP BY user_id, sess_id
 ORDER BY user_id, session_start
@@ -941,8 +949,12 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
         .agg(
-            F.min("ts").alias("session_start"),
-            F.max("ts").alias("last_event"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "last_event"
+            ),
             F.count(F.lit(1)).alias("n_events"),
         )
         .select("user_id", "session_start", "last_event", "n_events")

@@ -41,6 +41,38 @@ _DEFAULTS = {
 }
 
 
+# Correctness-critical SQL confs that must hold even when the CALLER
+# built the SparkSession (the driver harness does): nanos parquet
+# reading and deterministic date semantics. All are runtime-settable.
+_RUNTIME_REQUIRED = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply the correctness-critical runtime confs to an existing
+    session. Called from the scan layer so every query builder works on
+    a vanilla externally-created SparkSession, not just ours."""
+    for key, value in _RUNTIME_REQUIRED.items():
+        try:
+            if spark.conf.get(key, None) != value:
+                spark.conf.set(key, value)
+        except Exception:
+            spark.conf.set(key, value)
+    # session.timeZone covers SQL functions and Arrow transfer, but a
+    # plain collect() converts timestamps through the JVM DEFAULT
+    # timezone — on a non-UTC host that silently shifts every collected
+    # timestamp. Pin the JVM default to UTC too.
+    try:
+        jtz = spark._jvm.java.util.TimeZone  # type: ignore[union-attr]
+        if jtz.getDefault().getID() != "UTC":
+            jtz.setDefault(jtz.getTimeZone("UTC"))
+    except Exception:
+        pass  # Connect-mode sessions have no _jvm; conf above still applies
+    return spark
+
+
 def get_spark(
     app_name: str = "sales_forecast_pyspark_spark",
     master: str | None = None,

@@ -84,6 +84,9 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     microsecond TIMESTAMP by truncating division — the same truncation
     external engines apply when narrowing nanos.
     """
+    from sales_forecast_pyspark_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))

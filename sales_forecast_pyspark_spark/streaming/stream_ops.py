@@ -61,7 +61,10 @@ def windowed_event_totals(
             .alias("total_value"),
         )
         .select(
-            "event_type", F.col("w.start").alias("win_start"), "n_events", "total_value"
+            "event_type",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "n_events",
+            "total_value",
         )
     )
 
@@ -76,8 +79,12 @@ def sessionize_stream(
         events.withWatermark("ts", watermark)
         .groupBy("user_id", F.session_window("ts", gap).alias("w"))
         .agg(
-            F.min("ts").alias("session_start"),
-            F.max("ts").alias("last_event"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "last_event"
+            ),
             F.count(F.lit(1)).alias("n_events"),
         )
         .select("user_id", "session_start", "last_event", "n_events")
