@@ -1102,3 +1102,43 @@ def q_series_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sales_forecast_pyspark_spark.operators.densify import series_gaps
 
     return series_gaps(daily_panel(spark, sf_dir), PANEL_KEYS, "ds")
+
+
+def _forecast_tree(spark: SparkSession, sf_dir: str, preset_name: str) -> DataFrame:
+    from sales_forecast_pyspark_spark.forecast import (
+        feature_pipeline,
+        gbt_preset,
+        prepare_features,
+        rf_preset,
+        train_and_eval,
+    )
+
+    train, test, numeric = _forecast_features(spark, sf_dir)
+    pipe = feature_pipeline(["country", "stock"], numeric)
+    _, train_p, test_p = prepare_features(pipe, train, test)
+    # max_bins 4096 >= the testdata's stock cardinality (~2000 at
+    # sf0.01); the reference's production value is 10000 (py:428).
+    preset = (
+        rf_preset("qty", max_bins=4096)
+        if preset_name == "rf"
+        else gbt_preset("qty", max_bins=4096)
+    )
+    res = train_and_eval(preset_name, train_p, test_p, preset)
+    return res.predictions.select(
+        "country", "stock", "ds", "qty", F.round("prediction", 4).alias("pred_qty")
+    )
+
+
+@register("forecast_rf")  # rows-only: ML not SQL-expressible
+def q_forecast_rf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3: RandomForest preset (numTrees=50, maxDepth=5, seed=42,
+    py:421-429) through the same fit-once feature pipeline as the LR
+    flagship."""
+    return _forecast_tree(spark, sf_dir, "rf")
+
+
+@register("forecast_gbt")  # rows-only: ML not SQL-expressible
+def q_forecast_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5: GBT preset (maxDepth=3, lossType=absolute, stepSize=0.05,
+    seed=42, py:839-849/:1224-1234)."""
+    return _forecast_tree(spark, sf_dir, "gbt")
