@@ -50,7 +50,9 @@ WITH panel AS (
 """
 
 
-def daily_panel(spark: SparkSession, sf_dir: str, calendar: bool = False) -> DataFrame:
+def daily_panel(
+    spark: SparkSession, sf_dir: str, calendar: bool = False, exact: bool = True
+) -> DataFrame:
     """lineitem ⋈ supplier ⋈ nation → daily (country, stock) rollup.
 
     Mirrors the reference's flagship A2 aggregate: net quantity (returns
@@ -83,5 +85,6 @@ def daily_panel(spark: SparkSession, sf_dir: str, calendar: bool = False) -> Dat
         qty_col="l_quantity",
         revenue_expr=F.col("l_extendedprice") * (1 - F.col("l_discount")),
         price_expr=F.col("l_extendedprice") / F.nullif(F.col("l_quantity"), F.lit(0)),
+        exact=exact,
     )
     return with_calendar_columns(panel, "ds") if calendar else panel

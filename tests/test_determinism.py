@@ -71,3 +71,24 @@ def test_salted_join_equals_plain_join(spark):
             .collect()
         )
         assert salted == plain
+
+
+def test_fast_rollup_mode_approximates_exact(spark):
+    """daily_panel(exact=False) — the ~2x-faster production path — must
+    agree with the exact mode to float tolerance (only last-ulp,
+    partitioning-dependent variation is permitted)."""
+    import math
+
+    from sales_forecast_pyspark_spark.plans.panel import daily_panel
+
+    sf = "/root/testdata/sf0.001"
+    exact = {(r["country"], r["stock"], str(r["ds"])): (r["qty"], r["revenue"], r["avg_price"])
+             for r in daily_panel(spark, sf).collect()}
+    fast = {(r["country"], r["stock"], str(r["ds"])): (r["qty"], r["revenue"], r["avg_price"])
+            for r in daily_panel(spark, sf, exact=False).collect()}
+    assert set(exact) == set(fast)
+    for k, (q, rev, price) in exact.items():
+        fq, frev, fprice = fast[k]
+        assert fq == q
+        assert math.isclose(frev, rev, abs_tol=0.011)  # fast mode rounds at 2
+        assert math.isclose(fprice, price, abs_tol=0.011)
