@@ -33,6 +33,7 @@ from sales_forecast_pyspark_spark.functions.deterministic import (
     stable_avg,
     weighted_sum,
 )
+from sales_forecast_pyspark_spark.forecast.pipelines import materialize
 from sales_forecast_pyspark_spark.functions.metrics import with_error_columns
 from sales_forecast_pyspark_spark.operators.joins import join_on
 from sales_forecast_pyspark_spark.operators.windows import ma_baseline, rolling_exprs
@@ -92,18 +93,24 @@ def evaluate_predictions(
     return with_error_columns(ev, actual, baseline_col, prefix="base_")
 
 
-def build_eval(spark: SparkSession, sf_dir: str, cutoff: str = CUTOFF) -> DataFrame:
+def build_eval(
+    spark: SparkSession, sf_dir: str, cutoff: str = CUTOFF, persist: bool = True
+) -> DataFrame:
     """The full spine with the MA3 stand-in model: windows computed BEFORE
     the time split (filters must not cut window history — SURVEY.md §4
     row 1), then test rows joined to the MA6 baseline.
 
-    Both join inputs project from ONE window-augmented panel plan: the
-    two window specs share the (country, stock) partitioning, so a
-    single WindowExec computes pred and baseline together in each
-    branch. (Catalyst's column pruning narrows the two branches
-    differently, so ReuseExchange does NOT merge them — each side still
-    scans; at production scale persist the panel first, the reference's
-    cache frontier, py:650-651.)"""
+    Both join inputs project from ONE window-augmented panel plan, and
+    that plan is persisted (the reference's cache frontier, py:650-651):
+    Catalyst's column pruning narrows the two branches differently, so
+    without the cache ReuseExchange does NOT merge them and the
+    scan → 3-way join → rollup → WindowExec chain executes twice per
+    query. With ``persist=True`` the chain runs once into an
+    InMemoryRelation both branches read. Spark's CacheManager matches by
+    canonicalized plan, so every eval-spine query in a session shares
+    ONE cached panel — memory is bounded by the daily panel
+    (|country × stock × day| rows), far smaller than the fact table.
+    Pass ``persist=False`` for one-shot plan inspection."""
     panel = daily_panel(spark, sf_dir)
     aug = ma_baseline(
         panel.select(
@@ -115,6 +122,8 @@ def build_eval(spark: SparkSession, sf_dir: str, cutoff: str = CUTOFF) -> DataFr
         "qty",
         window=6,
     )
+    if persist:
+        aug = materialize(aug)
     test_pred = aug.filter(F.col("ds") > F.lit(cutoff)).select(
         "country", "stock", "ds", "qty", "avg_price", "pred_qty"
     )
