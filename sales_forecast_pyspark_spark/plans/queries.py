@@ -596,24 +596,30 @@ def q_value_weighted_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _forecast_features(spark: SparkSession, sf_dir: str):
-    """Shared feature build for the forecast queries: a reduced preset
-    (enough to exercise W1-W7 shapes without tripling test runtime),
-    cached at the feature frontier (M10) because LR's L-BFGS passes
-    re-read this lineage up to maxIter times."""
+REDUCED_PRESET = dict(
+    daily_lags=(1, 2, 3),
+    cycle_lags=(6,),
+    weekday_lags=(1,),
+    rolling_windows=(3, 6),
+    weekday_windows=(3,),
+    rolling_stats=("mean", "std"),
+)
+
+
+def _forecast_features(spark: SparkSession, sf_dir: str, full: bool = False):
+    """Shared feature build for the forecast queries, cached at the
+    feature frontier (M10) because LR's L-BFGS passes re-read this
+    lineage up to maxIter times.
+
+    ``full=False`` is a reduced preset (enough to exercise W1-W7 shapes
+    without tripling test runtime); ``full=True`` is the reference's
+    flagship build — ``build_features`` defaults: 36 lags + 18 rolling +
+    12 momentum, assembling the 73-wide vector of py:1006-1059."""
     from sales_forecast_pyspark_spark.forecast import build_features, materialize
     from sales_forecast_pyspark_spark.operators.rowops import time_split
 
     panel = daily_panel(spark, sf_dir, calendar=True)
-    feats, cols = build_features(
-        panel,
-        daily_lags=(1, 2, 3),
-        cycle_lags=(6,),
-        weekday_lags=(1,),
-        rolling_windows=(3, 6),
-        weekday_windows=(3,),
-        rolling_stats=("mean", "std"),
-    )
+    feats, cols = build_features(panel, **({} if full else REDUCED_PRESET))
     feats = materialize(feats)
     train, test = time_split(feats, "ds", "1998-06-30")
     numeric = [*cols, "year", "month", "week", "day", "dow"]
@@ -636,6 +642,29 @@ def q_forecast_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipe = feature_pipeline(["country", "stock"], numeric)
     _, train_p, test_p = prepare_features(pipe, train, test)
     res = train_and_eval("lr", train_p, test_p, lr_preset("qty"))
+    return res.predictions.select(
+        "country", "stock", "ds", "qty", F.round("prediction", 4).alias("pred_qty")
+    )
+
+
+@register("forecast_lr_full")  # rows-only: ML not SQL-expressible
+def q_forecast_lr_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship shape end-to-end: full 73-feature build
+    (36 lags + 18 rolling + 12 momentum + 5 calendar + 2 indexed
+    categoricals, py:1006-1059) through fit/predict with the winning
+    Lasso LR config. Same output shape as ``forecast_lr``; the reduced
+    preset stays the default elsewhere for runtime."""
+    from sales_forecast_pyspark_spark.forecast import (
+        feature_pipeline,
+        lr_preset,
+        prepare_features,
+        train_and_eval,
+    )
+
+    train, test, numeric = _forecast_features(spark, sf_dir, full=True)
+    pipe = feature_pipeline(["country", "stock"], numeric)
+    _, train_p, test_p = prepare_features(pipe, train, test)
+    res = train_and_eval("lr_full", train_p, test_p, lr_preset("qty"))
     return res.predictions.select(
         "country", "stock", "ds", "qty", F.round("prediction", 4).alias("pred_qty")
     )

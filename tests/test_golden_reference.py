@@ -1,0 +1,133 @@
+"""Golden-number regression in REFERENCE-PARITY mode (SURVEY.md §5.2).
+
+The reference publishes its model metrics (BASELINE.md model table: LR v2
+MAE 1.50 / RMSE 13.79 / R² 0.9648, README.md:98) but its raw dataset is
+not available, so exact-number parity is unreachable; what IS testable is
+that the engine's parity-mode pipeline — plain float sums + round-2
+rollup (Sales_forecast_pyspark.py:147-164), log1p target column
+(:360-363), the full 73-wide feature vector (:1006-1059), the Lasso LR
+preset (:1160-1169), and the KPI spine (:1336-1375) with
+``stable_avg(round_digits=2)`` — produces the SAME numbers on every run
+over a frozen fixture. Any semantic drift in the rollup, lag rounding,
+window frames, indexers, or the LR config moves these goldens.
+
+Golden values were produced by two independent sessions that agreed to
+the last ulp; assertions use 1e-7 absolute tolerance for model metrics
+(guarding only against sub-ulp platform noise) and exact equality for
+counts and parity-rounded KPIs.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sales_forecast_pyspark_spark.forecast.features import build_features, with_log1p
+from sales_forecast_pyspark_spark.forecast.pipelines import (
+    feature_pipeline,
+    lr_preset,
+    materialize,
+)
+from sales_forecast_pyspark_spark.forecast.run import prepare_features, train_and_eval
+from sales_forecast_pyspark_spark.functions.deterministic import stable_avg
+from sales_forecast_pyspark_spark.operators.windows import ma_baseline
+from sales_forecast_pyspark_spark.plans.evaluation import evaluate_predictions
+
+from tests.golden_fixture import SPLIT, parity_daily_sales
+
+# ---- golden numbers (frozen; see module docstring) ----
+GOLDEN_PANEL_ROWS = 732
+GOLDEN_TOTAL_QTY = 20586.0
+GOLDEN_TOTAL_REVENUE = 63496.7
+GOLDEN_TOTAL_AVG_PRICE = 2086.44
+GOLDEN_TRAIN_ROWS = 384
+GOLDEN_TEST_ROWS = 348
+GOLDEN_N_FEATURES = 66  # + 5 calendar + 2 indexed categoricals = 73
+GOLDEN_VECTOR_WIDTH = 73  # the reference's flagship width (py:1006-1059)
+GOLDEN_LR = {"mae": 3.228760292223062, "rmse": 3.90395184994677, "r2": 0.9746012662467132}
+GOLDEN_KPI = {"bias": -2.86, "mae": 3.23, "mape": 0.23, "base_mae": 18.28}
+
+
+@pytest.fixture(scope="module")
+def parity_run(spark):
+    """Run the full parity pipeline once; every test below asserts
+    against a facet of this single run."""
+    panel = with_log1p(parity_daily_sales(spark), "qty")
+    feat, names = build_features(panel)  # full preset: 36 lags + 18 rolling + 12 momentum
+    feat = materialize(feat)
+    train = feat.filter(F.col("ds") <= F.lit(SPLIT))
+    test = feat.filter(F.col("ds") > F.lit(SPLIT))
+    pipe = feature_pipeline(["country", "stock"], ["year", "month", "week", "day", "dow"] + names)
+    _, train_p, test_p = prepare_features(pipe, train, test)
+    res = train_and_eval("lr_full", train_p, test_p, lr_preset("qty"))
+
+    base = ma_baseline(panel, ["country", "stock"], "ds", "qty", window=6)
+    pred = res.predictions.select(
+        "country", "stock", "ds", "qty", F.col("prediction").alias("pred_qty")
+    )
+    ev = evaluate_predictions(pred, base.select("country", "stock", "ds", "baseline_qty"))
+    kpi = ev.agg(
+        stable_avg(F.col("err"), round_digits=2).alias("bias"),
+        stable_avg(F.col("abs_err"), round_digits=2).alias("mae"),
+        stable_avg(F.col("ape"), round_digits=2).alias("mape"),
+        stable_avg(F.col("base_abs_err"), round_digits=2).alias("base_mae"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    yield {
+        "panel": panel,
+        "names": names,
+        "train_rows": train.count(),
+        "test_rows": test.count(),
+        "sample_vec": test_p.select("features").first()["features"],
+        "metrics": res.metrics,
+        "kpi": kpi.asDict(),
+    }
+    feat.unpersist()
+
+
+def test_golden_rollup(spark):
+    """Parity rollup (exact=False float sums + round-2): pinned row count
+    and whole-table totals (py:147-164 semantics)."""
+    panel = parity_daily_sales(spark)
+    assert panel.count() == GOLDEN_PANEL_ROWS
+    agg = panel.agg(
+        F.sum("qty").alias("tq"),
+        F.round(F.sum("revenue"), 2).alias("tr"),
+        F.round(F.sum("avg_price"), 2).alias("tp"),
+    ).first()
+    assert agg["tq"] == GOLDEN_TOTAL_QTY
+    assert agg["tr"] == GOLDEN_TOTAL_REVENUE
+    assert agg["tp"] == GOLDEN_TOTAL_AVG_PRICE
+
+
+def test_golden_split_counts(parity_run):
+    """Time split straddling the fixture dates (py:366-373)."""
+    assert parity_run["train_rows"] == GOLDEN_TRAIN_ROWS
+    assert parity_run["test_rows"] == GOLDEN_TEST_ROWS
+
+
+def test_golden_vector_width(parity_run):
+    """The full preset assembles the reference's 73-wide vector."""
+    assert len(parity_run["names"]) == GOLDEN_N_FEATURES
+    assert len(parity_run["sample_vec"]) == GOLDEN_VECTOR_WIDTH
+
+
+def test_golden_lr_metrics(parity_run):
+    """Pinned LR metrics — any drift in rollup, lag rounding, window
+    frames, indexers, or the LR preset moves these."""
+    m = parity_run["metrics"]
+    assert m["n"] == GOLDEN_TEST_ROWS
+    for k, v in GOLDEN_LR.items():
+        assert m[k] == pytest.approx(v, abs=1e-7), k
+
+
+def test_golden_kpi_parity(parity_run):
+    """KPI spine in parity mode (stable_avg round_digits=2 — the
+    reference's round(avg(..), 2)): exact equality, order-independent
+    by construction."""
+    kpi = parity_run["kpi"]
+    assert kpi["n"] == GOLDEN_TEST_ROWS
+    for k, v in GOLDEN_KPI.items():
+        assert kpi[k] == v, k
+    # The full-featured model must beat the MA6 baseline (nb cell 32).
+    assert kpi["mae"] < kpi["base_mae"]
