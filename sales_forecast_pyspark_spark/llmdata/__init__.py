@@ -25,6 +25,10 @@ from sales_forecast_pyspark_spark.llmdata.similarity import (
     ivf_topk,
     lsh_similarity_join,
 )
+from sales_forecast_pyspark_spark.llmdata.vectorize import (
+    tfidf_near_pairs,
+    tfidf_vectors,
+)
 from sales_forecast_pyspark_spark.llmdata.text import (
     STOPWORD_PATTERN,
     lang_id_expr,
@@ -49,5 +53,7 @@ __all__ = [
     "shingles_expr",
     "simhash_pairs",
     "text_stats",
+    "tfidf_near_pairs",
+    "tfidf_vectors",
     "tokens_expr",
 ]

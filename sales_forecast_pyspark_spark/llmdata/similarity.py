@@ -148,19 +148,29 @@ def lsh_similarity_join(
     num_hash_tables: int = 3,
     distance_threshold: float = 1.2,
     seed: int = 42,
+    vector_input: bool = False,
 ) -> DataFrame:
     """Approximate all-pairs similarity via MLlib's
     BucketedRandomProjectionLSH (random-hyperplane bucketing, Euclidean
     distance). Returns (id_a, id_b, dist) for pairs within the
     threshold, id_a < id_b. At 100 TB this is the shape that works:
     bucketing is a narrow map, the join is equality on bucket keys, and
-    only bucket-mates are scored."""
+    only bucket-mates are scored.
+
+    ``vector_input=True`` means ``vec_col`` already holds MLlib vectors
+    (e.g. sparse TF-IDF from ``llmdata.vectorize``) — they are passed
+    through untouched, keeping sparse vectors sparse instead of
+    densifying through an array column."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
-    vecs = df.select(
-        F.col(id_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("vec")
-    )
+    if vector_input:
+        vecs = df.select(F.col(id_col), F.col(vec_col).alias("vec"))
+    else:
+        vecs = df.select(
+            F.col(id_col),
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("vec"),
+        )
     lsh = BucketedRandomProjectionLSH(
         inputCol="vec",
         outputCol="hashes",

@@ -880,6 +880,28 @@ def q_ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_similarity_join(emb, distance_threshold=1.2)
 
 
+@register("tfidf_similar_docs")  # rows-only: HashingTF/IDF+LSH not SQL-expressible
+def q_tfidf_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF text vectorization (SURVEY §7 step 9) + cosine hook:
+    JVM tokens -> HashingTF (stateless murmur3) -> IDF (one corpus
+    pass) -> L2 normalize -> seeded BRP-LSH join at cosine >= 0.9,
+    aggregated to per-document neighbor counts so output stays bounded
+    by |docs| regardless of pair density."""
+    from sales_forecast_pyspark_spark.llmdata import tfidf_near_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = tfidf_near_pairs(docs, cos_threshold=0.9)
+    return (
+        pairs.select(F.explode(F.array("id_a", "id_b")).alias("doc_id"), "cos_sim")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_similar"),
+            F.max("cos_sim").alias("max_cos"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "multimodal_features",
     """

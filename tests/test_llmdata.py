@@ -99,3 +99,43 @@ def test_pandas_tokenizer_parity(docs):
     out = out.select("doc_id", F.size(tokens_expr("text")).alias("jvm"), "n_tokens_pd")
     for r in out.collect():
         assert r["jvm"] == r["n_tokens_pd"], r
+
+
+def test_tfidf_vectors_weighting_and_empty_docs(docs):
+    """IDF downweights corpus-ubiquitous terms; zero-token docs come out
+    as all-zero vectors (no direction)."""
+    from sales_forecast_pyspark_spark.llmdata import tfidf_vectors
+
+    out = {r["doc_id"]: r for r in tfidf_vectors(docs, num_features=64).collect()}
+    assert out[5]["n_tokens"] == 0
+    assert out[5]["tfidf"].numNonzeros() == 0
+    # docs 0 and 1 are case/punct variants -> identical token multisets
+    # -> identical tfidf vectors (HashingTF is stateless/deterministic).
+    assert out[0]["tfidf"].toArray().tolist() == out[1]["tfidf"].toArray().tolist()
+
+
+def test_tfidf_near_pairs_finds_neardups_not_unrelated(docs):
+    """The cosine cap at 0.8 must pair the planted near-dup doc pairs
+    (0,1) and (2,3) and never the unrelated short doc 4 or empty doc 5."""
+    from sales_forecast_pyspark_spark.llmdata import tfidf_near_pairs
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in tfidf_near_pairs(docs, num_features=64, cos_threshold=0.8).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == pytest.approx(1.0, abs=1e-6)
+    assert (2, 3) in pairs
+    touched = {i for ab in pairs for i in ab}
+    assert 4 not in touched and 5 not in touched
+
+
+def test_tfidf_near_pairs_deterministic_no_cartesian(docs):
+    """Seeded LSH: identical results across runs; the plan contains no
+    cartesian product (bucketed equality joins only)."""
+    from sales_forecast_pyspark_spark.llmdata import tfidf_near_pairs
+
+    a = tfidf_near_pairs(docs, num_features=64, cos_threshold=0.5)
+    b = tfidf_near_pairs(docs, num_features=64, cos_threshold=0.5)
+    assert a.collect() == b.collect()
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
