@@ -17,6 +17,8 @@ from sales_forecast_pyspark_spark.llmdata.dedup import (
 )
 from sales_forecast_pyspark_spark.llmdata.multimodal import (
     attach_binary,
+    decode_dimensions,
+    decode_image,
     extract_features,
     fake_decode,
 )
@@ -41,6 +43,8 @@ __all__ = [
     "STOPWORD_PATTERN",
     "attach_binary",
     "cosine_topk",
+    "decode_dimensions",
+    "decode_image",
     "extract_features",
     "fake_decode",
     "ivf_topk",

@@ -1,11 +1,14 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 processed in Arrow batches via mapInPandas.
 
-The decode layer is STUBBED (this container has no image/audio libs):
-``decode_image`` raises NotImplementedError by design, and the pipeline
-runs with ``fake_decode`` — a deterministic metadata extractor over the
-raw bytes — so the Spark-side contract (schema, batch shape, partition
-behavior) is real and tested even though pixel decoding is not.
+The decode layer is OPTIONAL-DEPENDENCY: ``decode_image`` decodes real
+pixel dimensions via Pillow when it is importable, and raises
+NotImplementedError otherwise (this container ships no imaging libs).
+The pipeline's default path is ``fake_decode`` — a deterministic
+metadata extractor over the raw bytes — so the Spark-side contract
+(schema, batch shape, partition behavior) is real, tested, and
+oracle-stable with or without Pillow; ``decode_dimensions`` is the
+real-decode twin of ``extract_features`` for environments that have it.
 
 Scale notes: mapInPandas streams Arrow record batches through Python —
 memory is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``,
@@ -17,15 +20,20 @@ metadata instead.
 # NOTE: no `from __future__ import annotations` — it stringifies type
 # hints module-wide and breaks pandas-UDF signature inspection.
 import hashlib
+import io
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
-EXTRACT_SCHEMA = (
-    "doc_id long, n_bytes int, content_md5 string, header_hex string, "
-    "fake_width int, fake_height int"
-)
+try:  # optional dependency: real image decode
+    from PIL import Image as _PILImage
+
+    HAS_PIL = True
+except ImportError:  # pragma: no cover - exercised in PIL-less containers
+    _PILImage = None
+    HAS_PIL = False
 
 
 def attach_binary(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -39,14 +47,18 @@ def attach_binary(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def decode_image(content: bytes):
-    """REAL decode path — deliberately stubbed: pixel decoding needs an
-    imaging library not present in this environment. The Spark plumbing
-    around it (see ``extract_features``) is real."""
-    raise NotImplementedError(
-        "image decoding requires an imaging library; use fake_decode for "
-        "the deterministic metadata path"
-    )
+def decode_image(content: bytes) -> tuple[int, int, str]:
+    """REAL decode path: (width, height, mode) via Pillow when it is
+    importable; NotImplementedError otherwise. The Spark plumbing around
+    it (``decode_dimensions`` / ``extract_features``) is identical either
+    way — only this leaf swaps."""
+    if not HAS_PIL:
+        raise NotImplementedError(
+            "image decoding requires Pillow; use fake_decode for the "
+            "deterministic metadata path"
+        )
+    with _PILImage.open(io.BytesIO(bytes(content))) as im:
+        return im.width, im.height, im.mode
 
 
 def fake_decode(content: bytes) -> tuple[int, int]:
@@ -56,13 +68,35 @@ def fake_decode(content: bytes) -> tuple[int, int]:
     return n % 1024 + 1, (n * 7) % 1024 + 1
 
 
+def _out_schema(df: DataFrame, id_col: str, fields: list[StructField]) -> StructType:
+    """Output schema for the mapInPandas extractors: the id field is
+    copied (name AND type) from the input so callers with non-long or
+    differently-named ids round-trip instead of hitting a silent rename
+    or an Arrow type error at execution time."""
+    id_field = df.schema[id_col]
+    return StructType([id_field, *fields])
+
+
 def extract_features(
     df: DataFrame, id_col: str = "doc_id", content_col: str = "content"
 ) -> DataFrame:
     """mapInPandas feature extraction over binary content: byte length,
     md5, 4-byte header hex, and fake-decoded dimensions. One Arrow
-    round-trip per batch; output schema declared up front."""
+    round-trip per batch; output schema declared up front, id column
+    carried through by name and type."""
     import pandas as pd
+
+    schema = _out_schema(
+        df,
+        id_col,
+        [
+            StructField("n_bytes", IntegerType()),
+            StructField("content_md5", StringType()),
+            StructField("header_hex", StringType()),
+            StructField("fake_width", IntegerType()),
+            StructField("fake_height", IntegerType()),
+        ],
+    )
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -70,7 +104,7 @@ def extract_features(
             n_bytes = content.map(len)
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col],
+                    id_col: pdf[id_col],
                     "n_bytes": n_bytes.astype("int32"),
                     "content_md5": content.map(
                         lambda b: hashlib.md5(bytes(b)).hexdigest()
@@ -83,4 +117,51 @@ def extract_features(
                 }
             )
 
-    return df.select(id_col, content_col).mapInPandas(_extract, EXTRACT_SCHEMA)
+    return df.select(id_col, content_col).mapInPandas(_extract, schema)
+
+
+def decode_dimensions(
+    df: DataFrame, id_col: str = "doc_id", content_col: str = "content"
+) -> DataFrame:
+    """REAL-decode twin of ``extract_features``: (id, width, height,
+    mode) via Pillow, null row values for undecodable payloads. Same
+    Arrow-batched mapInPandas shape; raises NotImplementedError up front
+    when Pillow is absent so the failure is at plan-build time, not
+    inside executors."""
+    import pandas as pd
+
+    if not HAS_PIL:
+        raise NotImplementedError(
+            "decode_dimensions requires Pillow; use extract_features for "
+            "the deterministic metadata path"
+        )
+
+    schema = _out_schema(
+        df,
+        id_col,
+        [
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("mode", StringType()),
+        ],
+    )
+
+    def _decode_one(b) -> tuple:
+        try:
+            return decode_image(bytes(b))
+        except Exception:
+            return (None, None, None)
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = pdf[content_col].map(_decode_one)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "width": decoded.map(lambda t: t[0]).astype("Int32"),
+                    "height": decoded.map(lambda t: t[1]).astype("Int32"),
+                    "mode": decoded.map(lambda t: t[2]),
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(_decode, schema)
