@@ -127,6 +127,41 @@ def add_rolling(
     return out
 
 
+def rolling_range_exprs(
+    keys: Sequence[str],
+    date_col: str,
+    col: str,
+    day_windows: Sequence[int],
+    stats: Sequence[str] = ("mean", "sum", "count"),
+    name_fmt: str = "range_{stat}_{d}d",
+) -> list[Column]:
+    """Calendar-aware trailing rolling stats: RANGE frames over the
+    epoch-day of ``date_col``, frame (−d days .. −1 day) EXCLUDING today.
+
+    This is the densify-free alternative to the row frames above: a
+    6-day RANGE frame sees exactly the rows from the previous 6 calendar
+    days however many are missing, where a 6-ROW frame silently reaches
+    further back across gaps (see ``operators/densify.py`` for the gap
+    audit that motivates choosing between them). Ordering is
+    ``unix_date`` (integer days), so the frame bounds are plain longs —
+    identical semantics to ANSI ``RANGE BETWEEN n PRECEDING`` over
+    ``ds - DATE '1970-01-01'``, which keeps it oracle-checkable.
+
+    All frames over the same keys share one exchange+sort; stats should
+    stay within {mean,sum,count,min,max} on integer-valued inputs for
+    cross-engine bit-stability (see functions/deterministic.py notes).
+    """
+    base = Window.partitionBy(*keys).orderBy(F.unix_date(F.col(date_col)))
+    exprs = []
+    for d in day_windows:
+        frame = base.rangeBetween(-d, -1)
+        for stat in stats:
+            exprs.append(
+                _ROLLING_STATS[stat](col).over(frame).alias(name_fmt.format(stat=stat, d=d))
+            )
+    return exprs
+
+
 def add_momentum(
     df: DataFrame, col: str, against: Sequence[str], name_fmt: str = "diff_{ref}"
 ) -> DataFrame:

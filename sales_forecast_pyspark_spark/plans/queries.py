@@ -36,6 +36,7 @@ from sales_forecast_pyspark_spark.operators.windows import (
     add_momentum,
     ma_baseline,
     rolling_exprs,
+    rolling_range_exprs,
 )
 from sales_forecast_pyspark_spark.operators.setops import union_by_name
 from sales_forecast_pyspark_spark.plans.evaluation import (
@@ -478,6 +479,41 @@ def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     p = null_repair(p, fill={c: 0 for c in feature_cols})
     return p.select("country", "stock", "ds", "qty", *feature_cols)
+
+
+@register(
+    "rolling_range_stats",
+    PANEL_CTE
+    + """
+SELECT country, stock, ds, qty,
+  COALESCE(AVG(qty) OVER r7, 0) AS range_mean_7d,
+  COALESCE(SUM(qty) OVER r7, 0) AS range_sum_7d,
+  COUNT(qty) OVER r7 AS range_count_7d,
+  COALESCE(AVG(qty) OVER r28, 0) AS range_mean_28d,
+  COALESCE(SUM(qty) OVER r28, 0) AS range_sum_28d,
+  COUNT(qty) OVER r28 AS range_count_28d
+FROM panel
+WINDOW
+  r7 AS (PARTITION BY country, stock ORDER BY (ds - DATE '1970-01-01') RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING),
+  r28 AS (PARTITION BY country, stock ORDER BY (ds - DATE '1970-01-01') RANGE BETWEEN 28 PRECEDING AND 1 PRECEDING)
+""",
+)
+def q_rolling_range_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-aware (RANGE/interval) rolling stats — the densify-free
+    twin of ``rolling_stats``: trailing 7- and 28-day frames over the
+    epoch-day ordering see exactly the previous N calendar days however
+    sparse the series is, where row frames reach further back across
+    gaps. mean/sum/count on the integer-valued qty are bit-stable
+    cross-engine; both frames share one exchange+sort."""
+    panel = daily_panel(spark, sf_dir)
+    out = panel.select(
+        "country", "stock", "ds", "qty",
+        *rolling_range_exprs(PANEL_KEYS, "ds", "qty", [7, 28]),
+    )
+    return out.fillna(
+        0,
+        subset=["range_mean_7d", "range_sum_7d", "range_mean_28d", "range_sum_28d"],
+    )
 
 
 @register(

@@ -17,6 +17,7 @@ from sales_forecast_pyspark_spark.operators.windows import (
     add_rolling,
     ma_baseline,
     rolling_exprs,
+    rolling_range_exprs,
 )
 
 
@@ -162,3 +163,20 @@ def test_pandas_zscore_matches_jvm(series):
             assert a is None and b is None, (key, a, b)  # 1-row group B
         else:
             assert math.isclose(a, b, rel_tol=1e-12), (key, a, b)
+
+
+def test_range_frame_respects_calendar_gaps(series):
+    """The RANGE (calendar) frame vs the ROW frame on the gapped series:
+    at 2024-01-06 a 3-DAY trailing frame sees only 01-03/01-05 values
+    {30, 40} (01-02 is 4 days back), while a 3-ROW frame reaches across
+    the gap to {20, 30, 40}. Frames must not leak across keys."""
+    out = series.select(
+        "k", "ds", "v",
+        *rolling_range_exprs(["k"], "ds", "v", [3], ("mean", "count")),
+        *rolling_exprs(["k"], "ds", "v", [3], ("mean",), name_fmt="row_{stat}_{w}"),
+    )
+    got = _by_key(out, ["range_mean_3d", "range_count_3d", "row_mean_3"])
+    assert got[("A", "2024-01-06")] == (35.0, 2, 30.0)  # calendar vs row
+    assert got[("A", "2024-01-05")] == (25.0, 2, 20.0)  # 01-02..01-04 window
+    assert got[("A", "2024-01-01")][1] == 0  # empty frame -> count 0
+    assert got[("B", "2024-01-01")][1] == 0  # no cross-key leakage
