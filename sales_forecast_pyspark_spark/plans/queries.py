@@ -18,6 +18,7 @@ Cross-engine determinism rules used throughout:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -48,7 +49,11 @@ from sales_forecast_pyspark_spark.plans.evaluation import (
     value_weighted_error,
 )
 from sales_forecast_pyspark_spark.plans.panel import PANEL_CTE, PANEL_KEYS, daily_panel
-from sales_forecast_pyspark_spark.sources.readers import read_table
+from sales_forecast_pyspark_spark.sources.readers import (
+    parse_invoice_date,
+    read_csv,
+    read_table,
+)
 
 
 @dataclass(frozen=True)
@@ -479,6 +484,52 @@ def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     p = null_repair(p, fill={c: 0 for c in feature_cols})
     return p.select("country", "stock", "ds", "qty", *feature_cols)
+
+
+# Committed Online-Retail-shaped CSV fixture (reference ingest format:
+# quoted commas, C-prefixed returns with negative quantities, empty
+# CustomerID fields, M/d/yy H:mm timestamps). Absolute path because the
+# oracle SQL below embeds it for DuckDB's read_csv.
+_CSV_FIXTURE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests", "fixtures", "online_retail_sample.csv",
+)
+
+
+@register(
+    "csv_ingest",
+    f"""
+SELECT InvoiceNo AS invoice_no,
+       StockCode AS stock,
+       CAST(Quantity AS INT) AS quantity,
+       CAST(strptime(InvoiceDate, '%-m/%-d/%y %-H:%M') AS DATE) AS ds,
+       UnitPrice AS unit_price,
+       CAST(CustomerID AS INT) AS customer_id,
+       Country AS country
+FROM read_csv('{_CSV_FIXTURE}', header=true, columns={{
+  'InvoiceNo': 'VARCHAR', 'StockCode': 'VARCHAR', 'Description': 'VARCHAR',
+  'Quantity': 'INTEGER', 'InvoiceDate': 'VARCHAR', 'UnitPrice': 'DOUBLE',
+  'CustomerID': 'INTEGER', 'Country': 'VARCHAR'}})
+ORDER BY invoice_no, stock
+""",
+)
+def q_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 CSV ingest parity: declared-schema CSV scan + the reference's
+    ``to_date(to_timestamp(col, "M/d/yy H:mm"))`` ingest transform
+    (Sales_forecast_pyspark.py:69-74), oracle-checked against DuckDB's
+    CSV reader + strptime on the committed fixture (quoted commas,
+    negative-quantity returns, null CustomerID). ``sf_dir`` is unused:
+    the fixture IS the source under test."""
+    df = parse_invoice_date(read_csv(spark, _CSV_FIXTURE))
+    return df.select(
+        F.col("InvoiceNo").alias("invoice_no"),
+        F.col("StockCode").alias("stock"),
+        F.col("Quantity").alias("quantity"),
+        F.col("InvoiceDate").alias("ds"),
+        F.col("UnitPrice").alias("unit_price"),
+        F.col("CustomerID").alias("customer_id"),
+        F.col("Country").alias("country"),
+    ).orderBy("invoice_no", "stock")
 
 
 @register(
