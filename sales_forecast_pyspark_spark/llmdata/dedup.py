@@ -45,7 +45,12 @@ def shingles_expr(text: str | Column, n: int = 3) -> Column:
 
 
 def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    return df.select(
+    """Zero-token documents are filtered out BEFORE the explode: they
+    cannot be meaningful near-dups, and keeping them would hand every
+    empty/whitespace-only doc the same empty-string shingle — jaccard
+    1.0 with every other empty doc, colliding in every MinHash band and
+    pairing the empty set quadratically."""
+    return df.where(F.size(tokens_expr(text_col)) > 0).select(
         F.col(id_col), F.explode(shingles_expr(text_col, n)).alias("shingle")
     )
 
@@ -133,6 +138,11 @@ def minhash_near_dedup(
     the candidate set. ~32 hashes/8 bands targets recall ~P(collide) =
     1-(1-j^4)^8, steep around j≈0.5.
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into bands "
+            f"({bands}); leftover hashes would be silently dropped"
+        )
     rows_per_band = num_hashes // bands
     sh = _exploded_shingles(df, id_col, text_col, n)
     sig = sh.groupBy(id_col).agg(

@@ -134,7 +134,30 @@ def build_eval(
 def kpi_exprs() -> list:
     """The six KPI averages (bias/MAE/MAPE for model and baseline,
     py:1347-1375) + row count, via order-independent decimal sums so the
-    aggregates are reproducible across partitionings and engines."""
+    aggregates are reproducible across partitionings and engines.
+
+    Tie-safety of stable_avg's scale-7 pre-round for THESE columns (the
+    money analysis in functions/deterministic.py covers price/qty
+    ratios; err/ape have a different denominator structure):
+
+    - err/abs_err = (window mean of integer qty) − integer qty: exact
+      rationals with denominator in {1, 2, 3, 6} (MA3/MA6 frame counts).
+      d ∈ {1, 2} values have ≤ 1 fractional digit — no digit-8 tie
+      exists; d ∈ {3, 6} values are non-terminating (17-significant-
+      digit shortest reprs) — no terminating tie digit at all.
+    - ape = err/qty: tie-at-digit-8 values require a terminating
+      expansion, i.e. a lowest-terms denominator of the form 2^a·5^b
+      (e.g. err odd/2 over qty 128 → odd/256, which DOES end in a tie
+      digit). Every such value is exactly double-representable, and on
+      exactly-representable inputs Spark's shortest-string HALF_UP round
+      and the oracle's binary half-away-from-zero round agree — the
+      cross-engine divergence needs a value whose shortest repr
+      terminates on the tie digit while its binary value differs, which
+      terminating rationals cannot produce. The residual case — a
+      non-terminating quotient whose correctly-rounded double happens to
+      shortest-print as an 8-digit tie string — is not constructible
+      from this domain's denominators and has never appeared in the
+      swept SFs (all hash-green at sf0.001/0.01/0.1)."""
     names = {
         "err": "bias", "abs_err": "mae", "ape": "mape",
         "base_err": "base_bias", "base_abs_err": "base_mae", "base_ape": "base_mape",

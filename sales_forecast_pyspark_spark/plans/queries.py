@@ -855,6 +855,7 @@ _SHINGLE_CTE = """
 WITH tok AS (
   SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
   FROM documents
+  WHERE length(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) > 0
 ),
 shl AS (
   SELECT doc_id, list_distinct(CASE WHEN length(toks) >= 3
@@ -1141,7 +1142,13 @@ def q_forecast_eval_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lr_coefficients_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8 (py:1992-2016): fit the flagship LR, rank features by
     |coefficient| and return the top 15 plus the intercept — the
-    reference's model-interpretation report."""
+    reference's model-interpretation report.
+
+    NOTE: the result is built driver-side via createDataFrame — a
+    DOCUMENTED EXCEPTION acceptable only because model coefficients are
+    O(n_features) model internals (16 rows here), the same boundary the
+    reference crosses at py:1992-2016. Do not copy this pattern for
+    data-sized outputs."""
     from sales_forecast_pyspark_spark.forecast import (
         feature_pipeline,
         lr_coefficients,

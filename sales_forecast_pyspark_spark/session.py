@@ -6,13 +6,29 @@ session creation and turns on the optimizer features a large cluster
 needs: AQE (runtime coalescing + skew-join handling), Arrow transfer for
 the pandas reporting boundary, and a UTC session timezone so date
 semantics are deterministic across environments.
+
+PUBLIC-API WARNING — process-global side effects on FOREIGN sessions:
+any query builder in this package (via the scan layer's
+``ensure_runtime_confs``) sets ``spark.sql.session.timeZone=UTC`` and
+``spark.sql.legacy.parquet.nanosAsLong=true`` on whatever session it is
+handed, and pins the JVM DEFAULT timezone to UTC — which changes
+timestamp collection behavior for ALL code sharing that JVM, with no
+restore. This is deliberate (results must be deterministic no matter
+who built the session — the driver harness does); embedders co-hosting
+other Spark workloads in one JVM can keep their JVM default timezone by
+setting ``SPARK_GRAFT_KEEP_JVM_TZ=1``, accepting that collected
+timestamps then render in the host zone. A warning is logged when the
+JVM default is changed.
 """
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import SparkSession
+
+logger = logging.getLogger(__name__)
 
 # Defaults tuned for the driver's local[32] harness; on a real cluster the
 # caller overrides master/shuffle partitions (rule of thumb: 2-3x total cores,
@@ -53,7 +69,11 @@ _RUNTIME_REQUIRED = {
 def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
     """Apply the correctness-critical runtime confs to an existing
     session. Called from the scan layer so every query builder works on
-    a vanilla externally-created SparkSession, not just ours."""
+    a vanilla externally-created SparkSession, not just ours.
+
+    GLOBAL SIDE EFFECT (see module docstring): mutates the caller's
+    session confs and — unless ``SPARK_GRAFT_KEEP_JVM_TZ=1`` — the JVM
+    default timezone, which affects every other workload in the JVM."""
     for key, value in _RUNTIME_REQUIRED.items():
         try:
             if spark.conf.get(key, None) != value:
@@ -63,10 +83,19 @@ def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
     # session.timeZone covers SQL functions and Arrow transfer, but a
     # plain collect() converts timestamps through the JVM DEFAULT
     # timezone — on a non-UTC host that silently shifts every collected
-    # timestamp. Pin the JVM default to UTC too.
+    # timestamp. Pin the JVM default to UTC too (opt out via env).
+    if os.environ.get("SPARK_GRAFT_KEEP_JVM_TZ") == "1":
+        return spark
     try:
         jtz = spark._jvm.java.util.TimeZone  # type: ignore[union-attr]
-        if jtz.getDefault().getID() != "UTC":
+        current = jtz.getDefault().getID()
+        if current != "UTC":
+            logger.warning(
+                "Pinning JVM default timezone %s -> UTC for deterministic "
+                "timestamp collection (process-global; set "
+                "SPARK_GRAFT_KEEP_JVM_TZ=1 to keep the host zone)",
+                current,
+            )
             jtz.setDefault(jtz.getTimeZone("UTC"))
     except Exception:
         pass  # Connect-mode sessions have no _jvm; conf above still applies

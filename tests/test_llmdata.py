@@ -139,3 +139,25 @@ def test_tfidf_near_pairs_deterministic_no_cartesian(docs):
     assert a.collect() == b.collect()
     plan = a._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_empty_docs_never_pair_and_bands_must_divide(docs, spark):
+    """Zero-token docs are excluded from shingling (two empty docs must
+    NOT become a jaccard-1.0 pair), and a num_hashes/bands mismatch
+    fails fast instead of silently dropping hashes."""
+    from sales_forecast_pyspark_spark.llmdata import (
+        minhash_near_dedup,
+        ngram_jaccard_pairs,
+    )
+
+    with_blank = docs.union(
+        spark.createDataFrame([(6, "   \t  ")], "doc_id long, text string")
+    )
+    exact = ngram_jaccard_pairs(with_blank, threshold=0.1)
+    touched = {i for r in exact.collect() for i in (r["doc_a"], r["doc_b"])}
+    assert 5 not in touched and 6 not in touched
+    lsh = minhash_near_dedup(with_blank, threshold=0.1)
+    touched = {i for r in lsh.collect() for i in (r["doc_a"], r["doc_b"])}
+    assert 5 not in touched and 6 not in touched
+    with pytest.raises(ValueError, match="divide evenly"):
+        minhash_near_dedup(docs, num_hashes=32, bands=5)
