@@ -28,6 +28,8 @@ from sales_forecast_pyspark_spark.llmdata.similarity import (
     lsh_similarity_join,
 )
 from sales_forecast_pyspark_spark.llmdata.vectorize import (
+    srp_signatures,
+    term_tfidf,
     tfidf_near_pairs,
     tfidf_vectors,
 )
@@ -56,6 +58,8 @@ __all__ = [
     "quality_exprs",
     "shingles_expr",
     "simhash_pairs",
+    "srp_signatures",
+    "term_tfidf",
     "text_stats",
     "tfidf_near_pairs",
     "tfidf_vectors",

@@ -1,29 +1,51 @@
 """TF-IDF text vectorization (SURVEY.md §7 step 9) and its cosine
 similarity hook.
 
-Pipeline shape, 100 TB-first:
-- tokenization is the JVM ``tokens_expr`` (codegen, no Python);
-- ``HashingTF`` is a stateless narrow map (murmur3 term hashing — no
-  vocabulary broadcast, no fit job, deterministic across runs/engines);
-- ``IDF.fit`` is the ONLY corpus pass: one treeAggregate computing
-  document frequencies; the transform is again narrow;
-- vectors stay SPARSE end-to-end — the similarity hook feeds MLlib
-  vectors straight into the BRP-LSH equality-join path
-  (``lsh_similarity_join(vector_input=True)``), never densifying
-  through a 2^b-wide array column.
+Two representations, each with the right scale shape:
 
-The hashing variant is chosen over CountVectorizer+IDF deliberately:
-CountVectorizer's fit collects a vocabulary to the driver and broadcasts
-it — fine at 1M terms, a scale hazard at web-corpus cardinality.
+- ``tfidf_vectors``: MLlib HashingTF + IDF sparse vectors for feeding
+  models (HashingTF is a stateless narrow map — murmur3 term hashing,
+  no vocabulary broadcast; ``IDF.fit`` is the ONLY corpus pass). The
+  hashing variant is chosen over CountVectorizer+IDF deliberately:
+  CountVectorizer's fit collects a vocabulary to the driver and
+  broadcasts it — fine at 1M terms, a scale hazard at web-corpus
+  cardinality.
+- ``term_tfidf``: the same weighting as a (doc, term, weight) TABLE —
+  terms stay strings (no hash collisions), weights unit-normalized per
+  doc. This long form is what similarity joins want: sparse dot
+  products become equality joins on the term, never densifying.
+
+``tfidf_near_pairs`` — the cosine hook — uses banded SIGNED RANDOM
+PROJECTIONS over the long form, all JVM-side:
+
+  sign-bit b,i of doc d = sign( Σ_t w(d,t) · (bit i of xxhash64(b, t)
+  ? +1 : −1) )
+
+Each band's ``bits`` sign bits form a bucket key; candidates are
+equality-join bucket-mates in ANY band (OR across bands, AND within a
+band — the amplification MLlib's BucketedRandomProjectionLSH lacks:
+one scalar quantized projection per table cannot separate cos 0.9 from
+cos 0.5 on template-clustered corpora, so its candidate set degenerates
+toward all-pairs there — measured 40s vs 6s on the sf0.1 documents
+table). Candidates are then verified with the EXACT cosine — an
+equality join of the two docs' term rows, order-independent decimal
+sum — so precision is exact and only recall is approximate:
+P(candidate) = 1 − (1 − p^bits)^bands with p = 1 − θ/π, steep near
+sim → 1 (~0.99+ for the 0.98-jaccard planted dups, ~50% at cos 0.9
+with the 8×16 default — widen ``bands`` for more recall, ``bits``
+for more selectivity).
+
+Determinism: bit sums and the verify cosine go through exact decimal
+arithmetic on scale-7-rounded weights (see functions/deterministic.py),
+so signatures and scores are bit-stable across partitionings.
 """
 
 from __future__ import annotations
 
-import math
-
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from sales_forecast_pyspark_spark.functions.deterministic import weighted_sum
 from sales_forecast_pyspark_spark.llmdata.text import tokens_expr
 
 
@@ -55,43 +77,143 @@ def tfidf_vectors(
     return idf_model.transform(tf).select(id_col, "n_tokens", out_col)
 
 
+def term_tfidf(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """TF-IDF as a long (doc, term, weight) table, unit-normalized per
+    doc by default so ``Σ w_a·w_b`` over shared terms IS the cosine.
+
+    Weighting matches MLlib's IDF: ``tf × ln((N + 1) / (df + 1))``.
+    Shape: one explode + two hash aggregations (term df, doc norm) — no
+    driver-side vocabulary, no dense vectors. Terms whose idf is 0
+    (present in every doc) drop out; docs left with zero norm are
+    removed (no direction)."""
+    tok = df.select(F.col(id_col).alias("doc_id"), F.explode(tokens_expr(text_col)).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(F.countDistinct(id_col)).first()[0]
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0))).alias("w"),
+    ).filter(F.col("w") > 0)
+    if not normalize:
+        return w
+    norm = Window.partitionBy("doc_id")
+    return (
+        w.withColumn("_n", F.sqrt(F.sum(F.col("w") * F.col("w")).over(norm)))
+        .filter(F.col("_n") > 0)
+        .select("doc_id", "term", (F.col("w") / F.col("_n")).alias("w"))
+    )
+
+
+def srp_signatures(
+    weights: DataFrame,
+    bands: int = 8,
+    bits: int = 16,
+) -> DataFrame:
+    """Banded signed-random-projection buckets from a (doc_id, term, w)
+    table: for band b, bit i, the projection direction for a term is
+    ±1 from bit i of ``xxhash64(b, term)`` — a deterministic random
+    hyperplane shared across docs with zero materialized matrix. Bit
+    sums are exact decimal (scale-7-rounded weights), so the sign —
+    and therefore every bucket — is partition-order-independent.
+
+    Output: (doc_id, band, bucket) — ``bands`` rows per doc, one
+    shuffle (the groupBy)."""
+    h = [F.xxhash64(F.lit(b), F.col("term")) for b in range(bands)]
+    wdec = F.round(F.col("w"), 7).cast("decimal(18,7)")
+    sums = weights.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(h[b], i).bitwiseAND(F.lit(1)) == 1, wdec
+                ).otherwise(-wdec)
+            ).alias(f"s_{b}_{i}")
+            for b in range(bands)
+            for i in range(bits)
+        ]
+    )
+    bucket = [
+        sum(
+            [
+                F.when(F.col(f"s_{b}_{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+                for i in range(bits)
+            ],
+            F.lit(0),
+        ).alias(f"bucket_{b}")
+        for b in range(bands)
+    ]
+    return sums.select("doc_id", *bucket).select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"bucket_{b}").alias("bucket")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
 def tfidf_near_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_features: int = 4096,
-    cos_threshold: float = 0.6,
-    num_hash_tables: int = 3,
-    bucket_length: float = 0.5,
-    seed: int = 42,
+    cos_threshold: float = 0.9,
+    bands: int = 8,
+    bits: int = 16,
 ) -> DataFrame:
-    """Document pairs with TF-IDF cosine similarity >= ``cos_threshold``,
-    without an all-pairs join: L2-normalize the sparse vectors, then run
-    the seeded BRP-LSH equality-join path with the Euclidean threshold
-    ``sqrt(2 * (1 - cos))`` — on unit vectors ``d² = 2(1 − cos)``, so the
-    Euclidean ball IS the cosine cap. Returns (id_a, id_b, cos_sim),
-    id_a < id_b, deterministically ordered."""
-    from pyspark.ml.feature import Normalizer
-
-    from sales_forecast_pyspark_spark.llmdata.similarity import lsh_similarity_join
-
-    vecs = tfidf_vectors(
-        df, text_col=text_col, id_col=id_col, num_features=num_features
-    ).filter(F.col("n_tokens") > 0)
-    unit = Normalizer(inputCol="tfidf", outputCol="unit", p=2.0).transform(vecs)
-    dist_threshold = math.sqrt(2.0 * (1.0 - cos_threshold))
-    pairs = lsh_similarity_join(
-        unit,
-        id_col=id_col,
-        vec_col="unit",
-        bucket_length=bucket_length,
-        num_hash_tables=num_hash_tables,
-        distance_threshold=dist_threshold,
-        seed=seed,
-        vector_input=True,
+    """Document pairs with TF-IDF cosine >= ``cos_threshold`` without an
+    all-pairs join: banded SRP buckets generate candidates (equality
+    joins only), then the exact cosine — an equality join over the two
+    docs' shared terms with an order-independent decimal dot product —
+    verifies each candidate. Precision exact; recall per the module
+    docstring curve. Returns (id_a, id_b, cos_sim), id_a < id_b."""
+    # The weights table is read THREE times (signature build + both
+    # verify sides) and the signature table twice (candidate self-join);
+    # both are persisted — they are far smaller than the corpus
+    # (|doc-term pairs| and bands×|docs| rows), and without the cache
+    # the whole tokenize→tf→idf→normalize chain re-executes per read
+    # (measured 4x end-to-end on the sf0.1 documents table).
+    weights = term_tfidf(df, text_col=text_col, id_col=id_col)
+    weights.cache()
+    weights.count()
+    sig = srp_signatures(weights, bands=bands, bits=bits)
+    sig.cache()
+    cand = (
+        sig.alias("a")
+        .join(sig.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
     )
-    return pairs.select(
-        "id_a",
-        "id_b",
-        F.round(F.lit(1.0) - (F.col("dist") * F.col("dist")) / 2.0, 6).alias("cos_sim"),
-    ).orderBy("id_a", "id_b")
+    wa = weights.select(
+        F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("w_a")
+    )
+    wb = weights.select(
+        F.col("doc_id").alias("doc_b"), "term", F.col("w").alias("w_b")
+    )
+    scored = (
+        cand.join(wa, "doc_a")
+        .join(wb, ["doc_b", "term"])
+        .groupBy("doc_a", "doc_b")
+        .agg(weighted_sum(F.col("w_a"), F.col("w_b"), out_digits=6).alias("cos_sim"))
+    )
+    return (
+        scored.filter(F.col("cos_sim") >= cos_threshold)
+        .select(
+            F.col("doc_a").alias("id_a"),
+            F.col("doc_b").alias("id_b"),
+            "cos_sim",
+        )
+        .orderBy("id_a", "id_b")
+    )

@@ -115,30 +115,54 @@ def test_tfidf_vectors_weighting_and_empty_docs(docs):
 
 
 def test_tfidf_near_pairs_finds_neardups_not_unrelated(docs):
-    """The cosine cap at 0.8 must pair the planted near-dup doc pairs
-    (0,1) and (2,3) and never the unrelated short doc 4 or empty doc 5."""
+    """Identical-token docs (0,1) must pair at cos ~1.0 (SRP buckets
+    collide with certainty when the angle is 0) and the near-dup pair
+    (2,3) must survive; the unrelated short doc 4 and empty doc 5 must
+    never appear. Exact-cosine verify means every reported pair really
+    clears the threshold."""
     from sales_forecast_pyspark_spark.llmdata import tfidf_near_pairs
 
+    # bits=8 widens per-band collision probability (p^8) so the 0.856-
+    # cosine pair (2,3) is recalled with near-certainty; the default
+    # 8x16 targets higher-similarity near-dups.
     pairs = {
         (r["id_a"], r["id_b"]): r["cos_sim"]
-        for r in tfidf_near_pairs(docs, num_features=64, cos_threshold=0.8).collect()
+        for r in tfidf_near_pairs(docs, cos_threshold=0.8, bits=8, bands=16).collect()
     }
-    assert (0, 1) in pairs and pairs[(0, 1)] == pytest.approx(1.0, abs=1e-6)
+    assert (0, 1) in pairs and pairs[(0, 1)] == pytest.approx(1.0, abs=1e-4)
     assert (2, 3) in pairs
     touched = {i for ab in pairs for i in ab}
     assert 4 not in touched and 5 not in touched
 
 
 def test_tfidf_near_pairs_deterministic_no_cartesian(docs):
-    """Seeded LSH: identical results across runs; the plan contains no
-    cartesian product (bucketed equality joins only)."""
+    """Deterministic hashes + decimal bit sums: identical results across
+    runs; the plan contains no cartesian product (bucket + term equality
+    joins only)."""
     from sales_forecast_pyspark_spark.llmdata import tfidf_near_pairs
 
-    a = tfidf_near_pairs(docs, num_features=64, cos_threshold=0.5)
-    b = tfidf_near_pairs(docs, num_features=64, cos_threshold=0.5)
+    a = tfidf_near_pairs(docs, cos_threshold=0.5)
+    b = tfidf_near_pairs(docs, cos_threshold=0.5)
     assert a.collect() == b.collect()
     plan = a._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_term_tfidf_unit_norm_and_idf_zero_drop(docs):
+    """Per-doc weight vectors are unit-normalized, and a term present in
+    every non-empty doc would carry idf 0 and drop out."""
+    from sales_forecast_pyspark_spark.llmdata import term_tfidf
+
+    w = term_tfidf(docs)
+    norms = {
+        r["doc_id"]: r["n"]
+        for r in w.groupBy("doc_id")
+        .agg(F.sum(F.col("w") * F.col("w")).alias("n"))
+        .collect()
+    }
+    for doc_id, n in norms.items():
+        assert n == pytest.approx(1.0, abs=1e-9), doc_id
+    assert 5 not in norms  # empty doc has no terms
 
 
 def test_empty_docs_never_pair_and_bands_must_divide(docs, spark):
