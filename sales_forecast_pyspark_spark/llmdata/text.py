@@ -36,7 +36,7 @@ BPE_ISH_PATTERN = r" ?[a-z]+|[0-9]| ?[^a-z0-9\s]+|\s"
 
 
 def whitespace_token_count_expr(text):
-    """Plain whitespace token count (split on \s+ runs)."""
+    r"""Plain whitespace token count (split on \s+ runs)."""
     t = _c(text)
     return F.size(F.filter(F.split(t, r"\s+"), lambda x: x != F.lit("")))
 
