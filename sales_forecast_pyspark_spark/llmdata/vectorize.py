@@ -35,9 +35,10 @@ sim → 1 (~0.99+ for the 0.98-jaccard planted dups, ~50% at cos 0.9
 with the 8×16 default — widen ``bands`` for more recall, ``bits``
 for more selectivity).
 
-Determinism: bit sums and the verify cosine go through exact decimal
-arithmetic on scale-7-rounded weights (see functions/deterministic.py),
-so signatures and scores are bit-stable across partitionings.
+Determinism: bit sums use exact scaled-long arithmetic (weights
+quantized at 1e-7) and the verify cosine exact decimal sums (see
+functions/deterministic.py), so signatures and scores are bit-stable
+across partitionings.
 """
 
 from __future__ import annotations
@@ -119,13 +120,17 @@ def srp_signatures(
     table: for band b, bit i, the projection direction for a term is
     ±1 from bit i of ``xxhash64(b, term)`` — a deterministic random
     hyperplane shared across docs with zero materialized matrix. Bit
-    sums are exact decimal (scale-7-rounded weights), so the sign —
-    and therefore every bucket — is partition-order-independent.
+    sums are exact scaled-long arithmetic (weights quantized to 1e-7):
+    integer addition is associative, so the sign — and therefore every
+    bucket — is partition-order-independent, at a fraction of the cost
+    of Spark's decimal aggregation (the 128 sums are the hot loop of
+    the signature build). Overflow headroom: unit-normalized weights
+    quantize to ≤ 1e7, so a doc needs ~9e11 terms to overflow int64.
 
     Output: (doc_id, band, bucket) — ``bands`` rows per doc, one
     shuffle (the groupBy)."""
     h = [F.xxhash64(F.lit(b), F.col("term")) for b in range(bands)]
-    wdec = F.round(F.col("w"), 7).cast("decimal(18,7)")
+    wdec = F.round(F.col("w") * 1e7).cast("long")
     sums = weights.groupBy("doc_id").agg(
         *[
             F.sum(
