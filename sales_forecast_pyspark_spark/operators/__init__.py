@@ -3,6 +3,7 @@ from sales_forecast_pyspark_spark.operators.aggregates import (
     profile_agg,
     top_k,
 )
+from sales_forecast_pyspark_spark.operators.asof import asof_join
 from sales_forecast_pyspark_spark.operators.densify import (
     densify_series,
     series_gaps,
@@ -30,6 +31,7 @@ __all__ = [
     "add_lags",
     "add_momentum",
     "add_rolling",
+    "asof_join",
     "daily_rollup",
     "dedup_exact",
     "densify_series",

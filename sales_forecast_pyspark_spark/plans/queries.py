@@ -39,6 +39,7 @@ from sales_forecast_pyspark_spark.operators.windows import (
     rolling_exprs,
     rolling_range_exprs,
 )
+from sales_forecast_pyspark_spark.operators.asof import asof_join
 from sales_forecast_pyspark_spark.operators.setops import union_by_name
 from sales_forecast_pyspark_spark.plans.evaluation import (
     EVAL_CTE,
@@ -1099,6 +1100,69 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "session_start", "last_event", "n_events")
         .orderBy("user_id", "session_start")
     )
+
+
+@register(
+    "asof_last_purchase",
+    """
+WITH u AS (
+  SELECT user_id, ts, 0 AS side, event_id AS ord,
+         event_id AS p_id, value AS p_value,
+         NULL::BIGINT AS l_event_id, NULL::VARCHAR AS l_event_type,
+         NULL::DOUBLE AS l_value
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts, 1 AS side, NULL AS ord,
+         NULL AS p_id, NULL AS p_value,
+         event_id, event_type, value
+  FROM events
+), w AS (
+  SELECT user_id, ts, side, l_event_id, l_event_type, l_value,
+         last_value(p_id IGNORE NULLS) OVER win AS purchase_id,
+         last_value(p_value IGNORE NULLS) OVER win AS purchase_value
+  FROM u
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, side, ord
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT l_event_id AS event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_utc,
+       l_event_type AS event_type, l_value AS value,
+       purchase_id, purchase_value
+FROM w WHERE side = 1 ORDER BY event_id
+""",
+)
+def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment via ``asof_join``: every event carries
+    the id and value of the same user's most recent purchase at-or-before
+    its timestamp (null before the first purchase). The oracle reproduces
+    the union-then-window semantics in SQL — DuckDB's native ASOF JOIN
+    leaves the duplicate-right-time tie unspecified, so the oracle pins
+    the same greatest-purchase-id tie-break the operator uses. Purchase
+    ids/values pass through unaggregated (bit-exact doubles)."""
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    joined = asof_join(
+        ev,
+        purchases,
+        on="user_id",
+        left_time="ts",
+        value_cols=["purchase_id", "purchase_value"],
+        right_order="purchase_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_utc"),
+        "event_type",
+        "value",
+        "purchase_id",
+        "purchase_value",
+    ).orderBy("event_id")
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,139 @@
+"""As-of join semantics: pandas merge_asof parity, inclusive ties,
+direction, tolerance, and the no-match/null-time edges."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from sales_forecast_pyspark_spark.operators.asof import asof_join
+
+
+def ts(s):
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 10:00:00"), "a"),
+            (1, ts("2024-01-01 12:00:00"), "b"),
+            (1, ts("2024-01-01 09:00:00"), "pre"),
+            (2, ts("2024-01-01 11:00:00"), "other-key"),
+            (3, ts("2024-01-01 11:00:00"), "no-right-rows"),
+        ],
+        "k long, t timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 09:30:00"), 10.0, 100),
+            (1, ts("2024-01-01 12:00:00"), 20.0, 101),  # tie with left "b"
+            (2, ts("2024-01-01 11:30:00"), 30.0, 102),  # after left row
+        ],
+        "k long, t timestamp, v double, rid long",
+    )
+    return left, right
+
+
+def collect_map(df, key_cols=("k", "tag")):
+    return {tuple(r[c] for c in key_cols): r.asDict() for r in df.collect()}
+
+
+def test_backward_matches_merge_asof(spark, frames):
+    left, right = frames
+    got = asof_join(
+        left, right, on="k", left_time="t",
+        value_cols=["v", "rid"], right_order="rid",
+    )
+    lp = left.toPandas().sort_values("t")
+    rp = right.toPandas().sort_values("t")
+    exp = pd.merge_asof(lp, rp, on="t", by="k", direction="backward")
+    exp_map = {
+        (r.k, r.tag): None if pd.isna(r.v) else r.v for r in exp.itertuples()
+    }
+    got_map = {(r["k"], r["tag"]): r["v"] for r in collect_map(got).values()}
+    assert got_map == exp_map
+    # tie at 12:00 is inclusive: left "b" sees the 12:00 right row
+    assert got_map[(1, "b")] == 20.0
+    # right row after the left time never matches backward
+    assert got_map[(2, "other-key")] is None
+    assert got_map[(3, "no-right-rows")] is None
+
+
+def test_forward_direction(spark, frames):
+    left, right = frames
+    got = collect_map(
+        asof_join(
+            left, right, on="k", left_time="t",
+            value_cols=["v"], right_order="rid", direction="forward",
+        )
+    )
+    assert got[(1, "pre")]["v"] == 10.0  # next right at 09:30
+    assert got[(1, "a")]["v"] == 20.0  # next right at 12:00
+    assert got[(1, "b")]["v"] == 20.0  # inclusive tie
+    assert got[(2, "other-key")]["v"] == 30.0
+    assert got[(3, "no-right-rows")]["v"] is None
+
+
+def test_tolerance_nulls_stale_matches(spark, frames):
+    left, right = frames
+    got = collect_map(
+        asof_join(
+            left, right, on="k", left_time="t",
+            value_cols=["v"], right_order="rid",
+            tolerance=F.expr("INTERVAL 1 HOUR"),
+            matched_time_col="matched_t",
+        )
+    )
+    # 10:00 left vs 09:30 right: 30 min, inside tolerance
+    assert got[(1, "a")]["v"] == 10.0
+    assert got[(1, "a")]["matched_t"] == ts("2024-01-01 09:30:00")
+    # tie match is 0 distance
+    assert got[(1, "b")]["v"] == 20.0
+    # 09:00 left has no prior right at all
+    assert got[(1, "pre")]["v"] is None
+    assert got[(1, "pre")]["matched_t"] is None
+
+
+def test_duplicate_right_times_pick_greatest_order(spark):
+    left = spark.createDataFrame([(1, 10)], "k long, t long")
+    right = spark.createDataFrame(
+        [(1, 10, "first", 1), (1, 10, "second", 2)],
+        "k long, t long, label string, rid long",
+    )
+    got = asof_join(
+        left, right, on="k", left_time="t",
+        value_cols=["label"], right_order="rid",
+    ).collect()
+    assert got[0]["label"] == "second"
+
+
+def test_null_left_time_never_matches(spark):
+    left = spark.createDataFrame([(1, None), (1, 5)], "k long, t long")
+    right = spark.createDataFrame([(1, 1, 7.0)], "k long, t long, v double")
+    got = {r["t"]: r["v"] for r in asof_join(
+        left, right, on="k", left_time="t", value_cols=["v"]
+    ).collect()}
+    assert got[5] == 7.0
+    assert got[None] is None
+
+
+def test_value_col_collision_raises(spark, frames):
+    left, right = frames
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on="k", left_time="t", value_cols=["tag"])
+
+
+def test_single_shuffle_plan(spark, frames):
+    left, right = frames
+    plan = asof_join(
+        left, right, on="k", left_time="t", value_cols=["v"], right_order="rid"
+    )._jdf.queryExecution().executedPlan().toString()
+    # one exchange for the key partitioning, no join node at all
+    assert plan.count("Exchange hashpartitioning") == 1
+    for bad in ("SortMergeJoin", "BroadcastNestedLoop", "Cartesian"):
+        assert bad not in plan
