@@ -1,5 +1,6 @@
 from sales_forecast_pyspark_spark.operators.aggregates import (
     daily_rollup,
+    multi_level_agg,
     profile_agg,
     top_k,
 )
@@ -20,6 +21,10 @@ from sales_forecast_pyspark_spark.operators.rowops import (
     time_split,
 )
 from sales_forecast_pyspark_spark.operators.setops import union_by_name
+from sales_forecast_pyspark_spark.operators.sketches import (
+    distinct_count,
+    quantile_exprs,
+)
 from sales_forecast_pyspark_spark.operators.windows import (
     add_lags,
     add_momentum,
@@ -36,10 +41,13 @@ __all__ = [
     "dedup_exact",
     "densify_series",
     "deterministic_sample",
+    "distinct_count",
     "join_on",
     "ma_baseline",
+    "multi_level_agg",
     "null_repair",
     "profile_agg",
+    "quantile_exprs",
     "salted_join",
     "series_gaps",
     "time_split",

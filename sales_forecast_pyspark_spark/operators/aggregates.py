@@ -64,6 +64,42 @@ def profile_agg(df: DataFrame, keys: list[str], id_col: str, date_col: str) -> D
     )
 
 
+def multi_level_agg(
+    df: DataFrame,
+    dims: list[str],
+    aggs: list[Column],
+    kind: str = "cube",
+    gid_col: str = "gid",
+) -> DataFrame:
+    """Multi-level OLAP aggregation: one pass producing every grouping
+    level of ``dims`` — ``cube`` (all 2^n subsets), ``rollup``
+    (hierarchical prefixes), or plain ``groupby``.
+
+    ``gid_col`` carries ``grouping_id()`` (bit i set ⟺ dim i is rolled
+    up, first dim = high bit — the same bitmask DuckDB's
+    ``GROUPING(d1, .., dn)`` returns), which is how consumers tell a
+    subtotal row from a detail row whose dim is genuinely NULL.
+
+    Scale shape: Spark expands grouping sets BEFORE the exchange, so the
+    map-side partial aggregation covers every level and the single
+    shuffle carries partials keyed by (dims..., gid) — one exchange
+    regardless of how many levels, rather than one job per level unioned
+    (the naive form). Row multiplication is bounded by the number of
+    grouping sets (n+1 for rollup, 2^n for cube): keep ``dims`` short at
+    scale, or pass explicit ``groupingSets`` via a pre-projected df and
+    ``kind="groupby"``."""
+    if kind == "cube":
+        grouped = df.cube(*dims)
+    elif kind == "rollup":
+        grouped = df.rollup(*dims)
+    elif kind == "groupby":
+        grouped = df.groupBy(*dims)
+    else:
+        raise ValueError(f"kind must be cube|rollup|groupby, got {kind!r}")
+    gid = F.grouping_id().cast("int").alias(gid_col) if kind != "groupby" else F.lit(0).alias(gid_col)
+    return grouped.agg(gid, *aggs)
+
+
 def top_k(df: DataFrame, order_col: str, k: int, ascending: bool = False) -> DataFrame:
     """orderBy + limit — Spark plans TakeOrderedAndProject (per-partition
     heap + single reduce), NOT a global sort, so top-k never range

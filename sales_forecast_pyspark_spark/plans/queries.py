@@ -26,7 +26,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sales_forecast_pyspark_spark.functions.deterministic import money_sum
-from sales_forecast_pyspark_spark.operators.aggregates import profile_agg, top_k
+from sales_forecast_pyspark_spark.operators.aggregates import (
+    multi_level_agg,
+    profile_agg,
+    top_k,
+)
 from sales_forecast_pyspark_spark.operators.rowops import (
     dedup_exact,
     deterministic_sample,
@@ -41,6 +45,7 @@ from sales_forecast_pyspark_spark.operators.windows import (
 )
 from sales_forecast_pyspark_spark.operators.asof import asof_join
 from sales_forecast_pyspark_spark.operators.setops import union_by_name
+from sales_forecast_pyspark_spark.operators.sketches import quantile_exprs
 from sales_forecast_pyspark_spark.plans.evaluation import (
     EVAL_CTE,
     build_eval,
@@ -153,6 +158,53 @@ def q_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("year", "month")
     )
+
+
+@register(
+    "cube_sales",
+    PANEL_CTE
+    + """
+, p AS (
+  SELECT country, CAST(year(ds) AS INT) AS year, CAST(month(ds) AS INT) AS month,
+         qty, revenue
+  FROM panel
+)
+SELECT country, year, month,
+       CAST(GROUPING(country, year, month) AS INT) AS gid,
+       ROUND(SUM(qty), 2) AS total_qty,
+       CAST(ROUND(SUM(CAST(revenue AS DECIMAL(30,6))), 2) AS DOUBLE) AS total_revenue,
+       COUNT(*) AS n_days
+FROM p GROUP BY CUBE (country, year, month)
+ORDER BY gid, country, year, month
+""",
+)
+def q_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level OLAP aggregation over the panel: one CUBE pass emits
+    all 8 grouping levels of (country, year, month) with a grouping_id
+    discriminator — Spark expands grouping sets before the exchange, so
+    every level shares ONE map-side-combined shuffle (vs. 8 unioned
+    jobs). Totals stay decimal-exact; Spark's grouping_id bitmask and
+    DuckDB's GROUPING(...) share the first-dim-is-high-bit convention."""
+    p = daily_panel(spark, sf_dir).select(
+        "country",
+        F.year("ds").cast("int").alias("year"),
+        F.month("ds").cast("int").alias("month"),
+        "qty",
+        "revenue",
+    )
+    out = multi_level_agg(
+        p,
+        ["country", "year", "month"],
+        [
+            F.round(F.sum("qty"), 2).alias("total_qty"),
+            money_sum(F.col("revenue")).alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_days"),
+        ],
+        kind="cube",
+    )
+    return out.select(
+        "country", "year", "month", "gid", "total_qty", "total_revenue", "n_days"
+    ).orderBy("gid", "country", "year", "month")
 
 
 @register(
@@ -1099,6 +1151,36 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "session_start", "last_event", "n_events")
         .orderBy("user_id", "session_start")
+    )
+
+
+@register(
+    "event_value_profile",
+    """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90,
+       COUNT(*) AS n_events
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def q_event_value_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tier of the sketch operators (operators/sketches.py): per
+    event type, distinct-user cardinality and interpolated value
+    percentiles — Spark's ``percentile`` lerp matches DuckDB's
+    ``quantile_cont`` bit-for-bit on doubles. The HLL++ /
+    Greenwald-Khanna sketch twins (the one-shuffle 100 TB path) are
+    accuracy-tested against this form in tests/test_sketches.py."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            *quantile_exprs("value", [0.5, 0.9]),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
     )
 
 

@@ -1,0 +1,67 @@
+"""multi_level_agg: grouping-level structure, grouping_id bitmask
+convention, and the one-exchange plan shape. Value correctness against
+DuckDB GROUP BY CUBE is covered by the cube_sales oracle query."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sales_forecast_pyspark_spark.operators.aggregates import multi_level_agg
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("b", 1, 5.0)],
+        "c string, m int, x double",
+    )
+
+
+def test_rollup_levels_and_gid(spark, df):
+    rows = {
+        (r["c"], r["m"], r["gid"]): r["s"]
+        for r in multi_level_agg(
+            df, ["c", "m"], [F.sum("x").alias("s")], kind="rollup"
+        ).collect()
+    }
+    # detail (gid 0), per-c subtotal (gid 1, low bit = m rolled up), grand (gid 3)
+    assert rows[("a", 1, 0)] == 10.0
+    assert rows[("a", None, 1)] == 30.0
+    assert rows[(None, None, 3)] == 35.0
+    # rollup emits NO per-m level (that's cube's gid 2)
+    assert not any(gid == 2 for (_, _, gid) in rows)
+    assert len(rows) == 3 + 2 + 1
+
+
+def test_cube_adds_per_m_level(spark, df):
+    rows = {
+        (r["c"], r["m"], r["gid"]): r["s"]
+        for r in multi_level_agg(
+            df, ["c", "m"], [F.sum("x").alias("s")], kind="cube"
+        ).collect()
+    }
+    assert rows[(None, 1, 2)] == 15.0
+    assert rows[(None, 2, 2)] == 20.0
+
+
+def test_groupby_kind_gid_zero(spark, df):
+    rows = multi_level_agg(df, ["c"], [F.sum("x").alias("s")], kind="groupby").collect()
+    assert all(r["gid"] == 0 for r in rows)
+    assert len(rows) == 2
+
+
+def test_bad_kind_raises(spark, df):
+    with pytest.raises(ValueError, match="kind"):
+        multi_level_agg(df, ["c"], [F.sum("x").alias("s")], kind="windowed")
+
+
+def test_cube_is_single_exchange(spark, df):
+    plan = (
+        multi_level_agg(df, ["c", "m"], [F.sum("x").alias("s")], kind="cube")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # grouping-set expansion happens before ONE shuffle (Expand node),
+    # not one job per level
+    assert "Expand" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
