@@ -9,6 +9,7 @@ from sales_forecast_pyspark_spark.operators.densify import (
     densify_series,
     series_gaps,
 )
+from sales_forecast_pyspark_spark.operators.interval import interval_join
 from sales_forecast_pyspark_spark.operators.joins import join_on, salted_join
 from sales_forecast_pyspark_spark.operators.pandas_ops import (
     zscore_jvm,
@@ -42,6 +43,7 @@ __all__ = [
     "densify_series",
     "deterministic_sample",
     "distinct_count",
+    "interval_join",
     "join_on",
     "ma_baseline",
     "multi_level_agg",

@@ -1,0 +1,96 @@
+"""Range (interval) join — match points to the intervals containing
+them — without the cartesian trap.
+
+A naive ``start <= t AND t <= end`` join has no equi-key, so Spark
+plans BroadcastNestedLoopJoin (fine only when one side broadcasts) or a
+cartesian product. The distributed shape here is BINNING: quantize time
+into fixed-width buckets, explode each interval to every bucket it
+covers, and equi-join on (keys..., bucket) before applying the exact
+range predicate. Work scales with points + intervals × avg-buckets-per-
+interval — choose ``bin_width`` near the typical interval length so that
+factor stays O(1) (the same tuning rule as bucketed window/range joins
+in kdb+ and Databricks' range-join hint).
+
+Long/open-ended intervals are the skew hazard: one interval spanning the
+whole timeline explodes to every bucket. With ``validate=True`` the
+operator fails loudly instead of silently shuffling the fan-out bomb.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_BIN = "__iv_bin"
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_time: str,
+    start_col: str,
+    end_col: str,
+    on: Sequence[str] = (),
+    bin_width: int = 3600,
+    max_bins: int = 10_000,
+    validate: bool = True,
+) -> DataFrame:
+    """Inner-join each point row to every interval row whose
+    ``[start_col, end_col]`` (inclusive both ends) contains its
+    ``point_time``, additionally matching the equality keys ``on``.
+
+    Time columns must share a type across sides: timestamps (binned on
+    epoch seconds; ``bin_width`` in seconds) or integers (``bin_width``
+    in value units). Non-key column names must not collide — alias the
+    interval side first. ``validate=True`` runs one bounded pre-pass
+    over ``intervals`` and raises if any interval covers more than
+    ``max_bins`` buckets (or has null bounds) — the fan-out guard; turn
+    it off once upstream guarantees bounded intervals. Points with a
+    null time never match (a left variant needs a unique point key —
+    do it at the call site with a post-join)."""
+    keys = list(on)
+    clash = (set(intervals.columns) & set(points.columns)) - set(keys)
+    if clash:
+        raise ValueError(
+            f"interval columns {sorted(clash)} collide with point columns; "
+            "alias them first"
+        )
+
+    is_ts = dict(points.dtypes).get(point_time) == "timestamp"
+    p_num = (
+        F.unix_timestamp(F.col(point_time))
+        if is_ts
+        else F.col(point_time).cast("long")
+    )
+    s_num = (
+        F.unix_timestamp(F.col(start_col)) if is_ts else F.col(start_col).cast("long")
+    )
+    e_num = (
+        F.unix_timestamp(F.col(end_col)) if is_ts else F.col(end_col).cast("long")
+    )
+    s_bin = F.floor(s_num / bin_width).cast("long")
+    e_bin = F.floor(e_num / bin_width).cast("long")
+
+    if validate:
+        n_bins = (e_bin - s_bin + 1).cast("int")
+        bad = (
+            intervals.select(n_bins.alias("n"))
+            .filter((F.col("n") > max_bins) | F.col("n").isNull())
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            raise ValueError(
+                f"an interval covers more than max_bins={max_bins} bins of "
+                f"width {bin_width} (or has null bounds); raise bin_width or "
+                "cap interval lengths upstream"
+            )
+
+    iv = intervals.withColumn(_BIN, F.explode(F.sequence(s_bin, e_bin)))
+    pt = points.withColumn(_BIN, F.floor(p_num / bin_width).cast("long"))
+    exact = (F.col(point_time) >= F.col(start_col)) & (
+        F.col(point_time) <= F.col(end_col)
+    )
+    return pt.join(iv, on=[*keys, _BIN], how="inner").filter(exact).drop(_BIN)

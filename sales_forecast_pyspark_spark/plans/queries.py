@@ -44,6 +44,7 @@ from sales_forecast_pyspark_spark.operators.windows import (
     rolling_range_exprs,
 )
 from sales_forecast_pyspark_spark.operators.asof import asof_join
+from sales_forecast_pyspark_spark.operators.interval import interval_join
 from sales_forecast_pyspark_spark.operators.setops import union_by_name
 from sales_forecast_pyspark_spark.operators.sketches import quantile_exprs
 from sales_forecast_pyspark_spark.plans.evaluation import (
@@ -1181,6 +1182,53 @@ def q_event_value_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
         .orderBy("event_type")
+    )
+
+
+@register(
+    "events_near_errors",
+    """
+SELECT e.event_id AS error_id, e.user_id,
+       COUNT(*) AS n_follow,
+       CAST(ROUND(SUM(CAST(f.value AS DECIMAL(30,6))), 2) AS DOUBLE) AS follow_value
+FROM events e JOIN events f
+  ON f.user_id = e.user_id
+ AND f.ts >= e.ts AND f.ts <= e.ts + INTERVAL '5 minutes'
+WHERE e.event_type = 'error'
+GROUP BY 1, 2 ORDER BY 1
+""",
+)
+def q_events_near_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via ``interval_join``: per error event, the count and
+    value of same-user activity in the 5 minutes at-or-after it. The
+    binned equi-join (300s buckets ≈ interval length → ≤ 2 buckets per
+    interval) replaces the BroadcastNestedLoopJoin the raw inequality
+    predicate would plan; the oracle runs the plain inequality join,
+    proving the binning loses and duplicates nothing."""
+    ev = read_table(spark, sf_dir, "events")
+    points = ev.select("event_id", "user_id", "ts", "value")
+    intervals = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("win_end"),
+    )
+    joined = interval_join(
+        points,
+        intervals,
+        point_time="ts",
+        start_col="win_start",
+        end_col="win_end",
+        on=["user_id"],
+        bin_width=300,
+    )
+    return (
+        joined.groupBy("error_id", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_follow"),
+            money_sum(F.col("value")).alias("follow_value"),
+        )
+        .orderBy("error_id")
     )
 
 

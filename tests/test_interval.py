@@ -1,0 +1,97 @@
+"""interval_join: brute-force parity, bin-boundary edges, the fan-out
+guard, and the no-BNLJ plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sales_forecast_pyspark_spark.operators.interval import interval_join
+
+
+@pytest.fixture(scope="module")
+def numeric_frames(spark):
+    # points at bin edges (bin_width=10): 0, 9, 10, 25, null
+    points = spark.createDataFrame(
+        [(1, 0), (2, 9), (3, 10), (4, 25), (5, None)],
+        "pid long, t long",
+    )
+    # intervals crossing bins, exact-edge, degenerate single-point
+    intervals = spark.createDataFrame(
+        [(100, 0, 9), (101, 9, 10), (102, 25, 25), (103, 5, 35)],
+        "iid long, lo long, hi long",
+    )
+    return points, intervals
+
+
+def test_matches_brute_force(spark, numeric_frames):
+    points, intervals = numeric_frames
+    got = {
+        (r["pid"], r["iid"])
+        for r in interval_join(
+            points, intervals, "t", "lo", "hi", bin_width=10
+        ).collect()
+    }
+    brute = {
+        (p["pid"], i["iid"])
+        for p in points.collect()
+        for i in intervals.collect()
+        if p["t"] is not None and i["lo"] <= p["t"] <= i["hi"]
+    }
+    assert got == brute
+    # spot the edges: inclusive both ends, cross-bin intervals seen
+    assert (2, 100) in got and (2, 101) in got  # t=9 hits [0,9] and [9,10]
+    assert (3, 101) in got  # t=10 upper bound inclusive
+    assert (4, 102) in got  # degenerate [25,25]
+    assert not any(pid == 5 for pid, _ in got)  # null time never matches
+
+
+def test_bin_width_invariance(spark, numeric_frames):
+    points, intervals = numeric_frames
+    results = [
+        {
+            (r["pid"], r["iid"])
+            for r in interval_join(
+                points, intervals, "t", "lo", "hi", bin_width=w
+            ).collect()
+        }
+        for w in (1, 3, 10, 1000)
+    ]
+    assert all(r == results[0] for r in results)
+
+
+def test_fanout_guard_raises(spark):
+    points = spark.createDataFrame([(1, 0)], "pid long, t long")
+    wide = spark.createDataFrame([(1, 0, 10_000_000)], "iid long, lo long, hi long")
+    with pytest.raises(ValueError, match="max_bins"):
+        interval_join(points, wide, "t", "lo", "hi", bin_width=10, max_bins=100)
+    # validate=False skips the guard (caller takes responsibility)
+    df = interval_join(
+        points, wide, "t", "lo", "hi", bin_width=10_000_000, max_bins=1,
+        validate=False,
+    )
+    assert df.count() == 1
+
+
+def test_null_interval_bounds_rejected(spark):
+    points = spark.createDataFrame([(1, 0)], "pid long, t long")
+    nullable = spark.createDataFrame([(1, None, 5)], "iid long, lo long, hi long")
+    with pytest.raises(ValueError, match="null bounds"):
+        interval_join(points, nullable, "t", "lo", "hi", bin_width=10)
+
+
+def test_column_collision_raises(spark):
+    points = spark.createDataFrame([(1, 0)], "pid long, t long")
+    intervals = spark.createDataFrame([(2, 0, 5)], "pid long, lo long, hi long")
+    with pytest.raises(ValueError, match="collide"):
+        interval_join(points, intervals, "t", "lo", "hi", bin_width=10)
+
+
+def test_plan_has_no_nested_loop(spark, numeric_frames):
+    points, intervals = numeric_frames
+    plan = (
+        interval_join(points, intervals, "t", "lo", "hi", bin_width=10, validate=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for bad in ("BroadcastNestedLoop", "CartesianProduct"):
+        assert bad not in plan
