@@ -23,6 +23,33 @@ def to_report_frame(df: DataFrame, limit: int | None = 10000):
     return df.toPandas()
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed-table sink: pre-shuffles rows into
+    ``num_buckets`` files by hash of ``bucket_cols`` (optionally sorted
+    within each bucket) so that later equi-joins and aggregations on
+    those columns read co-located data and plan with ZERO exchanges —
+    the write-once-join-often amortization that matters when a fact
+    table is joined every day at 100 TB. Both join sides must be
+    bucketed on the join key; matching bucket counts avoid the
+    one-side-reshuffle fallback. Tested shuffle-free in
+    tests/test_io.py::test_bucketed_join_is_shuffle_free.
+
+    Spark's bucketing requires ``saveAsTable`` (metastore-tracked
+    managed table under ``spark.sql.warehouse.dir``), not a bare
+    ``.parquet(path)`` write."""
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table)
+
+
 def write_parquet(
     df: DataFrame,
     path: str,

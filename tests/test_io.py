@@ -68,3 +68,35 @@ def test_stable_avg_reference_parity_mode(spark):
     assert got == 6.17  # HALF_UP of 6.165, the reference's rounding
     raw = df.agg(stable_avg(F.col("p")).alias("a")).first()["a"]
     assert abs(raw - 6.165) < 1e-12
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """S6 scale extension: two tables bucketed on the join key with the
+    same bucket count join with ZERO exchanges — the write-once
+    pre-shuffle that pays for itself when the fact table is joined
+    every day."""
+    from sales_forecast_pyspark_spark.sources.sinks import write_bucketed
+
+    facts = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    dims = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        write_bucketed(facts, "t_bucket_facts", ["k"], num_buckets=4, sort_cols=["k"])
+        write_bucketed(dims, "t_bucket_dims", ["k"], num_buckets=4, sort_cols=["k"])
+        # broadcast would trivially avoid the exchange; force the
+        # shuffle-join path to prove bucketing removes it
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("t_bucket_facts").join(spark.table("t_bucket_dims"), "k")
+        rows = joined.count()
+        assert rows == 100
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS t_bucket_facts")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_dims")
