@@ -43,8 +43,12 @@ BENCH_QUERIES = [
     "kpi_global",
     "kpi_by_country",
     "value_weighted_error",
+    "cube_sales",
     "events_window",
     "sessionization",
+    "asof_last_purchase",
+    "events_near_errors",
+    "event_value_profile",
     "near_dedup_minhash",
     "forecast_lr",
     "doc_stats",

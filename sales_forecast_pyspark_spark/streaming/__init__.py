@@ -5,6 +5,7 @@ from sales_forecast_pyspark_spark.streaming.stream_ops import (
     running_user_totals,
     sessionize_stream,
     stream_events,
+    stream_join_near_errors,
     windowed_event_totals,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "running_user_totals",
     "sessionize_stream",
     "stream_events",
+    "stream_join_near_errors",
     "windowed_event_totals",
 ]

@@ -91,6 +91,44 @@ def sessionize_stream(
     )
 
 
+def stream_join_near_errors(
+    events: DataFrame, horizon: str = "5 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream inner join: pair every error event with the same
+    user's activity inside ``horizon`` after it — the streaming twin of
+    the batch ``events_near_errors`` range join (pair-level equivalence
+    is asserted in tests).
+
+    Both sides carry a watermark and the join condition bounds the event
+    times relative to each other, which is what lets Spark expire
+    buffered rows: an error older than (max event time − watermark −
+    horizon) can never match future activity, so its state is dropped.
+    Without the time-range condition the state store would grow
+    unboundedly — the stream-stream analogue of the cartesian trap the
+    batch operator's binning avoids. Append output mode only (matches
+    are final once the watermark passes)."""
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("err_user"),
+            F.col("ts").alias("err_ts"),
+        )
+        .withWatermark("err_ts", watermark)
+    )
+    follows = events.select("event_id", "user_id", "ts", "value").withWatermark(
+        "ts", watermark
+    )
+    cond = (
+        (F.col("err_user") == F.col("user_id"))
+        & (F.col("ts") >= F.col("err_ts"))
+        & (F.col("ts") <= F.col("err_ts") + F.expr(f"INTERVAL {horizon}"))
+    )
+    return errors.join(follows, cond, "inner").select(
+        "error_id", "event_id", "user_id", "value"
+    )
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     cumulative event count + value total, maintained in GroupState

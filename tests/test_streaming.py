@@ -65,3 +65,33 @@ def test_stateful_running_totals_match_batch(spark):
         gn, gv = latest[uid]
         assert gn == n, (uid, gn, n)
         assert math.isclose(gv, v, abs_tol=0.05), (uid, gv, v)
+
+
+def test_stream_stream_join_matches_batch_interval_join(spark):
+    """Pair-level equivalence of the watermarked stream-stream join with
+    the batch binned range join feeding events_near_errors."""
+    from pyspark.sql import functions as F
+
+    from sales_forecast_pyspark_spark.operators.interval import interval_join
+    from sales_forecast_pyspark_spark.sources.readers import read_table
+    from sales_forecast_pyspark_spark.streaming import stream_join_near_errors
+
+    stream = stream_join_near_errors(stream_events(spark, SF_SMALL))
+    got = run_available_now(stream, "stream_join_test", output_mode="append")
+
+    ev = read_table(spark, SF_SMALL, "events")
+    points = ev.select("event_id", "user_id", "ts", "value")
+    intervals = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("win_end"),
+    )
+    batch = interval_join(
+        points, intervals, "ts", "win_start", "win_end",
+        on=["user_id"], bin_width=300,
+    )
+    got_pairs = _rows(got, ["error_id", "event_id"])
+    batch_pairs = _rows(batch, ["error_id", "event_id"])
+    assert got_pairs == batch_pairs
+    assert len(got_pairs) > 0
