@@ -1,6 +1,7 @@
 """Structured Streaming operators (SURVEY.md §2.10 extension)."""
 
 from sales_forecast_pyspark_spark.streaming.stream_ops import (
+    dedup_stream,
     run_available_now,
     running_user_totals,
     sessionize_stream,
@@ -10,6 +11,7 @@ from sales_forecast_pyspark_spark.streaming.stream_ops import (
 )
 
 __all__ = [
+    "dedup_stream",
     "run_available_now",
     "running_user_totals",
     "sessionize_stream",

@@ -91,6 +91,24 @@ def sessionize_stream(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup — the streaming twin of
+    ``operators/rowops.py::dedup_exact``. ``dropDuplicatesWithinWatermark``
+    keeps one row per key and, unlike plain ``dropDuplicates`` on a
+    stream, expires each key's dedup state once the watermark passes it:
+    state is bounded by keys-per-watermark-window, not stream lifetime —
+    the property that makes exact dedup viable on an unbounded stream.
+    Duplicates arriving later than the watermark are NOT caught (that
+    tail needs a periodic batch ``dedup_exact`` sweep — the classic
+    lambda split)."""
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def stream_join_near_errors(
     events: DataFrame, horizon: str = "5 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

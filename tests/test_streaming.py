@@ -95,3 +95,21 @@ def test_stream_stream_join_matches_batch_interval_join(spark):
     batch_pairs = _rows(batch, ["error_id", "event_id"])
     assert got_pairs == batch_pairs
     assert len(got_pairs) > 0
+
+
+def test_stream_dedup_matches_batch(spark):
+    """dedup_stream keeps exactly one row per key across micro-batches
+    (events are unique on event_id, so feeding the stream twice through
+    a union must still yield the batch-distinct count)."""
+    from sales_forecast_pyspark_spark.streaming import dedup_stream
+
+    base = stream_events(spark, SF_SMALL)
+    doubled = base.union(base)  # same file source twice -> every row duplicated
+    got = run_available_now(
+        dedup_stream(doubled), "stream_dedup_test", output_mode="append"
+    )
+    from sales_forecast_pyspark_spark.sources.readers import read_table
+
+    batch_n = read_table(spark, SF_SMALL, "events").select("event_id").distinct().count()
+    assert got.count() == batch_n
+    assert got.select("event_id").distinct().count() == batch_n
