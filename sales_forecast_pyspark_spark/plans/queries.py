@@ -1156,6 +1156,65 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pivot_event_counts",
+    """
+SELECT user_id,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+       COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+FROM events GROUP BY user_id ORDER BY user_id
+""",
+)
+def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide restructuring): per-user event counts, one
+    column per type. The value list is DECLARED, which is the scale
+    rule — an undeclared pivot runs an extra distinct pass AND caps out
+    at spark.sql.pivotMaxValues; a declared one is a single map-side
+    conditional aggregation, exactly the oracle's COUNT(CASE...) form."""
+    ev = read_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+        .fillna(0, subset=types)
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "events_json_extract",
+    """
+SELECT event_type,
+       SUM(CAST(props->>'$.k' AS INT)) AS sum_k,
+       COUNT(CAST(props->>'$.k' AS INT)) AS n_k,
+       CAST(SUM(CAST(props->>'$.k' AS INT)) AS DOUBLE) / COUNT(CAST(props->>'$.k' AS INT)) AS avg_k
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the events ``props`` JSON with
+    a DECLARED schema (``from_json`` — schema-on-read with column
+    pruning, vs ``get_json_object``'s per-path re-parse) and aggregate
+    the extracted field. Integer sums are exact under any partitioning;
+    the average is one exact-long division in both engines."""
+    ev = read_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT").getField("k")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count("k").alias("n_k"),
+            (F.sum("k").cast("double") / F.count("k")).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "event_value_profile",
     """
 SELECT event_type,
