@@ -1,5 +1,6 @@
 from sales_forecast_pyspark_spark.operators.aggregates import (
     daily_rollup,
+    grouped_top_k,
     multi_level_agg,
     profile_agg,
     top_k,
@@ -19,6 +20,7 @@ from sales_forecast_pyspark_spark.operators.rowops import (
     dedup_exact,
     deterministic_sample,
     null_repair,
+    stratified_sample,
     time_split,
 )
 from sales_forecast_pyspark_spark.operators.setops import union_by_name
@@ -43,6 +45,7 @@ __all__ = [
     "densify_series",
     "deterministic_sample",
     "distinct_count",
+    "grouped_top_k",
     "interval_join",
     "join_on",
     "ma_baseline",
@@ -52,6 +55,7 @@ __all__ = [
     "quantile_exprs",
     "salted_join",
     "series_gaps",
+    "stratified_sample",
     "time_split",
     "top_k",
     "union_by_name",

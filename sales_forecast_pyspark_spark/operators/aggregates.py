@@ -7,7 +7,7 @@ partials, which is what keeps these viable at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from sales_forecast_pyspark_spark.functions.deterministic import money_sum, stable_avg
@@ -106,3 +106,28 @@ def top_k(df: DataFrame, order_col: str, k: int, ascending: bool = False) -> Dat
     shuffles the full table (reference O2/O3)."""
     order = F.col(order_col).asc() if ascending else F.col(order_col).desc()
     return df.orderBy(order).limit(k)
+
+
+def grouped_top_k(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[Column],
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Top-k rows PER GROUP via ``row_number`` over a window — one
+    shuffle on the group keys, rank state O(1) per row. Pass a total
+    ``order_by`` (unique tie-break last) for deterministic results;
+    ``row_number`` over a non-total order is partition-order-dependent.
+
+    At scale this beats the self-join/argmax formulations, but the
+    window still SORTS each group; for k ≪ group size on monster
+    groups, a two-phase variant (partial per-partition top-k before the
+    shuffle, like TakeOrderedAndProject does globally) would cut the
+    shuffle volume — Spark has no built-in for that per-group, so this
+    is the portable shape."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )

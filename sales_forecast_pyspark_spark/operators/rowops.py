@@ -58,6 +58,42 @@ def deterministic_sample(
     return df.filter(F.pmod(expr, F.lit(modulus)) == keep)
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    seed: int = 42,
+    deterministic: bool = False,
+) -> DataFrame:
+    """Per-stratum sampling — the training-data rebalancing primitive
+    (downweight an over-represented language/source, upweight a rare
+    one). ``fractions`` maps stratum value → keep probability; strata
+    absent from the map are dropped (fraction 0), matching
+    ``DataFrame.sampleBy``.
+
+    Two modes:
+    - ``deterministic=False``: ``sampleBy`` — per-row Bernoulli draws,
+      seed-stable within one Spark version but NOT reproducible by an
+      external engine, and approximate counts (binomial variance).
+    - ``deterministic=True``: keyed-hash thresholding — keep a row iff
+      ``pmod(xxhash64(all columns, seed), 1e6) < frac·1e6``. Exactly
+      reproducible anywhere xxhash64 exists, stable under repartition,
+      and the sample is a deterministic FUNCTION of the row: the same
+      row always lands in (or out of) the sample across reruns —
+      what you want for reproducible training mixtures.
+
+    Both are one narrow filter pass: no shuffle, predicate-pushdown
+    friendly."""
+    if not deterministic:
+        return df.sampleBy(strata_col, fractions=fractions, seed=seed)
+    scale = 1_000_000
+    h = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed)), F.lit(scale))
+    threshold = F.create_map(
+        *[x for v, frac in fractions.items() for x in (F.lit(v), F.lit(int(frac * scale)))]
+    )[F.col(strata_col)]
+    return df.filter(h < F.coalesce(threshold, F.lit(0)))
+
+
 def time_split(
     df: DataFrame, date_col: str, cutoff: str
 ) -> tuple[DataFrame, DataFrame]:

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from sales_forecast_pyspark_spark.functions.deterministic import money_sum
 from sales_forecast_pyspark_spark.operators.aggregates import (
+    grouped_top_k,
     multi_level_agg,
     profile_agg,
     top_k,
@@ -158,6 +159,42 @@ def q_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum(F.col("revenue")).alias("total_revenue"),
         )
         .orderBy("year", "month")
+    )
+
+
+@register(
+    "top_products_per_country",
+    PANEL_CTE
+    + """
+, t AS (
+  SELECT country, stock,
+         CAST(ROUND(SUM(CAST(revenue AS DECIMAL(30,6))), 2) AS DOUBLE) AS total_revenue
+  FROM panel GROUP BY 1, 2
+)
+SELECT country, stock, total_revenue, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY country ORDER BY total_revenue DESC, stock
+  ) AS rank FROM t
+)
+WHERE rank <= 3 ORDER BY country, rank
+""",
+)
+def q_top_products_per_country(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k (O3 per group): the 3 highest-revenue products per
+    country via row_number — one shuffle on the group key, with a total
+    ordering (revenue desc, stock) so ranks are deterministic and
+    cross-engine reproducible."""
+    per = (
+        daily_panel(spark, sf_dir)
+        .groupBy("country", "stock")
+        .agg(money_sum(F.col("revenue")).alias("total_revenue"))
+    )
+    out = grouped_top_k(
+        per, ["country"], [F.col("total_revenue").desc(), F.col("stock").asc()], 3
+    )
+    return out.select("country", "stock", "total_revenue", "rank").orderBy(
+        "country", "rank"
     )
 
 

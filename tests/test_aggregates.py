@@ -7,7 +7,10 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from sales_forecast_pyspark_spark.operators.aggregates import multi_level_agg
+from sales_forecast_pyspark_spark.operators.aggregates import (
+    grouped_top_k,
+    multi_level_agg,
+)
 
 
 @pytest.fixture(scope="module")
@@ -65,3 +68,31 @@ def test_cube_is_single_exchange(spark, df):
     # not one job per level
     assert "Expand" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_grouped_top_k_ranks_and_bounds(spark):
+    df = spark.createDataFrame(
+        [("a", "x", 5.0), ("a", "y", 9.0), ("a", "z", 1.0), ("b", "x", 2.0)],
+        "g string, item string, score double",
+    )
+    from pyspark.sql import functions as F
+
+    got = {
+        (r["g"], r["rank"]): r["item"]
+        for r in grouped_top_k(
+            df, ["g"], [F.col("score").desc(), F.col("item")], 2
+        ).collect()
+    }
+    assert got == {("a", 1): "y", ("a", 2): "x", ("b", 1): "x"}
+
+
+def test_grouped_top_k_tie_break_is_total(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a", "m", 5.0), ("a", "k", 5.0)], "g string, item string, score double"
+    )
+    rows = grouped_top_k(
+        df, ["g"], [F.col("score").desc(), F.col("item")], 1
+    ).collect()
+    assert [(r["item"], r["rank"]) for r in rows] == [("k", 1)]

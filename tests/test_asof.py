@@ -137,3 +137,28 @@ def test_single_shuffle_plan(spark, frames):
     assert plan.count("Exchange hashpartitioning") == 1
     for bad in ("SortMergeJoin", "BroadcastNestedLoop", "Cartesian"):
         assert bad not in plan
+
+
+def test_stratified_sample_deterministic_mode(spark):
+    """Deterministic stratified sampling: reproducible across calls and
+    repartitioning, approximately honoring per-stratum fractions,
+    dropping unlisted strata."""
+    from sales_forecast_pyspark_spark.operators.rowops import stratified_sample
+    from sales_forecast_pyspark_spark.sources.readers import read_table
+
+    ev = read_table(spark, "/root/testdata/sf0.01", "events")
+    fracs = {"click": 0.5, "error": 0.1}
+    a = stratified_sample(ev, "event_type", fracs, deterministic=True)
+    b = stratified_sample(ev.repartition(7), "event_type", fracs, deterministic=True)
+    ids_a = sorted(r["event_id"] for r in a.collect())
+    ids_b = sorted(r["event_id"] for r in b.collect())
+    assert ids_a == ids_b  # partition-layout invariant
+    counts = {r["event_type"]: r["count"] for r in a.groupBy("event_type").count().collect()}
+    assert set(counts) <= {"click", "error"}  # unlisted strata dropped
+    totals = {r["event_type"]: r["count"] for r in ev.groupBy("event_type").count().collect()}
+    for t, frac in fracs.items():
+        got_frac = counts.get(t, 0) / totals[t]
+        assert abs(got_frac - frac) < 0.1, (t, got_frac)
+    # seeded sampleBy mode runs and respects the strata filter
+    s = stratified_sample(ev, "event_type", fracs, seed=7)
+    assert set(r["event_type"] for r in s.select("event_type").distinct().collect()) <= set(fracs)
