@@ -44,11 +44,14 @@ BENCH_QUERIES = [
     "kpi_by_country",
     "value_weighted_error",
     "cube_sales",
+    "top_products_per_country",
     "events_window",
     "sessionization",
     "asof_last_purchase",
     "events_near_errors",
     "event_value_profile",
+    "pivot_event_counts",
+    "events_json_extract",
     "near_dedup_minhash",
     "forecast_lr",
     "doc_stats",
