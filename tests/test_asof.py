@@ -162,3 +162,39 @@ def test_stratified_sample_deterministic_mode(spark):
     # seeded sampleBy mode runs and respects the strata filter
     s = stratified_sample(ev, "event_type", fracs, seed=7)
     assert set(r["event_type"] for r in s.select("event_type").distinct().collect()) <= set(fracs)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_row = st.tuples(st.integers(0, 2), st.integers(0, 50))
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(_row, min_size=1, max_size=12),
+    st.lists(_row, min_size=1, max_size=12),
+)
+def test_asof_property_matches_brute_force(spark, lefts, rights):
+    """Backward as-of on random (key, time) layouts == argmax of
+    right times <= left time, greatest right_order on ties."""
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lefts)], "k long, t long, lid long"
+    )
+    right = spark.createDataFrame(
+        [(k, t, i, float(i)) for i, (k, t) in enumerate(rights)],
+        "k long, t long, rid long, v double",
+    )
+    got = {
+        r["lid"]: r["rid"]
+        for r in asof_join(
+            left, right, on="k", left_time="t",
+            value_cols=["rid", "v"], right_order="rid",
+        ).collect()
+    }
+    for i, (k, t) in enumerate(lefts):
+        cands = [
+            (rt, ri) for ri, (rk, rt) in enumerate(rights) if rk == k and rt <= t
+        ]
+        expect = max(cands)[1] if cands else None
+        assert got[i] == expect, (i, k, t, cands)
