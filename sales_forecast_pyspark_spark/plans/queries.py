@@ -1518,6 +1518,43 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "token_frequencies",
+    r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS token
+  FROM documents
+)
+SELECT token, COUNT(*) AS n_total, COUNT(DISTINCT doc_id) AS n_docs
+FROM toks GROUP BY token
+ORDER BY n_total DESC, token
+LIMIT 20
+""",
+)
+def q_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building — the corpus-frequency pass behind tokenizer
+    training, stopword induction, and min_df/max_df cuts: explode the
+    JVM tokenizer's output, count total and document frequency per
+    token, keep the top 20 under a total (count, token) ordering so the
+    limit is deterministic. Shape: one explode + two hash aggregations
+    + TakeOrderedAndProject — no sort of the full vocabulary."""
+    from sales_forecast_pyspark_spark.llmdata.text import tokens_expr
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens_expr("text")).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_total").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
+@register(
     "series_gaps",
     PANEL_CTE
     + """

@@ -95,3 +95,36 @@ def test_plan_has_no_nested_loop(spark, numeric_frames):
     )
     for bad in ("BroadcastNestedLoop", "CartesianProduct"):
         assert bad not in plan
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(0, 60), min_size=1, max_size=10),
+    st.lists(st.tuples(st.integers(0, 60), st.integers(0, 15)), min_size=1, max_size=8),
+    st.sampled_from([1, 7, 16]),
+)
+def test_interval_property_matches_brute_force(spark, times, spans, bin_width):
+    points = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(times)], "pid long, t long"
+    )
+    intervals = spark.createDataFrame(
+        [(i, lo, lo + width) for i, (lo, width) in enumerate(spans)],
+        "iid long, lo long, hi long",
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in interval_join(
+            points, intervals, "t", "lo", "hi", bin_width=bin_width
+        ).collect()
+    }
+    brute = {
+        (pi, ii)
+        for pi, t in enumerate(times)
+        for ii, (lo, width) in enumerate(spans)
+        if lo <= t <= lo + width
+    }
+    assert got == brute
