@@ -22,7 +22,7 @@ import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sales_forecast_pyspark_spark.functions.deterministic import money_sum
@@ -195,6 +195,82 @@ def q_top_products_per_country(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select("country", "stock", "total_revenue", "rank").orderBy(
         "country", "rank"
+    )
+
+
+@register(
+    "customer_value_deciles",
+    """
+WITH cv AS (
+  SELECT o_custkey AS custkey,
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,6))), 2) AS DOUBLE) AS total_spend,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT custkey, total_spend, n_orders,
+       CAST(NTILE(10) OVER w AS INT) AS decile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume
+FROM cv
+WINDOW w AS (ORDER BY total_spend DESC, custkey)
+ORDER BY custkey
+""",
+)
+def q_customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function family (beyond the frame-based window layer):
+    customer-value deciles via ntile, percent_rank, cume_dist over ONE
+    total ordering (spend desc, custkey) — total so every rank is
+    deterministic cross-engine. The single unpartitioned window is the
+    documented scale caveat: a global ranking at 100 TB needs either a
+    pre-aggregated input this size (custkey grain, as here) or a
+    two-phase approx-quantile bucketing."""
+    orders = read_table(spark, sf_dir, "orders")
+    cv = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        money_sum(F.col("o_totalprice")).alias("total_spend"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy(F.col("total_spend").desc(), F.col("custkey"))
+    return cv.select(
+        "custkey",
+        "total_spend",
+        "n_orders",
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    ).orderBy("custkey")
+
+
+@register(
+    "inactive_customers",
+    """
+SELECT c.c_custkey AS custkey, c.c_mktsegment AS segment
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP '1998-01-01'
+)
+ORDER BY custkey
+""",
+)
+def q_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (NOT EXISTS): customers with no order since 1998 — the
+    churn/compliance-deletion shape. left_anti keeps only the probe-side
+    columns and builds a hash set of the (pre-filtered, pre-projected)
+    order keys: the filter and single-column projection reach the scan,
+    so the anti side ships keys, not rows."""
+    customer = read_table(spark, sf_dir, "customer")
+    recent = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1998-01-01"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        customer.join(recent, "c_custkey", "left_anti")
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .orderBy("custkey")
     )
 
 
