@@ -70,6 +70,7 @@ def multi_level_agg(
     aggs: list[Column],
     kind: str = "cube",
     gid_col: str = "gid",
+    sets: list[list[str]] | None = None,
 ) -> DataFrame:
     """Multi-level OLAP aggregation: one pass producing every grouping
     level of ``dims`` — ``cube`` (all 2^n subsets), ``rollup``
@@ -85,17 +86,32 @@ def multi_level_agg(
     shuffle carries partials keyed by (dims..., gid) — one exchange
     regardless of how many levels, rather than one job per level unioned
     (the naive form). Row multiplication is bounded by the number of
-    grouping sets (n+1 for rollup, 2^n for cube): keep ``dims`` short at
-    scale, or pass explicit ``groupingSets`` via a pre-projected df and
-    ``kind="groupby"``."""
+    grouping sets (n+1 for rollup, 2^n for cube, len(sets) for explicit
+    sets): keep ``dims`` short at scale, or name exactly the levels you
+    need with ``kind="sets"``.
+
+    ``kind="sets"`` computes only the listed levels: each entry of
+    ``sets`` is a subset of ``dims`` to keep un-rolled (e.g.
+    ``sets=[["country","year"], ["country"], []]`` — detail by year,
+    country subtotals, grand total), the cheap middle ground when a full
+    cube's 2^n levels are mostly unread."""
     if kind == "cube":
         grouped = df.cube(*dims)
     elif kind == "rollup":
         grouped = df.rollup(*dims)
     elif kind == "groupby":
         grouped = df.groupBy(*dims)
+    elif kind == "sets":
+        if sets is None:
+            raise ValueError('kind="sets" requires the sets parameter')
+        bad = [s for s in sets if not set(s) <= set(dims)]
+        if bad:
+            raise ValueError(f"grouping sets {bad} contain columns outside dims {dims}")
+        grouped = df.groupingSets(
+            [[F.col(c) for c in s] for s in sets], *[F.col(c) for c in dims]
+        )
     else:
-        raise ValueError(f"kind must be cube|rollup|groupby, got {kind!r}")
+        raise ValueError(f"kind must be cube|rollup|groupby|sets, got {kind!r}")
     gid = F.grouping_id().cast("int").alias(gid_col) if kind != "groupby" else F.lit(0).alias(gid_col)
     return grouped.agg(gid, *aggs)
 

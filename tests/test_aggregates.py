@@ -96,3 +96,31 @@ def test_grouped_top_k_tie_break_is_total(spark):
         df, ["g"], [F.col("score").desc(), F.col("item")], 1
     ).collect()
     assert [(r["item"], r["rank"]) for r in rows] == [("k", 1)]
+
+
+def test_explicit_grouping_sets(spark, df):
+    rows = {
+        (r["c"], r["m"], r["gid"]): r["s"]
+        for r in multi_level_agg(
+            df,
+            ["c", "m"],
+            [F.sum("x").alias("s")],
+            kind="sets",
+            sets=[["c"], []],
+        ).collect()
+    }
+    # only the two requested levels: per-c subtotals (gid 1) + grand (gid 3)
+    assert rows == {
+        ("a", None, 1): 30.0,
+        ("b", None, 1): 5.0,
+        (None, None, 3): 35.0,
+    }
+
+
+def test_grouping_sets_validation(spark, df):
+    with pytest.raises(ValueError, match="requires the sets"):
+        multi_level_agg(df, ["c"], [F.sum("x").alias("s")], kind="sets")
+    with pytest.raises(ValueError, match="outside dims"):
+        multi_level_agg(
+            df, ["c"], [F.sum("x").alias("s")], kind="sets", sets=[["m"]]
+        )
