@@ -199,6 +199,50 @@ def q_top_products_per_country(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "customer_cohorts",
+    """
+WITH y97 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997),
+     y98 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1998)
+SELECT 'churned' AS category, COUNT(*) AS n_customers
+FROM (SELECT * FROM y97 EXCEPT SELECT * FROM y98)
+UNION ALL
+SELECT 'new', COUNT(*) FROM (SELECT * FROM y98 EXCEPT SELECT * FROM y97)
+UNION ALL
+SELECT 'returning', COUNT(*) FROM (SELECT * FROM y97 INTERSECT SELECT * FROM y98)
+ORDER BY category
+""",
+)
+def q_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations beyond union (U1): year-over-year cohort counts
+    via EXCEPT (churned/new) and INTERSECT (returning) on distinct
+    customer keys. Spark plans both as left-anti / left-semi hash joins
+    over the deduplicated key sets — shuffles carry custkey grain, never
+    order rows."""
+    orders = read_table(spark, sf_dir, "orders")
+
+    def actives(year: int) -> DataFrame:
+        return (
+            orders.filter(F.year("o_orderdate") == year)
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y97, y98 = actives(1997), actives(1998)
+
+    def count_as(df: DataFrame, category: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_customers")).select(
+            F.lit(category).alias("category"), "n_customers"
+        )
+
+    return (
+        count_as(y97.subtract(y98), "churned")
+        .unionByName(count_as(y98.subtract(y97), "new"))
+        .unionByName(count_as(y97.intersect(y98), "returning"))
+        .orderBy("category")
+    )
+
+
+@register(
     "customer_value_deciles",
     """
 WITH cv AS (

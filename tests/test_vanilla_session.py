@@ -26,8 +26,9 @@ from tests.oracle_harness import compare_query
 from sales_forecast_pyspark_spark.plans.queries import QUERIES
 con = duckdb.connect(); register_duck_views(con, SF_SMALL)
 # one query per failure class: nanos scan + tz-sensitive timestamps,
-# date-cast panel rollup, and a windowed timestamp aggregate
-for name in ('daily_rollup', 'events_window', 'sessionization'):
+# date-cast panel rollup, a windowed timestamp aggregate, and the
+# as-of join's rendered-timestamp output
+for name in ('daily_rollup', 'events_window', 'sessionization', 'asof_last_purchase'):
     q = QUERIES[name]
     ok, msg = compare_query(q.builder(spark, SF_SMALL), con, q.oracle)
     assert ok, f'{name}: {msg[:200]}'
