@@ -8,6 +8,7 @@ from sales_forecast_pyspark_spark.operators.aggregates import (
 from sales_forecast_pyspark_spark.operators.asof import asof_join
 from sales_forecast_pyspark_spark.operators.densify import (
     densify_series,
+    locf_fill,
     series_gaps,
 )
 from sales_forecast_pyspark_spark.operators.interval import interval_join
@@ -48,6 +49,7 @@ __all__ = [
     "grouped_top_k",
     "interval_join",
     "join_on",
+    "locf_fill",
     "ma_baseline",
     "multi_level_agg",
     "null_repair",

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -61,3 +61,31 @@ def densify_series(
     if fill_zero:
         out = out.fillna(0, subset=list(fill_zero))
     return out
+
+
+def locf_fill(
+    df: DataFrame,
+    keys: Sequence[str],
+    cols: Sequence[str],
+    date_col: str = "ds",
+    suffix: str = "_locf",
+) -> DataFrame:
+    """Last-observation-carried-forward imputation: for each named
+    column, add ``{col}{suffix}`` holding the latest non-null value
+    at-or-before the row's date within its series — the standard fill
+    after ``densify_series`` (sensor/price panels where a gap means
+    "unchanged", not "zero"). Cumulative ``last(ignorenulls)`` window:
+    one shuffle+sort per key family, O(1) running state, leading gaps
+    stay null."""
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(date_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.select(
+        *df.columns,
+        *[
+            F.last(F.col(c), ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in cols
+        ],
+    )

@@ -1638,6 +1638,59 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "user_daily_locf",
+    """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS ds,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(30,6))), 2) AS DOUBLE) AS day_value
+  FROM events GROUP BY 1, 2
+),
+cal AS (
+  SELECT user_id, CAST(unnest(generate_series(MIN(ds), MAX(ds), INTERVAL 1 DAY)) AS DATE) AS ds
+  FROM daily GROUP BY user_id
+),
+j AS (
+  SELECT c.user_id, c.ds, d.day_value
+  FROM cal c LEFT JOIN daily d USING (user_id, ds)
+)
+SELECT user_id, ds, day_value,
+       last_value(day_value IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ds
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS locf_value
+FROM j ORDER BY user_id, ds
+""",
+)
+def q_user_daily_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densify + LOCF imputation end-to-end: per-user daily value totals,
+    calendar gaps filled by ``densify_series`` (sequence+explode, no
+    UDF), then ``locf_fill`` carries the last observed value across gap
+    days. day_value stays null on gap days (the audit trail), locf_value
+    is the imputed series. Decimal-exact day sums keep the oracle
+    bit-stable."""
+    from sales_forecast_pyspark_spark.operators.densify import (
+        densify_series,
+        locf_fill,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.col("ts").cast("date").alias("ds")).agg(
+        money_sum(F.col("value")).alias("day_value")
+    )
+    dense = densify_series(daily, ["user_id"], "ds")
+    return (
+        locf_fill(dense, ["user_id"], ["day_value"], "ds")
+        .select(
+            "user_id",
+            "ds",
+            "day_value",
+            F.col("day_value_locf").alias("locf_value"),
+        )
+        .orderBy("user_id", "ds")
+    )
+
+
+@register(
     "token_frequencies",
     r"""
 WITH toks AS (
