@@ -25,8 +25,10 @@ from pyspark.sql import functions as F
 from sales_forecast_pyspark_spark.forecast.features import build_features, with_log1p
 from sales_forecast_pyspark_spark.forecast.pipelines import (
     feature_pipeline,
+    gbt_preset,
     lr_preset,
     materialize,
+    rf_preset,
 )
 from sales_forecast_pyspark_spark.forecast.run import prepare_features, train_and_eval
 from sales_forecast_pyspark_spark.functions.deterministic import stable_avg
@@ -45,6 +47,8 @@ GOLDEN_TEST_ROWS = 348
 GOLDEN_N_FEATURES = 66  # + 5 calendar + 2 indexed categoricals = 73
 GOLDEN_VECTOR_WIDTH = 73  # the reference's flagship width (py:1006-1059)
 GOLDEN_LR = {"mae": 3.228760292223062, "rmse": 3.90395184994677, "r2": 0.9746012662467132}
+GOLDEN_RF = {"mae": 2.6618094227791147, "rmse": 3.4522067081621213, "r2": 0.9801391997000244}
+GOLDEN_GBT = {"mae": 5.586342154949266, "rmse": 7.4583183106122855, "r2": 0.907298878267083}
 GOLDEN_KPI = {"bias": -2.86, "mae": 3.23, "mape": 0.23, "base_mae": 18.28}
 
 
@@ -60,6 +64,8 @@ def parity_run(spark):
     pipe = feature_pipeline(["country", "stock"], ["year", "month", "week", "day", "dow"] + names)
     _, train_p, test_p = prepare_features(pipe, train, test)
     res = train_and_eval("lr_full", train_p, test_p, lr_preset("qty"))
+    rf_res = train_and_eval("rf_full", train_p, test_p, rf_preset("qty"))
+    gbt_res = train_and_eval("gbt_full", train_p, test_p, gbt_preset("qty"))
 
     base = ma_baseline(panel, ["country", "stock"], "ds", "qty", window=6)
     pred = res.predictions.select(
@@ -80,6 +86,8 @@ def parity_run(spark):
         "test_rows": test.count(),
         "sample_vec": test_p.select("features").first()["features"],
         "metrics": res.metrics,
+        "rf_metrics": rf_res.metrics,
+        "gbt_metrics": gbt_res.metrics,
         "kpi": kpi.asDict(),
     }
     feat.unpersist()
@@ -119,6 +127,17 @@ def test_golden_lr_metrics(parity_run):
     assert m["n"] == GOLDEN_TEST_ROWS
     for k, v in GOLDEN_LR.items():
         assert m[k] == pytest.approx(v, abs=1e-7), k
+
+
+def test_golden_tree_model_metrics(parity_run):
+    """Pinned seeded RF/GBT metrics on the same frozen frontier — guards
+    the tree presets (numTrees/depth/bins/seed, absolute-loss GBT) and
+    the StringIndexer frequency ordering their splits depend on."""
+    for golden, key in ((GOLDEN_RF, "rf_metrics"), (GOLDEN_GBT, "gbt_metrics")):
+        m = parity_run[key]
+        assert m["n"] == GOLDEN_TEST_ROWS
+        for k, v in golden.items():
+            assert m[k] == pytest.approx(v, abs=1e-7), (key, k)
 
 
 def test_golden_kpi_parity(parity_run):
