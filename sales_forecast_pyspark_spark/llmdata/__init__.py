@@ -21,6 +21,8 @@ from sales_forecast_pyspark_spark.llmdata.multimodal import (
     decode_image,
     extract_features,
     fake_decode,
+    resize_images,
+    sample_frames,
 )
 from sales_forecast_pyspark_spark.llmdata.similarity import (
     cosine_topk,
@@ -46,6 +48,8 @@ __all__ = [
     "attach_binary",
     "cosine_topk",
     "decode_dimensions",
+    "resize_images",
+    "sample_frames",
     "decode_image",
     "extract_features",
     "fake_decode",

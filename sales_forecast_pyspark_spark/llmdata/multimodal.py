@@ -120,6 +120,118 @@ def extract_features(
     return df.select(id_col, content_col).mapInPandas(_extract, schema)
 
 
+def sample_frames(
+    df: DataFrame,
+    n_frames: int = 4,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    frame_decoder=None,
+) -> DataFrame:
+    """Frame sampling — the one-row-to-k-rows multimodal shape (video →
+    evenly spaced frames): each input row yields ``n_frames`` rows of
+    (id, frame_idx, frame_bytes) through one Arrow round-trip.
+
+    ``frame_decoder(content) -> list[bytes]`` plugs in a real container
+    decoder where one exists; the default is a deterministic byte-range
+    chunker (evenly spaced, contiguous, lossless — chunks concatenate
+    back to the payload), so the Spark-side plumbing — fan-out schema,
+    Arrow batch shape, downstream per-frame processing — is real and
+    tested in any environment. Memory stays bounded by Arrow batch size
+    × n_frames, not by partition size."""
+    import pandas as pd
+
+    from pyspark.sql.types import BinaryType, LongType
+
+    schema = _out_schema(
+        df,
+        id_col,
+        [
+            StructField("frame_idx", IntegerType()),
+            StructField("frame_bytes", BinaryType()),
+            StructField("frame_len", LongType()),
+        ],
+    )
+
+    def _chunk(b) -> list[bytes]:
+        raw = bytes(b)
+        if frame_decoder is not None:
+            return list(frame_decoder(raw))
+        bounds = [len(raw) * i // n_frames for i in range(n_frames + 1)]
+        return [raw[bounds[i]:bounds[i + 1]] for i in range(n_frames)]
+
+    def _sample(batches):
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for i, b in zip(pdf[id_col], pdf[content_col]):
+                for j, fr in enumerate(_chunk(b)):
+                    ids.append(i)
+                    idxs.append(j)
+                    frames.append(fr)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_bytes": frames,
+                    "frame_len": pd.Series([len(f) for f in frames], dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(_sample, schema)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """REAL resize path: decode, resize to (width, height), re-encode
+    PNG via Pillow — (id, resized binary, n_bytes), nulls for
+    undecodable payloads. Raises NotImplementedError at plan-build time
+    without Pillow (the deterministic plumbing twin is
+    ``sample_frames``/``extract_features``)."""
+    import pandas as pd
+
+    from pyspark.sql.types import BinaryType, LongType
+
+    if not HAS_PIL:
+        raise NotImplementedError(
+            "resize_images requires Pillow; use extract_features/"
+            "sample_frames for the deterministic metadata paths"
+        )
+
+    schema = _out_schema(
+        df,
+        id_col,
+        [StructField("resized", BinaryType()), StructField("n_bytes", LongType())],
+    )
+
+    def _resize_one(b):
+        try:
+            with _PILImage.open(io.BytesIO(bytes(b))) as im:
+                out = io.BytesIO()
+                im.resize((width, height)).save(out, format="PNG")
+                return out.getvalue()
+        except Exception:
+            return None
+
+    def _resize(batches):
+        for pdf in batches:
+            resized = pdf[content_col].map(_resize_one)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "resized": resized,
+                    "n_bytes": resized.map(
+                        lambda b: len(b) if b is not None else None
+                    ).astype("Int64"),
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(_resize, schema)
+
+
 def decode_dimensions(
     df: DataFrame, id_col: str = "doc_id", content_col: str = "content"
 ) -> DataFrame:

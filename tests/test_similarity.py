@@ -157,3 +157,52 @@ def test_ivf_topk_recall_and_determinism(emb, spark):
     # every query still gets a full top-5 (probed cells are never empty
     # here: 500 vectors / 16 cells >> 5)
     assert len(a) == len(exact) == 50
+
+
+def test_sample_frames_fanout_and_losslessness(spark):
+    """Frame sampling: n_frames rows per doc through one Arrow pass,
+    deterministic chunker concatenates back to the payload."""
+    from sales_forecast_pyspark_spark.llmdata.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        [(1, b"0123456789"), (2, b"abc")], "doc_id long, content binary"
+    )
+    rows = sample_frames(df, n_frames=4).collect()
+    assert len(rows) == 8
+    by_doc = {}
+    for r in sorted(rows, key=lambda r: (r["doc_id"], r["frame_idx"])):
+        by_doc.setdefault(r["doc_id"], b"")
+        by_doc[r["doc_id"]] += bytes(r["frame_bytes"])
+        assert r["frame_len"] == len(r["frame_bytes"])
+    assert by_doc == {1: b"0123456789", 2: b"abc"}
+    # custom decoder plugs in
+    got = sample_frames(
+        df.filter("doc_id = 2"), n_frames=2,
+        frame_decoder=lambda b: [b, b[::-1]],
+    ).collect()
+    assert sorted(bytes(r["frame_bytes"]) for r in got) == [b"abc", b"cba"]
+
+
+@pytest.mark.skipif(not HAS_PIL, reason="Pillow not installed")
+def test_resize_images_real_path(spark):
+    from sales_forecast_pyspark_spark.llmdata.multimodal import (
+        decode_image,
+        resize_images,
+    )
+
+    df = spark.createDataFrame(
+        [(1, _tiny_png(4, 4)), (2, b"junk")], "doc_id long, content binary"
+    )
+    out = {r["doc_id"]: r for r in resize_images(df, 2, 3).collect()}
+    assert decode_image(bytes(out[1]["resized"]))[:2] == (2, 3)
+    assert out[2]["resized"] is None
+
+
+def test_resize_images_fails_fast_without_pil(spark):
+    if HAS_PIL:
+        pytest.skip("Pillow installed")
+    from sales_forecast_pyspark_spark.llmdata.multimodal import resize_images
+
+    df = spark.createDataFrame([(1, b"x")], "doc_id long, content binary")
+    with pytest.raises(NotImplementedError):
+        resize_images(df, 2, 2)
