@@ -1226,6 +1226,33 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(attach_binary(docs)).orderBy("doc_id")
 
 
+@register(
+    "frame_samples",
+    """
+WITH f AS (
+  SELECT doc_id, octet_length(encode(text)) AS n, unnest([0, 1, 2, 3]) AS frame_idx
+  FROM documents
+)
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(n * (frame_idx + 1) // 4 - n * frame_idx // 4 AS BIGINT) AS frame_len
+FROM f ORDER BY doc_id, frame_idx
+""",
+)
+def q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out end-to-end: every document's binary
+    payload explodes into 4 evenly spaced frames through one Arrow pass
+    (the video shape). The deterministic chunker's frame lengths are
+    closed-form (n·(i+1)//k − n·i//k), so the 1→k mapInPandas fan-out is
+    oracle-checked row-for-row against pure SQL."""
+    from sales_forecast_pyspark_spark.llmdata import attach_binary, sample_frames
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    frames = sample_frames(attach_binary(docs), n_frames=4)
+    return frames.select("doc_id", "frame_idx", "frame_len").orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Event-stream operators: tumbling windows + sessionization (events table)
 # ---------------------------------------------------------------------------
