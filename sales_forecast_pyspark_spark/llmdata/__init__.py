@@ -8,6 +8,10 @@ a blocking/bucketing stage, no driver-side collects, JVM-side
 expressions wherever the semantics allow.
 """
 
+from sales_forecast_pyspark_spark.llmdata.cluster import (
+    connected_components,
+    dedup_clusters,
+)
 from sales_forecast_pyspark_spark.llmdata.dedup import (
     fingerprint_expr,
     minhash_near_dedup,
@@ -46,7 +50,9 @@ from sales_forecast_pyspark_spark.llmdata.text import (
 __all__ = [
     "STOPWORD_PATTERN",
     "attach_binary",
+    "connected_components",
     "cosine_topk",
+    "dedup_clusters",
     "decode_dimensions",
     "resize_images",
     "sample_frames",

@@ -21,6 +21,7 @@ from sales_forecast_pyspark_spark.operators.rowops import (
     dedup_exact,
     deterministic_sample,
     null_repair,
+    latest_snapshot,
     stratified_sample,
     time_split,
 )
@@ -57,6 +58,7 @@ __all__ = [
     "quantile_exprs",
     "salted_join",
     "series_gaps",
+    "latest_snapshot",
     "stratified_sample",
     "time_split",
     "top_k",

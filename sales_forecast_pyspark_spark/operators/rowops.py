@@ -104,3 +104,24 @@ def time_split(
     train = df.filter(F.col(date_col) <= F.lit(cutoff))
     test = df.filter(F.col(date_col) > F.lit(cutoff))
     return train, test
+
+
+def latest_snapshot(
+    df: DataFrame,
+    keys: list[str],
+    version_cols: list[str],
+) -> DataFrame:
+    """Keep only the NEWEST record per key — the CDC-compaction /
+    changelog-to-snapshot pattern (a mutable table arriving as an append
+    stream of versions collapses to its current state).
+
+    ``version_cols`` must be a total order within each key (put a unique
+    id last as the tie-break); otherwise "newest" is partition-order-
+    dependent and the snapshot is nondeterministic. One shuffle on the
+    keys (row_number window), no join — the shape that survives a
+    billion-key changelog.
+    """
+    from sales_forecast_pyspark_spark.operators.aggregates import grouped_top_k
+
+    order = [F.col(c).desc() for c in version_cols]
+    return grouped_top_k(df, keys, order, 1, rank_col="__rn").drop("__rn")

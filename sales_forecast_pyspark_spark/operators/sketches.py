@@ -62,3 +62,37 @@ def quantile_exprs(
         else:
             out.append(F.percentile_approx(c, F.lit(p), F.lit(accuracy)).alias(name))
     return out
+
+
+def hll_rollup(
+    df: DataFrame,
+    fine_keys: Sequence[str],
+    coarse_keys: Sequence[str],
+    col: str,
+    lg_k: int = 12,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Two-level MERGEABLE distinct-count: build Apache DataSketches HLL
+    sketches at the fine grain, then union them upward to the coarse
+    grain and estimate there.
+
+    This is the pre-aggregation pattern that makes distinct counts
+    feasible at 100 TB: the fine-grain sketch table is tiny (one ~2^lg_k
+    byte binary per group), can be PERSISTED as an incremental rollup
+    (e.g. one sketch per (country, day) appended daily), and any coarser
+    cube — month, country, all-time — is answered by unioning sketches,
+    never rescanning the raw data. ``approx_count_distinct`` alone can't
+    do this: its sketch dies inside the single aggregation that computed
+    it. HLL union is a register-wise max — associative, commutative,
+    order-independent — so estimates are deterministic regardless of
+    merge order or partitioning.
+    """
+    out_col = out_col or f"n_{col}"
+    fine = df.groupBy(*fine_keys).agg(
+        F.hll_sketch_agg(F.col(col), F.lit(lg_k)).alias("hll")
+    )
+    return (
+        fine.groupBy(*coarse_keys)
+        .agg(F.hll_union_agg(F.col("hll")).alias("hll"))
+        .select(*coarse_keys, F.hll_sketch_estimate("hll").alias(out_col))
+    )

@@ -1107,6 +1107,45 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
 
 
+@register(
+    "dedup_clusters",
+    _SHINGLE_CTE.replace("WITH tok", "WITH RECURSIVE tok", 1)
+    + """
+, pr AS (
+  SELECT doc_a, doc_b
+  FROM sp
+  JOIN cnt na ON sp.doc_a = na.doc_id
+  JOIN cnt nb ON sp.doc_b = nb.doc_id
+  WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.5
+),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pr UNION SELECT doc_b, doc_a FROM pr),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u),
+sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id)
+SELECT comp.doc_id, comp.cluster_id, sz.cluster_size,
+       comp.doc_id = comp.cluster_id AS is_canonical
+FROM comp JOIN sz USING (cluster_id)
+ORDER BY cluster_id, doc_id
+""",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER formation: the transitive closure of the exact
+    3-gram-Jaccard pair relation, as distributed min-label-propagation
+    connected components (llmdata/cluster.py) — each doc mapped to its
+    cluster (min member id), with the canonical-survivor flag a real
+    dedup pass keeps. Oracle: DuckDB WITH RECURSIVE transitive closure
+    over the same pair set."""
+    from sales_forecast_pyspark_spark.llmdata import dedup_clusters, ngram_jaccard_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return dedup_clusters(pairs)
+
+
 @register("near_dedup_minhash")  # rows-only: xxhash64 has no DuckDB equivalent
 def q_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32)+banding(8x4) LSH near-dedup with exact-Jaccard
@@ -1428,6 +1467,38 @@ def q_event_value_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("distinct_users_hll")  # rows-only: DataSketches HLL has no DuckDB twin
+def q_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch tier of the distinct-count operator
+    (operators/sketches.py::hll_rollup): per-(event_type, day) HLL
+    sketches unioned up to event_type — the incremental-rollup shape
+    that answers any coarser distinct-count cube without rescanning raw
+    data at 100 TB. Output carries the exact count alongside the
+    estimate, so the registered rows are self-auditing; the estimate is
+    deterministic (register-wise-max union, order-independent).
+    Merge-consistency and error bounds are tested in
+    tests/test_sketches.py."""
+    from sales_forecast_pyspark_spark.operators.sketches import hll_rollup
+
+    ev = read_table(spark, sf_dir, "events")
+    fine_keyed = ev.withColumn("day", F.to_date("ts"))
+    est = hll_rollup(
+        fine_keyed, ["event_type", "day"], ["event_type"], "user_id", lg_k=12
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact")
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.col("n_user_id").cast("long").alias("n_users_hll"),
+            "n_users_exact",
+        )
+        .orderBy("event_type")
+    )
+
+
 @register(
     "events_near_errors",
     """
@@ -1536,6 +1607,34 @@ def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         "purchase_value",
     ).orderBy("event_id")
+
+
+@register(
+    "latest_events_per_user",
+    """
+SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_utc,
+       event_type, value, event_id
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+ORDER BY user_id
+""",
+)
+def q_latest_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog-to-snapshot compaction via ``latest_snapshot``: each
+    user's newest event (ts desc, event_id as the unique tie-break) —
+    the CDC pattern that turns an append-only version stream into the
+    table's current state with ONE key-shuffle and no join."""
+    from sales_forecast_pyspark_spark.operators import latest_snapshot
+
+    ev = read_table(spark, sf_dir, "events")
+    latest = latest_snapshot(ev, ["user_id"], ["ts", "event_id"])
+    return latest.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_utc"),
+        "event_type",
+        "value",
+        "event_id",
+    ).orderBy("user_id")
 
 
 # ---------------------------------------------------------------------------

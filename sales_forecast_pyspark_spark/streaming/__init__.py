@@ -1,21 +1,25 @@
 """Structured Streaming operators (SURVEY.md §2.10 extension)."""
 
 from sales_forecast_pyspark_spark.streaming.stream_ops import (
+    daily_panel_stream,
     dedup_stream,
     run_available_now,
     running_user_totals,
     sessionize_stream,
     stream_events,
     stream_join_near_errors,
+    stream_lineitem,
     windowed_event_totals,
 )
 
 __all__ = [
+    "daily_panel_stream",
     "dedup_stream",
     "run_available_now",
     "running_user_totals",
     "sessionize_stream",
     "stream_events",
     "stream_join_near_errors",
+    "stream_lineitem",
     "windowed_event_totals",
 ]

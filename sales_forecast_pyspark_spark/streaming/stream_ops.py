@@ -196,3 +196,60 @@ def run_available_now(
     )
     query.awaitTermination()
     return df.sparkSession.table(query_name)
+
+
+def stream_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the lineitem parquet. The schema is read
+    once from the existing file footer (driver-side metadata read, not a
+    data scan) — in production this is the table's registered schema.
+    New files landing in the directory become micro-batches; with
+    ``availableNow`` the current contents drain as one bounded run, the
+    standard backfill-then-tail pattern."""
+    import os
+
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "lineitem.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def daily_panel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the flagship daily panel (plans/panel.py):
+    stream-STATIC joins against the supplier/nation dimension tables
+    (dims are batch DataFrames — Spark re-plans them per micro-batch, so
+    slowly-changing dims pick up updates between batches), then the
+    SAME ``daily_rollup`` aggregate the batch query uses — one code path
+    for both semantics, which is what makes the equivalence testable.
+
+    No watermark: the panel is keyed by ship-date, not arrival time, and
+    the rollup must absorb arbitrarily late rows — complete/update mode
+    with unbounded-but-small state (one row per (country, stock, day)
+    triple, the PANEL grain, not the event grain)."""
+    from sales_forecast_pyspark_spark.operators.aggregates import daily_rollup
+    from sales_forecast_pyspark_spark.sources.readers import read_table
+
+    li = stream_lineitem(spark, sf_dir)
+    sup = read_table(spark, sf_dir, "supplier")
+    nat = read_table(spark, sf_dir, "nation")
+    enriched = (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .select(
+            F.col("n_name").alias("country"),
+            F.col("l_partkey").alias("stock"),
+            F.col("l_shipdate").cast("date").alias("ds"),
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        )
+    )
+    return daily_rollup(
+        enriched,
+        keys=["country", "stock", "ds"],
+        qty_col="l_quantity",
+        revenue_expr=F.col("l_extendedprice") * (1 - F.col("l_discount")),
+        price_expr=F.col("l_extendedprice") / F.nullif(F.col("l_quantity"), F.lit(0)),
+    )

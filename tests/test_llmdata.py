@@ -185,3 +185,43 @@ def test_empty_docs_never_pair_and_bands_must_divide(docs, spark):
     assert 5 not in touched and 6 not in touched
     with pytest.raises(ValueError, match="divide evenly"):
         minhash_near_dedup(docs, num_hashes=32, bands=5)
+
+
+def test_connected_components_chain_and_isolates(spark):
+    """Transitivity: a 4-node chain (diameter 3, no direct 0-3 pair)
+    must collapse to one component labelled by its min id; disjoint
+    pairs stay separate; nodes absent from the pair list are absent
+    from the output."""
+    from sales_forecast_pyspark_spark.llmdata import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13), (20, 21), (31, 30)],
+        "doc_a long, doc_b long",
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20, 30: 30, 31: 30}
+
+    clusters = dedup_clusters(pairs).collect()
+    by_doc = {r["doc_id"]: r for r in clusters}
+    assert by_doc[13]["cluster_id"] == 10 and by_doc[13]["cluster_size"] == 4
+    assert by_doc[10]["is_canonical"] and not by_doc[11]["is_canonical"]
+    survivors = sorted(r["doc_id"] for r in clusters if r["is_canonical"])
+    assert survivors == [10, 20, 30]
+
+
+def test_connected_components_converges_on_long_chain(spark):
+    """A 24-node chain — well past the planted corpus's diameter-1
+    clusters — must land on one label in O(log n) rounds (path halving),
+    NOT the O(diameter) a plain propagation would need."""
+    from sales_forecast_pyspark_spark.llmdata import connected_components
+
+    n = 24
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+    )
+    out = connected_components(pairs, max_iter=10).collect()
+    assert {r["component"] for r in out} == {0}
+    assert len(out) == n + 1

@@ -4,6 +4,8 @@ sketch plans must be single-shuffle (no Expand)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from sales_forecast_pyspark_spark.operators.sketches import (
     distinct_count,
     quantile_exprs,
@@ -59,3 +61,31 @@ def test_sketch_plans_are_single_shuffle(spark):
     # (group, value); the HLL sketch is a plain one-shuffle aggregate
     assert exact_plan.count("Exchange hashpartitioning") == 2
     assert hll_plan.count("Exchange hashpartitioning") == 1
+
+
+def test_hll_rollup_merges_consistently_and_bounds_error(spark):
+    """The mergeable-sketch contract: (a) estimating at the coarse grain
+    via unioned fine-grain sketches gives EXACTLY the same answer as
+    sketching the coarse grain directly (register-wise max is
+    merge-order independent), and (b) the estimate lands within HLL's
+    published error envelope of the exact count (rsd ≈ 1.04/sqrt(2^12)
+    ≈ 1.6%; assert 5% for slack)."""
+    from sales_forecast_pyspark_spark.operators.sketches import hll_rollup
+
+    ev = read_table(spark, SF_ORACLE, "events").withColumn("day", F.to_date("ts"))
+
+    merged = hll_rollup(ev, ["event_type", "day"], ["event_type"], "user_id")
+    direct = hll_rollup(ev, ["event_type"], ["event_type"], "user_id")
+    m = {r["event_type"]: r["n_user_id"] for r in merged.collect()}
+    d = {r["event_type"]: r["n_user_id"] for r in direct.collect()}
+    assert m == d
+
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(m) == set(exact)
+    for et, est in m.items():
+        assert abs(est - exact[et]) / exact[et] < 0.05, (et, est, exact[et])

@@ -113,3 +113,21 @@ def test_stream_dedup_matches_batch(spark):
     batch_n = read_table(spark, SF_SMALL, "events").select("event_id").distinct().count()
     assert got.count() == batch_n
     assert got.select("event_id").distinct().count() == batch_n
+
+
+def test_streaming_daily_panel_matches_batch(spark):
+    """The flagship rollup's streaming twin: stream-static dimension
+    joins + the SAME daily_rollup aggregate must, once the lineitem
+    stream drains (availableNow, complete mode), equal the batch panel
+    bit-for-bit — including the exact-decimal money columns, which are
+    partitioning-independent by construction."""
+    from sales_forecast_pyspark_spark.plans.panel import daily_panel
+    from sales_forecast_pyspark_spark.streaming import daily_panel_stream
+
+    got = run_available_now(
+        daily_panel_stream(spark, SF_SMALL), "stream_panel_test"
+    )
+    batch = daily_panel(spark, SF_SMALL)
+    cols = ["country", "stock", "ds", "qty", "revenue", "avg_price"]
+    assert _rows(got, cols) == _rows(batch, cols)
+    assert got.count() > 0
