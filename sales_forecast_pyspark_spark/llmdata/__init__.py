@@ -30,6 +30,7 @@ from sales_forecast_pyspark_spark.llmdata.multimodal import (
 )
 from sales_forecast_pyspark_spark.llmdata.similarity import (
     cosine_topk,
+    group_centroids,
     ivf_topk,
     lsh_similarity_join,
 )
@@ -62,6 +63,7 @@ __all__ = [
     "ivf_topk",
     "lsh_similarity_join",
     "fingerprint_expr",
+    "group_centroids",
     "lang_id_expr",
     "minhash_near_dedup",
     "ngram_jaccard_pairs",

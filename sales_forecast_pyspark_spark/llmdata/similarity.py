@@ -189,3 +189,53 @@ def lsh_similarity_join(
         .filter(F.col("id_a") < F.col("id_b"))
         .orderBy("id_a", "id_b")
     )
+
+
+def group_centroids(
+    df: DataFrame,
+    keys: list[str],
+    vec_col: str = "embedding",
+    scale: int = 6,
+) -> DataFrame:
+    """Mean-pooled embedding per group — the centroid table that powers
+    class prototypes, cluster summaries, and IVF-style coarse quantizers.
+
+    Shape: ``posexplode`` to (key, dim, value) rows, ONE hash aggregate
+    on (key, dim), then ``array_agg`` back to a vector ordered by dim.
+    The explode multiplies rows by the dimension count, but the exchange
+    still carries one (group × dim) partial per map task — at 100 TB
+    this is strictly cheaper than any collect-and-average, and the
+    per-dim rows are what make an exact, order-independent mean
+    possible: each value is rounded at ``scale`` then summed in DECIMAL
+    (values land on the scale-6 grid exactly, so the sum is exact and
+    partitioning-independent — see functions/deterministic.py), divided
+    by the count as one IEEE division.
+
+    Output: keys + ``centroid array<double>`` + ``n_vectors``.
+    """
+    from sales_forecast_pyspark_spark.functions.deterministic import dec_sum
+
+    ex = df.select(
+        *keys, F.posexplode(vec_col).alias("dim", "val")
+    )
+    per_dim = ex.groupBy(*keys, "dim").agg(
+        (
+            dec_sum(F.round(F.col("val").cast("double"), scale), scale=scale)
+            / F.count("val")
+        ).alias("centroid_val"),
+        F.count("val").alias("n_vectors"),
+    )
+    return (
+        per_dim.groupBy(*keys)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "centroid_val"))
+            ).alias("pairs"),
+            F.max("n_vectors").alias("n_vectors"),
+        )
+        .select(
+            *keys,
+            F.transform(F.col("pairs"), lambda p: p["centroid_val"]).alias("centroid"),
+            "n_vectors",
+        )
+    )

@@ -1,0 +1,119 @@
+"""Data-quality constraint checking: the expectations a pipeline
+asserts before trusting a table — null ratios, key uniqueness,
+referential integrity — computed as aggregates, not row-at-a-time
+validators.
+
+Scale design: every check is expressed so ONE scan answers many
+constraints at once:
+- null/blank ratios for any number of columns fold into a single
+  aggregate pass (conditional-count expressions, map-side combined);
+- duplicate-key counting is one hash aggregate on the key;
+- FK-orphan counting is a left anti join — at 100 TB the dim side is
+  either broadcast (small dims) or a shuffled join AQE plans; never a
+  collected-to-driver membership set.
+
+The reference's notebook does ad-hoc versions of these checks inline
+(null scans and dropDuplicates, Sales_forecast_pyspark.py:101-145);
+this operator makes them declarative and reusable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def null_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """One row per column: total rows, nulls, and null ratio — all
+    columns computed in a SINGLE aggregate scan, then unpivoted to the
+    long report shape (the stack is over the 1-row aggregate, so the
+    unpivot is free)."""
+    cols = cols or df.columns
+    agg = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.count(F.when(F.col(c).isNull(), 1)).alias(c) for c in cols],
+    )
+    stacked = agg.unpivot(["__n"], cols, "column", "n_null")
+    return stacked.select(
+        "column",
+        F.col("__n").alias("n_rows"),
+        "n_null",
+        (F.col("n_null") / F.col("__n")).alias("null_ratio"),
+    )
+
+
+def duplicate_keys(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Keys appearing more than once, with their multiplicity — one
+    hash aggregate on the key columns."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def fk_orphans(
+    fact: DataFrame, fact_key: str, dim: DataFrame, dim_key: str
+) -> DataFrame:
+    """Fact rows whose foreign key has no match in the dimension —
+    a left ANTI join (null FKs are not orphans; they are surfaced by
+    ``null_profile`` instead)."""
+    return fact.where(F.col(fact_key).isNotNull()).join(
+        dim.select(F.col(dim_key).alias(fact_key)).distinct(),
+        fact_key,
+        "left_anti",
+    )
+
+
+def quality_report(
+    df: DataFrame,
+    not_null: list[str],
+    unique_key: list[str] | None = None,
+    fk: tuple[str, DataFrame, str] | None = None,
+) -> DataFrame:
+    """Constraint summary: one row per declared expectation with the
+    count of checked rows and violations. Composed of the primitives
+    above; each primitive keeps its one-scan / one-aggregate shape and
+    the summaries are unioned (tiny, driver-free)."""
+    reports = []
+
+    nulls = null_profile(df, not_null).select(
+        F.concat(F.lit("not_null:"), F.col("column")).alias("check"),
+        F.col("n_rows").alias("n_checked"),
+        F.col("n_null").alias("n_violations"),
+    )
+    reports.append(nulls)
+
+    if unique_key is not None:
+        dups = duplicate_keys(df, unique_key).agg(
+            F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).alias("extra")
+        )
+        key_name = ",".join(unique_key)
+        reports.append(
+            df.agg(F.count(F.lit(1)).alias("n")).crossJoin(dups).select(
+                F.lit(f"unique:{key_name}").alias("check"),
+                F.col("n").cast("long").alias("n_checked"),
+                F.col("extra").cast("long").alias("n_violations"),
+            )
+        )
+
+    if fk is not None:
+        fact_key, dim, dim_key = fk
+        orphans = fk_orphans(df, fact_key, dim, dim_key).agg(
+            F.count(F.lit(1)).alias("n_orphan")
+        )
+        checked = df.agg(
+            F.count(F.col(fact_key)).alias("n_nonnull")
+        )
+        reports.append(
+            checked.crossJoin(orphans).select(
+                F.lit(f"fk:{fact_key}->{dim_key}").alias("check"),
+                F.col("n_nonnull").cast("long").alias("n_checked"),
+                F.col("n_orphan").cast("long").alias("n_violations"),
+            )
+        )
+
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("check")

@@ -1207,6 +1207,38 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+@register(
+    "embedding_centroids",
+    """
+SELECT label, CAST(pos - 1 AS INT) AS dim,
+       CAST(SUM(CAST(ROUND(CAST(val AS DOUBLE), 6) AS DECIMAL(30,6))) AS DOUBLE)
+         / COUNT(*) AS centroid_val,
+       COUNT(*) AS n_vectors
+FROM (
+  SELECT label, unnest(embedding) AS val, generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+)
+GROUP BY label, dim
+ORDER BY label, dim
+""",
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-pooled embedding per label via ``group_centroids`` — class
+    prototypes / coarse-quantizer cells as one posexplode + hash
+    aggregate. The centroid array is flattened back to (label, dim)
+    rows for the oracle; sums are exact scale-6 decimals so the mean is
+    partitioning-independent (see functions/deterministic.py)."""
+    from sales_forecast_pyspark_spark.llmdata import group_centroids
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = group_centroids(emb, ["label"])
+    return cents.select(
+        "label",
+        F.posexplode("centroid").alias("dim", "centroid_val"),
+        "n_vectors",
+    ).orderBy("label", "dim")
+
+
 @register("ann_lsh_pairs")  # rows-only: MLlib LSH hyperplanes are not SQL-expressible
 def q_ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ANN scale path: BucketedRandomProjectionLSH approximate
@@ -1607,6 +1639,63 @@ def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         "purchase_value",
     ).orderBy("event_id")
+
+
+@register(
+    "data_quality_report",
+    """
+WITH nn AS (
+  SELECT 'not_null:' || c AS "check", n_rows AS n_checked, n_null AS n_violations
+  FROM (
+    SELECT unnest(['l_orderkey','l_partkey','l_suppkey','l_quantity','l_shipdate']) AS c,
+           unnest([n_ok, n_pk, n_sk, n_q, n_sd]) AS n_null, n_rows
+    FROM (
+      SELECT COUNT(*) AS n_rows,
+             COUNT(*) - COUNT(l_orderkey) AS n_ok,
+             COUNT(*) - COUNT(l_partkey) AS n_pk,
+             COUNT(*) - COUNT(l_suppkey) AS n_sk,
+             COUNT(*) - COUNT(l_quantity) AS n_q,
+             COUNT(*) - COUNT(l_shipdate) AS n_sd
+      FROM lineitem
+    )
+  )
+),
+uq AS (
+  SELECT 'unique:l_orderkey,l_linenumber' AS "check",
+         (SELECT COUNT(*) FROM lineitem) AS n_checked,
+         (SELECT COUNT(*) FROM lineitem)
+           - (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)) AS n_violations
+),
+fk AS (
+  SELECT 'fk:l_orderkey->o_orderkey' AS "check",
+         (SELECT COUNT(l_orderkey) FROM lineitem) AS n_checked,
+         (SELECT COUNT(*) FROM lineitem l
+          LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+            ON l.l_orderkey = o.o_orderkey
+          WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL) AS n_violations
+)
+SELECT "check", n_checked, n_violations FROM nn
+UNION ALL SELECT * FROM uq
+UNION ALL SELECT * FROM fk
+ORDER BY "check"
+""",
+)
+def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations over the fact table
+    (operators/quality.py): null checks folded into ONE aggregate scan,
+    key-uniqueness as one hash aggregate, referential integrity
+    (lineitem.l_orderkey → orders.o_orderkey) as a left anti join —
+    the pre-flight audit a pipeline runs before trusting an ingest."""
+    from sales_forecast_pyspark_spark.operators.quality import quality_report
+
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    return quality_report(
+        li,
+        not_null=["l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+        unique_key=["l_orderkey", "l_linenumber"],
+        fk=("l_orderkey", orders, "o_orderkey"),
+    )
 
 
 @register(

@@ -124,3 +124,33 @@ def test_grouping_sets_validation(spark, df):
         multi_level_agg(
             df, ["c"], [F.sum("x").alias("s")], kind="sets", sets=[["m"]]
         )
+
+
+def test_quality_report_detects_violations(spark):
+    """The constraint checks must actually fire: a synthetic fact table
+    with one null key, one duplicated (k1,k2) pair, and one FK orphan
+    yields exactly those violation counts (clean testdata proves the
+    zero side in the registered oracle query)."""
+    from sales_forecast_pyspark_spark.operators.quality import quality_report
+
+    fact = spark.createDataFrame(
+        [
+            (1, 1, 10.0),
+            (1, 1, 11.0),  # duplicate (k, line)
+            (2, 1, None),  # null measure
+            (None, 2, 3.0),  # null key (not an FK orphan)
+            (99, 1, 4.0),  # FK orphan
+        ],
+        "k long, line long, v double",
+    )
+    dim = spark.createDataFrame([(1,), (2,)], "pk long")
+    rep = {
+        r["check"]: (r["n_checked"], r["n_violations"])
+        for r in quality_report(
+            fact, not_null=["k", "v"], unique_key=["k", "line"], fk=("k", dim, "pk")
+        ).collect()
+    }
+    assert rep["not_null:k"] == (5, 1)
+    assert rep["not_null:v"] == (5, 1)
+    assert rep["unique:k,line"] == (5, 1)
+    assert rep["fk:k->pk"] == (4, 1)
