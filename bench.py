@@ -52,6 +52,10 @@ BENCH_QUERIES = [
     "event_value_profile",
     "pivot_event_counts",
     "events_json_extract",
+    "latest_events_per_user",
+    "distinct_users_hll",
+    "data_quality_report",
+    "embedding_centroids",
     "near_dedup_minhash",
     "forecast_lr",
     "doc_stats",

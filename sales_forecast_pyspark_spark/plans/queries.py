@@ -1159,6 +1159,22 @@ def q_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dedup(docs, "doc_id", "text", threshold=0.5)
 
 
+@register("near_dedup_survivors")  # rows-only: composes the xxhash64 MinHash path
+def q_near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end scale-path dedup pipeline: MinHash+LSH candidate
+    pairs (verified at jaccard >= 0.5) → connected components → one
+    canonical survivor per cluster. This is the composition a 100 TB
+    dedup pass actually runs — signatures and banding instead of the
+    exact shingle self-join, then the same cluster/survivor selection
+    as the oracle-checked ``dedup_clusters``. Equality of the two
+    paths' clusters is asserted in tests/test_llmdata.py."""
+    from sales_forecast_pyspark_spark.llmdata import dedup_clusters, minhash_near_dedup
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dedup(docs, "doc_id", "text", threshold=0.5)
+    return dedup_clusters(pairs)
+
+
 @register("simhash_pairs")  # rows-only: xxhash64 has no DuckDB equivalent
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 64-bit signatures, 16-bit-chunk candidate

@@ -225,3 +225,67 @@ def test_connected_components_converges_on_long_chain(spark):
     out = connected_components(pairs, max_iter=10).collect()
     assert {r["component"] for r in out} == {0}
     assert len(out) == n + 1
+
+
+def test_minhash_and_exact_paths_agree_on_clusters(spark):
+    """The scale-path pipeline (MinHash candidates → components →
+    survivors) must produce the SAME clusters as the exact-Jaccard
+    path on the planted corpus — the pair sets already match (recall
+    test above), so the cluster/survivor selection must too."""
+    from sales_forecast_pyspark_spark.llmdata import (
+        dedup_clusters,
+        minhash_near_dedup,
+        ngram_jaccard_pairs,
+    )
+    from sales_forecast_pyspark_spark.sources.readers import read_table
+
+    docs = read_table(spark, SF_ORACLE, "documents")
+    exact = dedup_clusters(
+        ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    ).collect()
+    scale = dedup_clusters(
+        minhash_near_dedup(docs, "doc_id", "text", threshold=0.5)
+    ).collect()
+    as_set = lambda rows: {
+        (r["doc_id"], r["cluster_id"], r["cluster_size"], r["is_canonical"])
+        for r in rows
+    }
+    assert as_set(exact) == as_set(scale)
+    assert len(exact) > 0
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_edge = st.tuples(st.integers(0, 14), st.integers(0, 14))
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_edge, min_size=1, max_size=20))
+def test_connected_components_property_matches_union_find(spark, edges):
+    """Random small graphs (self-loops and duplicate edges included)
+    against a driver-side union-find: identical component labelling."""
+    from sales_forecast_pyspark_spark.llmdata import connected_components
+
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {n for e in edges for n in e}
+    # canonical label = min node in component
+    comps: dict[int, list[int]] = {}
+    for n in nodes:
+        comps.setdefault(find(n), []).append(n)
+    expect = {n: min(members) for members in comps.values() for n in members}
+    assert got == expect
