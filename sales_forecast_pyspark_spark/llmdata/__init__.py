@@ -42,6 +42,9 @@ from sales_forecast_pyspark_spark.llmdata.vectorize import (
 )
 from sales_forecast_pyspark_spark.llmdata.text import (
     STOPWORD_PATTERN,
+    chunk_documents,
+    pii_counts_exprs,
+    scrub_pii_expr,
     lang_id_expr,
     quality_exprs,
     text_stats,
@@ -51,6 +54,7 @@ from sales_forecast_pyspark_spark.llmdata.text import (
 __all__ = [
     "STOPWORD_PATTERN",
     "attach_binary",
+    "chunk_documents",
     "connected_components",
     "cosine_topk",
     "dedup_clusters",
@@ -67,7 +71,9 @@ __all__ = [
     "lang_id_expr",
     "minhash_near_dedup",
     "ngram_jaccard_pairs",
+    "pii_counts_exprs",
     "quality_exprs",
+    "scrub_pii_expr",
     "shingles_expr",
     "simhash_pairs",
     "srp_signatures",

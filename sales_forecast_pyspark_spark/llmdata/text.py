@@ -133,3 +133,86 @@ def token_count_pandas(df: DataFrame, text_col: str = "text", out_col: str = "n_
         return s.fillna("").map(lambda x: sum(1 for t in pat.split(x.lower()) if t))
 
     return df.withColumn(out_col, _count(F.col(text_col)))
+
+
+# PII patterns — same syntax works in Java regex (Spark) and RE2
+# (DuckDB), which is what makes the scrub oracle-checkable. Kept
+# deliberately simple/auditable; swap in stricter patterns per policy.
+PII_PATTERNS = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "phone": (r"\+?[0-9][0-9()\- ]{6,}[0-9]", "<PHONE>"),
+    "ipv4": (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+}
+
+
+def scrub_pii_expr(text: str | Column) -> Column:
+    """Redact emails, phone-like number runs, and IPv4 addresses with
+    typed placeholder tokens — one chained JVM ``regexp_replace`` pass
+    per pattern, no Python in the hot path. Order matters: emails are
+    scrubbed before phones so the digits in a local-part are not
+    half-eaten by the phone pattern."""
+    out = _c(text)
+    for pat, token in (PII_PATTERNS[k] for k in ("email", "phone", "ipv4")):
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_counts_exprs(text: str | Column) -> dict[str, Column]:
+    """Per-kind PII hit counts (audit/reporting tier of the scrubber)."""
+    t = _c(text)
+    return {
+        f"n_{kind}": F.regexp_count(t, F.lit(pat))
+        for kind, (pat, _) in PII_PATTERNS.items()
+    }
+
+
+def chunk_exprs(
+    text: str | Column, chunk_tokens: int = 100, overlap: int = 20
+) -> Column:
+    """Sliding-window document chunks as an array of structs
+    ``(chunk_id, chunk_text, n_chunk_tokens)`` — the splitting step that
+    turns long documents into training/embedding-sized pieces.
+
+    Windows start every ``chunk_tokens - overlap`` tokens, so adjacent
+    chunks share ``overlap`` tokens of context; the final chunk may be
+    shorter (no padding, no dropped tail). Zero-token docs yield an
+    empty array (explode drops them). All JVM-side higher-order
+    functions over one tokenization — chunking 100 TB of text is a
+    map-only stage with NO shuffle.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = tokens_expr(text)
+    n = F.size(toks)
+    starts = F.when(n <= 0, F.array()).otherwise(
+        F.sequence(F.lit(0), n - 1, F.lit(step))
+    )
+    return F.transform(
+        starts,
+        lambda start, i: F.struct(
+            i.alias("chunk_id"),
+            F.array_join(F.slice(toks, start + 1, chunk_tokens), " ").alias(
+                "chunk_text"
+            ),
+            F.least(F.lit(chunk_tokens), n - start).alias("n_chunk_tokens"),
+        ),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 100,
+    overlap: int = 20,
+) -> DataFrame:
+    """Explode each document into its sliding-window chunks:
+    ``(id, chunk_id, n_chunk_tokens, chunk_text)`` rows."""
+    ch = F.explode(chunk_exprs(text_col, chunk_tokens, overlap)).alias("c")
+    return df.select(F.col(id_col), ch).select(
+        id_col,
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.n_chunk_tokens").alias("n_chunk_tokens"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    )

@@ -1062,6 +1062,74 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fingerprint_expr("text").alias("fp")).orderBy("doc_id")
 
 
+@register(
+    "doc_chunks",
+    """
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+),
+st AS (
+  SELECT doc_id, toks, unnest(range(0, length(toks), 80)) AS start
+  FROM tok WHERE length(toks) > 0
+)
+SELECT doc_id,
+       CAST(start // 80 AS INT) AS chunk_id,
+       CAST(LEAST(100, length(toks) - start) AS INT) AS n_chunk_tokens,
+       array_to_string(list_slice(toks, start + 1, start + 100), ' ') AS chunk_text
+FROM st
+ORDER BY doc_id, chunk_id
+""",
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (100-token windows, 20-token
+    overlap) — the split step that feeds embedding/training pipelines.
+    All JVM higher-order functions over one tokenization; chunking is a
+    map-only stage with no shuffle (llmdata/text.py::chunk_documents)."""
+    from sales_forecast_pyspark_spark.llmdata import chunk_documents
+
+    docs = read_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", chunk_tokens=100, overlap=20).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+@register(
+    "pii_scrub",
+    r"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g'),
+         '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(text, '\+?[0-9][0-9()\- ]{6,}[0-9]')) AS INT) AS n_phone,
+       CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ipv4
+FROM documents ORDER BY doc_id
+""",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction + audit counts (llmdata/text.py::scrub_pii_expr):
+    emails, phone-like digit runs, and IPv4 addresses replaced with
+    typed placeholders, counted per kind — chained JVM regex passes,
+    identical pattern semantics in DuckDB's RE2 (which is what makes
+    the scrub oracle-checkable). Detection on planted PII is proven in
+    tests/test_llmdata.py; the corpus itself may contain only
+    incidental matches."""
+    from sales_forecast_pyspark_spark.llmdata.text import (
+        pii_counts_exprs,
+        scrub_pii_expr,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    counts = pii_counts_exprs("text")
+    return docs.select(
+        "doc_id",
+        scrub_pii_expr("text").alias("clean_text"),
+        *[c.alias(n) for n, c in counts.items()],
+    ).orderBy("doc_id")
+
+
 _SHINGLE_CTE = """
 WITH tok AS (
   SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks

@@ -289,3 +289,59 @@ def test_connected_components_property_matches_union_find(spark, edges):
         comps.setdefault(find(n), []).append(n)
     expect = {n: min(members) for members in comps.values() for n in members}
     assert got == expect
+
+
+def test_chunking_overlap_and_tail_semantics(spark):
+    """Chunk windows: starts every (chunk-overlap) tokens, adjacent
+    chunks share exactly `overlap` tokens, the tail chunk is short but
+    never empty, and zero-token docs vanish."""
+    from sales_forecast_pyspark_spark.llmdata import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(11))
+    df = spark.createDataFrame(
+        [(1, text), (2, "only three tokens"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(df, chunk_tokens=5, overlap=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    # 11 tokens, window 5, step 3 -> starts 0,3,6,9
+    assert [r["n_chunk_tokens"] for r in c1] == [5, 5, 5, 2]
+    assert c1[0]["chunk_text"].split()[3:] == c1[1]["chunk_text"].split()[:2]
+    assert c1[3]["chunk_text"] == "w9 w10"
+    assert [r["chunk_text"] for r in by_doc[2]] == ["only three tokens"]
+    assert 3 not in by_doc
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=5, overlap=5).collect()
+
+
+def test_pii_scrub_detects_and_redacts(spark):
+    """Planted PII of all three kinds is counted and replaced; emails
+    are scrubbed before phones so local-part digits aren't half-eaten."""
+    from sales_forecast_pyspark_spark.llmdata import pii_counts_exprs, scrub_pii_expr
+
+    df = spark.createDataFrame(
+        [
+            (1, "reach me at jane.doe+spam@example.co.uk or +44 (0)20 7946 0958."),
+            (2, "server 192.168.0.1 answered; backup at 10.0.0.254"),
+            (3, "no pii here, just words"),
+        ],
+        "doc_id long, text string",
+    )
+    counts = pii_counts_exprs("text")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            scrub_pii_expr("text").alias("clean"),
+            *[c.alias(n) for n, c in counts.items()],
+        ).collect()
+    }
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] >= 1
+    assert "<EMAIL>" in out[1]["clean"] and "<PHONE>" in out[1]["clean"]
+    assert "example.co.uk" not in out[1]["clean"]
+    assert out[2]["n_ipv4"] == 2 and out[2]["clean"].count("<IP>") == 2
+    assert out[3]["clean"] == "no pii here, just words"
+    assert out[3]["n_email"] == out[3]["n_phone"] == out[3]["n_ipv4"] == 0
