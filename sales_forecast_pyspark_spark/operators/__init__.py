@@ -13,6 +13,7 @@ from sales_forecast_pyspark_spark.operators.densify import (
 )
 from sales_forecast_pyspark_spark.operators.interval import interval_join
 from sales_forecast_pyspark_spark.operators.joins import join_on, salted_join
+from sales_forecast_pyspark_spark.operators.layout import zorder_layout, zvalue
 from sales_forecast_pyspark_spark.operators.pandas_ops import (
     zscore_jvm,
     zscore_pandas,
@@ -63,6 +64,8 @@ __all__ = [
     "time_split",
     "top_k",
     "union_by_name",
+    "zorder_layout",
     "zscore_jvm",
     "zscore_pandas",
+    "zvalue",
 ]
