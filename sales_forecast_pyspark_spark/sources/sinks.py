@@ -67,3 +67,49 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    num_files: int = 32,
+    mode: str = "overwrite",
+    bits: int = 16,
+) -> None:
+    """Z-order-clustered parquet sink: rows are Morton-clustered on
+    ``zorder_cols`` (operators/layout.py) before writing, so every
+    output file carries a tight min/max bounding box on ALL of those
+    columns and scans filtered on any of them prune files/row-groups —
+    the OPTIMIZE ZORDER pattern for multi-column data skipping."""
+    from sales_forecast_pyspark_spark.operators.layout import zorder_layout
+
+    zorder_layout(df, zorder_cols, num_files, bits).write.mode(mode).parquet(path)
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_file_mb: int = 128,
+    mode: str = "overwrite",
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ~``target_file_mb`` files, sized from the SOURCE's on-disk bytes
+    (driver-side listing of file metadata, no data read). Streaming
+    ingests and fine-grained partition writes accumulate kilobyte
+    files whose per-file open/footer cost dominates scans at scale;
+    periodic compaction is the standard fix. Returns the file count
+    written. Compaction uses ``coalesce`` (no shuffle — merges input
+    splits); combine with ``write_zordered`` when clustering should be
+    (re)established instead."""
+    from py4j.java_gateway import java_import
+
+    jvm = spark.sparkContext._jvm
+    java_import(jvm, "org.apache.hadoop.fs.Path")
+    hpath = jvm.Path(src_path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    size = fs.getContentSummary(hpath).getLength()
+    n_files = max(1, -(-size // (target_file_mb * 1024 * 1024)))
+    spark.read.parquet(src_path).coalesce(n_files).write.mode(mode).parquet(dst_path)
+    return n_files

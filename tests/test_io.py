@@ -9,6 +9,7 @@ import datetime
 import os
 
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from sales_forecast_pyspark_spark.functions.deterministic import stable_avg
 from sales_forecast_pyspark_spark.sources.readers import (
@@ -100,3 +101,60 @@ def test_bucketed_join_is_shuffle_free(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS t_bucket_facts")
         spark.sql("DROP TABLE IF EXISTS t_bucket_dims")
+
+
+def test_read_json_declared_schema(spark, tmp_path):
+    import json as _json
+
+    p = tmp_path / "rows.jsonl"
+    p.write_text("\n".join(_json.dumps({"a": i, "b": f"x{i}"}) for i in range(5)))
+    from sales_forecast_pyspark_spark.sources.readers import read_json
+
+    schema = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("b", T.StringType())]
+    )
+    out = read_json(spark, str(p), schema)
+    assert out.schema == schema
+    assert sorted(r["a"] for r in out.collect()) == [0, 1, 2, 3, 4]
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    """50 tiny files compact to the size-derived count (1 at this data
+    volume) with no row loss."""
+    from sales_forecast_pyspark_spark.sources.sinks import compact_parquet
+
+    src, dst = str(tmp_path / "small"), str(tmp_path / "compact")
+    spark.range(10000).repartition(50).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 50
+    n = compact_parquet(spark, src, dst, target_file_mb=128)
+    assert n == 1
+    assert len(glob.glob(f"{dst}/part-*.parquet")) == 1
+    assert spark.read.parquet(dst).count() == 10000
+
+
+def test_write_zordered_files_have_tight_bboxes(spark, tmp_path):
+    """Each z-ordered output file spans a bounded box on BOTH columns
+    (checked via per-file min/max through input_file_name), which is
+    exactly the property file-skipping prunes on."""
+    from sales_forecast_pyspark_spark.sources.sinks import write_zordered
+
+    n, files = 64, 16
+    rows = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    path = str(tmp_path / "z")
+    write_zordered(df, path, ["x", "y"], num_files=files, bits=6)
+    spans = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(
+            (F.max("x") - F.min("x")).alias("dx"),
+            (F.max("y") - F.min("y")).alias("dy"),
+        )
+        .collect()
+    )
+    assert len(spans) >= files // 2
+    worst = max(max(r["dx"], r["dy"]) for r in spans)
+    assert worst <= (n // 4) - 1
+    assert spark.read.parquet(path).count() == n * n
