@@ -15,6 +15,8 @@ from sales_forecast_pyspark_spark.operators.interval import interval_join
 from sales_forecast_pyspark_spark.operators.joins import join_on, salted_join
 from sales_forecast_pyspark_spark.operators.layout import zorder_layout, zvalue
 from sales_forecast_pyspark_spark.operators.pandas_ops import (
+    weighted_mean_jvm,
+    weighted_mean_pandas,
     zscore_jvm,
     zscore_pandas,
 )
@@ -63,6 +65,8 @@ __all__ = [
     "stratified_sample",
     "time_split",
     "top_k",
+    "weighted_mean_jvm",
+    "weighted_mean_pandas",
     "union_by_name",
     "zorder_layout",
     "zscore_jvm",

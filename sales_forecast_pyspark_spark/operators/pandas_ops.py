@@ -51,3 +51,48 @@ def zscore_pandas(
         return pdf
 
     return df.groupBy(*keys).applyInPandas(_norm, out_schema)
+
+
+def weighted_mean_jvm(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    weight_col: str,
+    out_col: str = "wmean",
+) -> DataFrame:
+    """JVM twin of the grouped-agg UDAF below: sum(w*v)/sum(w) as plain
+    aggregate expressions — one exchange, codegen arithmetic."""
+    return df.groupBy(*keys).agg(
+        (
+            F.sum(F.col(value_col) * F.col(weight_col))
+            / F.nullif(F.sum(weight_col), F.lit(0.0))
+        ).alias(out_col)
+    )
+
+
+def weighted_mean_pandas(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    weight_col: str,
+    out_col: str = "wmean",
+) -> DataFrame:
+    """Grouped-AGGREGATE pandas UDF (the UDAF tier of the Arrow
+    surface): unlike ``applyInPandas`` (full group in, full group out),
+    a ``pandas_udf`` aggregate receives the group's COLUMNS and returns
+    one scalar — Spark still plans it as a real aggregate with partial
+    Arrow batches, so it composes with groupBy like any builtin. Same
+    rule as the rest of this module: this trivially-JVM-expressible
+    weighted mean is the TEMPLATE (and parity proof) for aggregates
+    that genuinely need numpy/scipy."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _wmean(v: pd.Series, w: pd.Series) -> float:
+        denom = w.sum()
+        return float((v * w).sum() / denom) if denom else None
+
+    return df.groupBy(*keys).agg(
+        _wmean(F.col(value_col), F.col(weight_col)).alias(out_col)
+    )

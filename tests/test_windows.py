@@ -180,3 +180,32 @@ def test_range_frame_respects_calendar_gaps(series):
     assert got[("A", "2024-01-05")] == (25.0, 2, 20.0)  # 01-02..01-04 window
     assert got[("A", "2024-01-01")][1] == 0  # empty frame -> count 0
     assert got[("B", "2024-01-01")][1] == 0  # no cross-key leakage
+
+
+def test_weighted_mean_udaf_parity(spark):
+    """Grouped-agg pandas UDAF == JVM aggregate twin to 1e-12 — the
+    UDAF tier of the Arrow surface holds the same parity bar as the
+    grouped-map tier."""
+    from sales_forecast_pyspark_spark.operators.pandas_ops import (
+        weighted_mean_jvm,
+        weighted_mean_pandas,
+    )
+    from sales_forecast_pyspark_spark.sources.readers import read_table
+    from tests.conftest import SF_ORACLE
+
+    ev = read_table(spark, SF_ORACLE, "events")
+    jvm = {
+        r["event_type"]: r["wmean"]
+        for r in weighted_mean_jvm(
+            ev, ["event_type"], "value", "user_id"
+        ).collect()
+    }
+    pd_ = {
+        r["event_type"]: r["wmean"]
+        for r in weighted_mean_pandas(
+            ev, ["event_type"], "value", "user_id"
+        ).collect()
+    }
+    assert set(jvm) == set(pd_)
+    for k in jvm:
+        assert abs(jvm[k] - pd_[k]) < 1e-9 * max(1.0, abs(jvm[k])), k
