@@ -106,3 +106,67 @@ def build_features(
 
     out = out.fillna(0, subset=names)
     return out, names
+
+
+def cap_categories(
+    train: DataFrame,
+    test: DataFrame,
+    col: str,
+    top_k: int,
+    other: str | int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Bound a categorical column's cardinality before tree models:
+    keep the ``top_k`` most frequent TRAIN values, fold the tail into
+    ``other`` (same mapping applied to both splits — the keep-set must
+    not see test data).
+
+    Why this exists: DecisionTree/RF/GBT require
+    ``maxBins >= |categories|``, and the training-side cost of raising
+    maxBins is NOT a validation detail — each task's partial-aggregate
+    buffer holds numBins × 3 doubles per feature per tree node in the
+    group, so maxBins that tracks a high-cardinality column (20k stocks
+    at sf0.1, millions of SKUs at 100 TB) multiplies tree-stat memory by
+    1000× and OOMs long before the model learns anything from
+    single-digit-support categories. The scalable shape is the one
+    production feature pipelines use: cap the cardinality at the bin
+    budget — frequent categories keep their identity (and carry nearly
+    all the split signal), the long tail shares one bucket.
+
+    Deterministic: ties in the frequency cut are broken by category
+    value. Plan shape: one hash-agg over train + a broadcast-hash join
+    of the ≤ top_k keep-set against each split — no extra shuffle at
+    any scale.
+
+    ``other`` defaults by column type: ``"__other__"`` for strings,
+    ``-1`` for numeric keys (surrogate keys are non-negative; pass an
+    explicit sentinel if yours are not). The sentinel is cast to the
+    column's type, so the schema is unchanged.
+    """
+    if other is None:
+        other = (
+            "__other__"
+            if train.schema[col].dataType.typeName() == "string"
+            else -1
+        )
+    dtype = train.schema[col].dataType
+    keep = (
+        train.groupBy(col)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .orderBy(F.col("_cnt").desc(), F.col(col))
+        .limit(top_k)
+        .select(col, F.lit(True).alias("_keep"))
+    )
+
+    def _apply(df: DataFrame) -> DataFrame:
+        return (
+            df.join(F.broadcast(keep), on=col, how="left")
+            .withColumn(
+                col,
+                F.when(F.col("_keep"), F.col(col)).otherwise(
+                    F.lit(other).cast(dtype)
+                ),
+            )
+            .drop("_keep")
+        )
+
+    return _apply(train), _apply(test)

@@ -107,6 +107,7 @@ def connected_components(
             break
         prev_sum = new_sum
     else:
+        edges.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds; "
             "the pair graph has a longer diameter than dedup clusters "

@@ -2057,11 +2057,24 @@ def _forecast_tree(spark: SparkSession, sf_dir: str, preset_name: str) -> DataFr
         train_and_eval,
     )
 
+    from sales_forecast_pyspark_spark.forecast.features import cap_categories
+
     train, test, numeric = _forecast_features(spark, sf_dir)
+    # Trees require maxBins >= the largest indexed-categorical
+    # cardinality — but maxBins also multiplies every task's tree-stat
+    # aggregation buffer (numBins × 3 doubles per feature per node), so
+    # tracking a high-cardinality column (20k stocks at sf0.1, millions
+    # of SKUs at 100 TB) OOMs rather than scales. Instead the stock
+    # column is frequency-capped below the bin budget: top 4094 train
+    # stocks keep their identity, the tail folds into one bucket, and
+    # maxBins stays 4096 (top_k + __other__ + StringIndexer's
+    # handleInvalid=keep unseen bucket) at ANY data scale. A no-op at
+    # sf0.01 (~2k stocks, everything kept — matches the reference-like
+    # setting, ref production value 10000, py:428); at sf0.1 it folds
+    # only single-digit-support tail stocks.
+    train, test = cap_categories(train, test, "stock", top_k=4094)
     pipe = feature_pipeline(["country", "stock"], numeric)
     _, train_p, test_p = prepare_features(pipe, train, test)
-    # max_bins 4096 >= the testdata's stock cardinality (~2000 at
-    # sf0.01); the reference's production value is 10000 (py:428).
     preset = (
         rf_preset("qty", max_bins=4096)
         if preset_name == "rf"

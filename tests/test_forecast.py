@@ -176,3 +176,38 @@ def test_forecast_lr_query_stable_across_runs(spark):
     mb = b.agg(F.avg(F.abs(F.col("pred_qty") - F.col("qty")))).first()[0]
     assert math.isfinite(ma)
     assert math.isclose(ma, mb, rel_tol=1e-6)
+
+
+def test_cap_categories_folds_tail_with_train_mapping(spark):
+    """cap_categories: keep-set from TRAIN frequency only (ties broken
+    by value), tail folds to __other__ in both splits — the bounded-
+    maxBins prerequisite for tree models on high-cardinality columns."""
+    from sales_forecast_pyspark_spark.forecast.features import cap_categories
+
+    train = spark.createDataFrame(
+        [("A",)] * 3 + [("B",)] * 2 + [("C",)] * 2 + [("D",)],
+        "stock string",
+    )
+    test = spark.createDataFrame([("A",), ("C",), ("ZZZ",)], "stock string")
+    train_c, test_c = cap_categories(train, test, "stock", top_k=2)
+    # top 2 by (count desc, value): A(3), B(2) — C loses the tie to B.
+    assert sorted(r["stock"] for r in train_c.collect()) == [
+        "A", "A", "A", "B", "B", "__other__", "__other__", "__other__",
+    ]
+    # test uses the TRAIN keep-set: C and unseen ZZZ both fold.
+    assert sorted(r["stock"] for r in test_c.collect()) == [
+        "A", "__other__", "__other__",
+    ]
+
+
+def test_cap_categories_numeric_key_keeps_schema(spark):
+    """Numeric surrogate keys fold to -1 (cast to the column type), so
+    the schema is unchanged and downstream indexers see one column."""
+    from sales_forecast_pyspark_spark.forecast.features import cap_categories
+
+    train = spark.createDataFrame([(7,)] * 2 + [(9,)], "stock bigint")
+    test = spark.createDataFrame([(7,), (1234,)], "stock bigint")
+    train_c, test_c = cap_categories(train, test, "stock", top_k=1)
+    assert dict(train_c.dtypes)["stock"] == "bigint"
+    assert sorted(r["stock"] for r in train_c.collect()) == [-1, 7, 7]
+    assert sorted(r["stock"] for r in test_c.collect()) == [-1, 7]
