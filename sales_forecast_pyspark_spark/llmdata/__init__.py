@@ -40,6 +40,10 @@ from sales_forecast_pyspark_spark.llmdata.vectorize import (
     tfidf_near_pairs,
     tfidf_vectors,
 )
+from sales_forecast_pyspark_spark.llmdata.pack import (
+    pack_sequences,
+    pack_stats,
+)
 from sales_forecast_pyspark_spark.llmdata.text import (
     STOPWORD_PATTERN,
     chunk_documents,
@@ -71,6 +75,8 @@ __all__ = [
     "lang_id_expr",
     "minhash_near_dedup",
     "ngram_jaccard_pairs",
+    "pack_sequences",
+    "pack_stats",
     "pii_counts_exprs",
     "quality_exprs",
     "scrub_pii_expr",

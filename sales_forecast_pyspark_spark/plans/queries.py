@@ -1130,6 +1130,30 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register("sequence_packs")  # rows-only: per-shard bin packing is not SQL-expressible
+def q_sequence_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing end-to-end (llmdata/pack.py): chunk documents
+    to bounded 100-token windows, pack the chunks into 256-token
+    training sequences with per-shard best-fit-decreasing, and report
+    per-pack fill. The chunk → pack composition is the LLM-trainer
+    feed path: chunking bounds every item below the budget, packing
+    minimizes padding. Deterministic: hashed sharding + total-ordered
+    BFD gives stable pack ids across runs and partitionings."""
+    from sales_forecast_pyspark_spark.llmdata import chunk_documents
+    from sales_forecast_pyspark_spark.llmdata.pack import pack_sequences, pack_stats
+
+    docs = read_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, "doc_id", "text", chunk_tokens=100, overlap=0)
+    items = chunks.select(
+        (F.col("doc_id") * 10_000 + F.col("chunk_id")).alias("item_id"),
+        F.col("n_chunk_tokens").alias("n_tokens"),
+    )
+    packed = pack_sequences(
+        items, budget=256, id_col="item_id", num_shards=8
+    )
+    return pack_stats(packed, budget=256).orderBy("pack_id")
+
+
 _SHINGLE_CTE = """
 WITH tok AS (
   SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks

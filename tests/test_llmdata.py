@@ -377,3 +377,47 @@ def test_prefix_filter_path_is_lossless(spark):
     assert key(ngram_jaccard_pairs(crafted, threshold=0.4, prefix_filter=True)) == key(
         ngram_jaccard_pairs(crafted, threshold=0.4, prefix_filter=False)
     )
+
+
+def test_pack_sequences_invariants_and_determinism(spark):
+    """Sequence packing: every item packed exactly once, no pack over
+    budget, assignment identical across repartitionings (hashed shard +
+    total-ordered best-fit-decreasing)."""
+    from sales_forecast_pyspark_spark.llmdata.pack import pack_sequences, pack_stats
+
+    rows = [(i, 10 + (i * 37) % 200) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    packed = pack_sequences(df, budget=256, num_shards=4).collect()
+    assert sorted(r["doc_id"] for r in packed) == list(range(400))
+    stats = pack_stats(
+        pack_sequences(df, budget=256, num_shards=4), budget=256
+    ).collect()
+    assert all(r["tokens"] <= 256 for r in stats)
+    # decent fill: BFD on this mix must beat one-doc-per-pack by far
+    total = sum(t for _, t in rows)
+    assert len(stats) <= total // 256 * 2
+    again = pack_sequences(df.repartition(13), budget=256, num_shards=4).collect()
+    assert {(r["doc_id"], r["pack_id"]) for r in again} == {
+        (r["doc_id"], r["pack_id"]) for r in packed
+    }
+
+
+def test_pack_sequences_oversize_modes(spark):
+    """Oversize items: raise by default, isolate on request (one pack
+    each, normal items still packed together)."""
+    from sales_forecast_pyspark_spark.llmdata.pack import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 500), (2, 50), (3, 60)], "doc_id long, n_tokens long"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="exceeds pack budget"):
+        pack_sequences(df, budget=256, num_shards=1).collect()
+    out = {
+        r["doc_id"]: r["pack_id"]
+        for r in pack_sequences(
+            df, budget=256, num_shards=1, on_oversize="isolate"
+        ).collect()
+    }
+    assert out[1] != out[2] and out[2] == out[3]
