@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "data_quality_report",
     "embedding_centroids",
     "near_dedup_minhash",
+    "sequence_packs",
     "forecast_lr",
     "doc_stats",
     "ann_lsh_pairs",

@@ -64,6 +64,8 @@ def stratified_sample(
     fractions: dict,
     seed: int = 42,
     deterministic: bool = False,
+    key: str | None = None,
+    scale: int = 1_000_000,
 ) -> DataFrame:
     """Per-stratum sampling — the training-data rebalancing primitive
     (downweight an over-represented language/source, upweight a rare
@@ -82,12 +84,25 @@ def stratified_sample(
       row always lands in (or out of) the sample across reruns —
       what you want for reproducible training mixtures.
 
+    ``key`` (deterministic mode only) thresholds the RAW residue of one
+    numeric key column instead of hashing the whole row:
+    ``pmod(key, 1e6) < frac·1e6``. Use it when the key is a
+    well-spread surrogate id and the sample must be reproducible by
+    engines without xxhash64 (the DuckDB oracle) — same determinism,
+    one caveat: clustered keys bias the slice (dense sequential ids are
+    only uniform modulo a ``scale`` much smaller than the id range —
+    size ``scale`` accordingly), so prefer the hashed default unless
+    cross-engine reproducibility is required.
+
     Both are one narrow filter pass: no shuffle, predicate-pushdown
     friendly."""
     if not deterministic:
         return df.sampleBy(strata_col, fractions=fractions, seed=seed)
-    scale = 1_000_000
-    h = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed)), F.lit(scale))
+    h = (
+        F.pmod(F.col(key), F.lit(scale))
+        if key is not None
+        else F.pmod(F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed)), F.lit(scale))
+    )
     threshold = F.create_map(
         *[x for v, frac in fractions.items() for x in (F.lit(v), F.lit(int(frac * scale)))]
     )[F.col(strata_col)]

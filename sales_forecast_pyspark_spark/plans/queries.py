@@ -1130,6 +1130,35 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register(
+    "training_mix",
+    """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE doc_id % 100 < CASE lang WHEN 'en' THEN 50 ELSE 100 END
+ORDER BY doc_id
+""",
+)
+def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture rebalancing (operators/rowops.py::
+    stratified_sample): downweight the over-represented language (en at
+    0.5) and keep the rest — the per-source/language reweighting step
+    of a pretraining data pipeline. Deterministic raw-residue mode on
+    the doc_id surrogate key so an external engine reproduces the
+    EXACT sample (hashed mode is the production default; this query
+    also proves the residue variant end-to-end). One narrow filter —
+    no shuffle, pushdown-friendly at any corpus size."""
+    from sales_forecast_pyspark_spark.operators.rowops import stratified_sample
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    fracs = {"en": 0.5, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0}
+    return stratified_sample(
+        docs, "lang", fracs, deterministic=True, key="doc_id", scale=100
+    ).orderBy("doc_id")
+
+
 @register("sequence_packs")  # rows-only: per-shard bin packing is not SQL-expressible
 def q_sequence_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing end-to-end (llmdata/pack.py): chunk documents

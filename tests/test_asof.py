@@ -164,6 +164,23 @@ def test_stratified_sample_deterministic_mode(spark):
     assert set(r["event_type"] for r in s.select("event_type").distinct().collect()) <= set(fracs)
 
 
+def test_stratified_sample_raw_key_mode_exact(spark):
+    """key= mode thresholds the raw residue of the key column — the
+    membership is a closed-form predicate (id % scale < frac·scale), so
+    the sample is exactly computable by any engine (the oracle path)."""
+    from sales_forecast_pyspark_spark.operators.rowops import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(200)], "id long, s string"
+    )
+    out = stratified_sample(
+        df, "s", {"a": 0.3, "b": 1.0}, deterministic=True, key="id", scale=10
+    )
+    got = sorted(r["id"] for r in out.collect())
+    want = [i for i in range(200) if i % 10 < (3 if i % 2 == 0 else 10)]
+    assert got == want
+
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
