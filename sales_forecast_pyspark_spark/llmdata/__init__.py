@@ -47,6 +47,8 @@ from sales_forecast_pyspark_spark.llmdata.pack import (
 from sales_forecast_pyspark_spark.llmdata.text import (
     STOPWORD_PATTERN,
     chunk_documents,
+    ngrams_expr,
+    repetition_stats,
     pii_counts_exprs,
     scrub_pii_expr,
     lang_id_expr,
@@ -75,10 +77,12 @@ __all__ = [
     "lang_id_expr",
     "minhash_near_dedup",
     "ngram_jaccard_pairs",
+    "ngrams_expr",
     "pack_sequences",
     "pack_stats",
     "pii_counts_exprs",
     "quality_exprs",
+    "repetition_stats",
     "scrub_pii_expr",
     "shingles_expr",
     "simhash_pairs",

@@ -216,3 +216,70 @@ def chunk_documents(
         F.col("c.n_chunk_tokens").alias("n_chunk_tokens"),
         F.col("c.chunk_text").alias("chunk_text"),
     )
+
+
+def ngrams_expr(text: str | Column, n: int) -> Column:
+    """ALL word n-grams (with repeats — unlike ``shingles_expr``'s
+    distinct set): the repetition-measurement primitive. Documents with
+    fewer than ``n`` tokens yield an empty array."""
+    toks = tokens_expr(text)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ns: tuple[int, ...] = (2, 3),
+) -> DataFrame:
+    """Per-document repetition profile — the duplicate-n-gram family of
+    pretraining quality filters (a template-generated or looping doc
+    shows a high repeated-n-gram fraction and a dominant top n-gram;
+    thresholding these is the classic Gopher-rule cut).
+
+    For each n in ``ns``, three INTEGER columns: ``n{n}_total`` (all
+    n-grams), ``n{n}_distinct``, and ``n{n}_top`` (occurrences of the
+    most frequent n-gram). Integers by design: the interesting ratios
+    (1 − distinct/total, top/total) have document-dependent
+    denominators, so emitting the exact counts keeps the result
+    bit-exact across engines and lets callers pick thresholds
+    downstream.
+
+    Shape: total/distinct are per-row JVM expressions (no shuffle); the
+    top count needs a per-(doc, gram) aggregation — one explode +
+    hash-agg + max per n, keyed on the doc id, then a broadcast-free
+    equi-join back. Linear in corpus token count at any scale.
+    """
+    base = df.select(
+        F.col(id_col),
+        *[ngrams_expr(text_col, n).alias(f"_g{n}") for n in ns],
+    )
+    out = base.select(
+        id_col,
+        *[
+            c
+            for n in ns
+            for c in (
+                F.size(f"_g{n}").alias(f"n{n}_total"),
+                F.size(F.array_distinct(f"_g{n}")).alias(f"n{n}_distinct"),
+            )
+        ],
+    )
+    for n in ns:
+        top = (
+            base.select(id_col, F.explode(f"_g{n}").alias("_gram"))
+            .groupBy(id_col, "_gram")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .groupBy(id_col)
+            .agg(F.max("_cnt").alias(f"n{n}_top"))
+        )
+        out = out.join(top, id_col, "left").withColumn(
+            f"n{n}_top", F.coalesce(F.col(f"n{n}_top"), F.lit(0))
+        )
+    return out

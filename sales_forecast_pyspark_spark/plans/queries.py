@@ -1131,6 +1131,60 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "repetition_stats",
+    """
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+),
+g2 AS (
+  SELECT doc_id, array_to_string(list_slice(toks, s + 1, s + 2), ' ') AS g
+  FROM (SELECT doc_id, toks, unnest(range(0, greatest(length(toks) - 1, 0))) AS s FROM tok)
+),
+g3 AS (
+  SELECT doc_id, array_to_string(list_slice(toks, s + 1, s + 3), ' ') AS g
+  FROM (SELECT doc_id, toks, unnest(range(0, greatest(length(toks) - 2, 0))) AS s FROM tok)
+),
+c2 AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g2 GROUP BY 1, 2),
+c3 AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g3 GROUP BY 1, 2),
+a2 AS (SELECT doc_id, SUM(cnt) AS t, COUNT(*) AS d, MAX(cnt) AS m FROM c2 GROUP BY 1),
+a3 AS (SELECT doc_id, SUM(cnt) AS t, COUNT(*) AS d, MAX(cnt) AS m FROM c3 GROUP BY 1)
+SELECT doc.doc_id,
+       CAST(COALESCE(a2.t, 0) AS INT) AS n2_total,
+       CAST(COALESCE(a2.d, 0) AS INT) AS n2_distinct,
+       CAST(COALESCE(a2.m, 0) AS INT) AS n2_top,
+       CAST(COALESCE(a3.t, 0) AS INT) AS n3_total,
+       CAST(COALESCE(a3.d, 0) AS INT) AS n3_distinct,
+       CAST(COALESCE(a3.m, 0) AS INT) AS n3_top
+FROM documents doc
+LEFT JOIN a2 ON doc.doc_id = a2.doc_id
+LEFT JOIN a3 ON doc.doc_id = a3.doc_id
+ORDER BY doc.doc_id
+""",
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-n-gram repetition profile (llmdata/text.py::
+    repetition_stats) — the Gopher-family quality filter inputs as
+    exact integer counts (total / distinct / top-frequency for 2- and
+    3-grams). Totals and distincts are per-row JVM expressions; only
+    the top count shuffles (explode + doc-keyed hash-agg per n)."""
+    from sales_forecast_pyspark_spark.llmdata.text import repetition_stats
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = repetition_stats(docs, "doc_id", "text", ns=(2, 3))
+    return out.select(
+        "doc_id",
+        *[
+            F.col(c).cast("int").alias(c)
+            for c in (
+                "n2_total", "n2_distinct", "n2_top",
+                "n3_total", "n3_distinct", "n3_top",
+            )
+        ],
+    ).orderBy("doc_id")
+
+
+@register(
     "training_mix",
     """
 SELECT doc_id, lang, source, n_chars

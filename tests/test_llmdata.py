@@ -421,3 +421,30 @@ def test_pack_sequences_oversize_modes(spark):
         ).collect()
     }
     assert out[1] != out[2] and out[2] == out[3]
+
+
+def test_repetition_stats_flags_looping_text(spark):
+    """Integer repetition counts: a looping doc shows total >> distinct
+    and a dominant top n-gram; a diverse doc shows distinct == total;
+    short/empty docs come out all-zero instead of being dropped."""
+    from sales_forecast_pyspark_spark.llmdata.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam ham " * 10),          # 2-grams: 19 total, 2 distinct
+            (2, "one two three four five"), # all distinct
+            (3, "solo"),                    # 1 token -> no 2-grams
+            (4, ""),                        # empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert (out[1]["n2_total"], out[1]["n2_distinct"], out[1]["n2_top"]) == (19, 2, 10)
+    assert out[2]["n2_distinct"] == out[2]["n2_total"] == 4
+    assert out[2]["n2_top"] == 1
+    assert (out[3]["n2_total"], out[3]["n2_top"]) == (0, 0)
+    assert (out[4]["n3_total"], out[4]["n3_top"]) == (0, 0)
+    # repeated-fraction ordering: looping doc >> diverse doc
+    rep1 = 1 - out[1]["n2_distinct"] / out[1]["n2_total"]
+    rep2 = 1 - out[2]["n2_distinct"] / out[2]["n2_total"]
+    assert rep1 > 0.8 > rep2
