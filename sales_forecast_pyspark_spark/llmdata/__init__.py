@@ -30,9 +30,11 @@ from sales_forecast_pyspark_spark.llmdata.multimodal import (
 )
 from sales_forecast_pyspark_spark.llmdata.similarity import (
     cosine_topk,
+    dequantize_embeddings,
     group_centroids,
     ivf_topk,
     lsh_similarity_join,
+    quantize_embeddings,
 )
 from sales_forecast_pyspark_spark.llmdata.vectorize import (
     srp_signatures,
@@ -64,6 +66,8 @@ __all__ = [
     "connected_components",
     "cosine_topk",
     "dedup_clusters",
+    "dequantize_embeddings",
+    "quantize_embeddings",
     "decode_dimensions",
     "resize_images",
     "sample_frames",

@@ -239,3 +239,63 @@ def group_centroids(
             "n_vectors",
         )
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-vector int8 scalar quantization: ``(id, qmin, qmax, codes)``
+    with ``codes[i] = floor((x[i] − qmin)/(qmax − qmin)·255 + 0.5) − 128``
+    — the 4× (vs float32) storage cut a 100 TB embedding corpus takes
+    before ANN serving, at ≤ half-step reconstruction error per
+    dimension.
+
+    Pure narrow JVM transform — no shuffle, no UDF; quantize on write,
+    keep float vectors only for the verify tier. The arithmetic is a
+    fixed left-to-right IEEE double chain ending in ``floor``, so codes
+    are bit-identical across engines (the DuckDB oracle replays it
+    exactly). Constant vectors (qmax == qmin) code to all-zero with the
+    range preserved in qmin/qmax.
+    """
+    d = df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_e"),
+    ).select(
+        id_col,
+        "_e",
+        F.array_min("_e").alias("qmin"),
+        F.array_max("_e").alias("qmax"),
+    )
+    span = F.col("qmax") - F.col("qmin")
+    codes = F.when(
+        span == 0, F.transform("_e", lambda v: F.lit(0))
+    ).otherwise(
+        F.transform(
+            "_e",
+            lambda v: (
+                F.floor((v - F.col("qmin")) / span * 255 + F.lit(0.5))
+            ).cast("int")
+            - 128,
+        )
+    )
+    return d.select(id_col, "qmin", "qmax", codes.alias("codes"))
+
+
+def dequantize_embeddings(
+    df: DataFrame,
+    codes_col: str = "codes",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Inverse of ``quantize_embeddings``:
+    ``x̂[i] = qmin + (codes[i] + 128)·(qmax − qmin)/255`` — feeds the
+    same cosine/top-k operators as the float tier."""
+    span = F.col("qmax") - F.col("qmin")
+    return df.withColumn(
+        out_col,
+        F.transform(
+            F.col(codes_col),
+            lambda c: F.col("qmin") + (c + 128).cast("double") * span / 255,
+        ),
+    )

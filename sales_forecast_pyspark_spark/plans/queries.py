@@ -1131,6 +1131,43 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_quantize",
+    """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+m AS (
+  SELECT vec_id, emb,
+         list_aggregate(emb, 'min') AS qmin,
+         list_aggregate(emb, 'max') AS qmax
+  FROM e
+)
+SELECT vec_id, qmin, qmax,
+       CASE WHEN qmax = qmin
+            THEN list_transform(emb, x -> 0)
+            ELSE list_transform(
+              emb,
+              x -> CAST(floor((x - qmin) / (qmax - qmin) * 255 + 0.5) AS INT) - 128
+            )
+       END AS codes
+FROM m
+ORDER BY vec_id
+""",
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embeddings table
+    (llmdata/similarity.py::quantize_embeddings) — per-vector min/max
+    range, codes bit-identical to the DuckDB replay of the same IEEE
+    double chain. Narrow map, no shuffle."""
+    from sales_forecast_pyspark_spark.llmdata.similarity import quantize_embeddings
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return quantize_embeddings(emb).orderBy("vec_id")
+
+
+@register(
     "repetition_stats",
     """
 WITH tok AS (

@@ -206,3 +206,42 @@ def test_resize_images_fails_fast_without_pil(spark):
     df = spark.createDataFrame([(1, b"x")], "doc_id long, content binary")
     with pytest.raises(NotImplementedError):
         resize_images(df, 2, 2)
+
+
+def test_quantize_roundtrip_error_bound(spark):
+    """int8 quantize/dequantize: per-dim reconstruction error <= half a
+    quantization step, cosine vs the original preserved to 3+ digits,
+    constant vectors code to zeros and reconstruct exactly."""
+    from sales_forecast_pyspark_spark.llmdata.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+    from sales_forecast_pyspark_spark.sources.readers import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings").limit(50)
+    q = quantize_embeddings(emb)
+    assert dict(q.dtypes)["codes"] == "array<int>"
+    back = dequantize_embeddings(q, out_col="emb_hat").join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    import math
+
+    for r in back.collect():
+        span = r["qmax"] - r["qmin"]
+        step = span / 255 if span else 0.0
+        assert all(-128 <= c <= 127 for c in r["codes"])
+        dots = on = oh = 0.0
+        for x, xh in zip(r["embedding"], r["emb_hat"]):
+            assert abs(x - xh) <= step / 2 + 1e-9
+            dots += x * xh
+            on += x * x
+            oh += xh * xh
+        if on and oh:
+            assert dots / math.sqrt(on * oh) > 0.999
+
+    const = spark.createDataFrame(
+        [(1, [2.5, 2.5, 2.5])], "vec_id long, embedding array<double>"
+    )
+    cq = dequantize_embeddings(quantize_embeddings(const), out_col="emb_hat").first()
+    assert cq["codes"] == [0, 0, 0]
+    assert cq["emb_hat"] == [2.5, 2.5, 2.5]
