@@ -7,6 +7,9 @@ from sales_forecast_pyspark_spark.sources.readers import (
     read_table,
     register_views,
 )
+from sales_forecast_pyspark_spark.sources.docsgen import (
+    DocsGenDataSource,
+)
 from sales_forecast_pyspark_spark.sources.sinks import (
     compact_parquet,
     write_bucketed,
@@ -15,6 +18,7 @@ from sales_forecast_pyspark_spark.sources.sinks import (
 )
 
 __all__ = [
+    "DocsGenDataSource",
     "ONLINE_RETAIL_SCHEMA",
     "TESTDATA_TABLES",
     "compact_parquet",

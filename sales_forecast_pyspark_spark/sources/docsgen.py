@@ -1,0 +1,109 @@
+"""`docsgen`: a Python DataSource (Spark 4 `pyspark.sql.datasource`
+API) that generates a deterministic synthetic document corpus of any
+size — the load-testing / capacity-planning input for the LLM-data
+operators when you want a 10^9-doc corpus without staging 10^9 docs.
+
+Why a DataSource and not ``spark.range(...).select(udf(...))``: the
+generator IS the scan. Each `InputPartition` materializes its own id
+range executor-side (no shuffle, no driver materialization, linear
+scale-out by adding partitions), and the source composes with
+everything downstream exactly like a parquet scan — the dedup/quality/
+packing pipelines run unchanged on generated input.
+
+Determinism: every column is a closed-form function of ``doc_id``
+(splitmix64-style bit mixing — no RNG state, no seed ordering hazard),
+so the corpus for a given (num_docs, salt) is bit-identical across
+runs, partition counts, and machines. Near-duplicate pairs are planted
+at a fixed rate (every 10th doc repeats its predecessor's text with a
+one-token edit) so dedup operators have ground truth to find.
+
+Usage::
+
+    spark.dataSource.register(DocsGenDataSource)
+    docs = (spark.read.format("docsgen")
+            .option("num_docs", 100_000)
+            .option("num_partitions", 32)
+            .load())
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+_LANGS = ("en", "en", "en", "de", "es", "fr", "zh")
+_VOCAB = (
+    "data spark shuffle partition token model train corpus quality filter "
+    "join window rollup stream batch vector index pack sample"
+).split()
+
+_MASK = (1 << 64) - 1
+
+
+def _mix(x: int) -> int:
+    """splitmix64 finalizer: a closed-form 64-bit bit mixer."""
+    x = (x + 0x9E3779B97F4A7C15) & _MASK
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _MASK
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _MASK
+    return x ^ (x >> 31)
+
+
+def _doc_text(doc_id: int, salt: int) -> str:
+    h = _mix(doc_id ^ salt)
+    n_tokens = 20 + h % 180
+    words = [
+        _VOCAB[_mix(doc_id * 1_000_003 + i ^ salt) % len(_VOCAB)]
+        for i in range(n_tokens)
+    ]
+    return " ".join(words)
+
+
+class _Range(InputPartition):
+    def __init__(self, start: int, end: int, salt: int):
+        self.start, self.end, self.salt = start, end, salt
+
+
+class DocsGenReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.num_docs = int(options.get("num_docs", 1000))
+        self.num_partitions = max(1, int(options.get("num_partitions", 8)))
+        self.salt = int(options.get("salt", 0))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        step = -(-self.num_docs // self.num_partitions)
+        return [
+            _Range(lo, min(lo + step, self.num_docs), self.salt)
+            for lo in range(0, self.num_docs, step)
+        ]
+
+    def read(self, partition: _Range) -> Iterator[tuple]:
+        for doc_id in range(partition.start, partition.end):
+            if doc_id % 10 == 9 and doc_id > 0:
+                # planted near-dup: predecessor's text, one token edited
+                base = _doc_text(doc_id - 1, partition.salt)
+                text = base.rsplit(" ", 1)[0] + " edited"
+            else:
+                text = _doc_text(doc_id, partition.salt)
+            h = _mix(doc_id * 31 ^ partition.salt)
+            yield (
+                doc_id,
+                text,
+                _LANGS[h % len(_LANGS)],
+                f"src{h % 20}",
+                len(text),
+            )
+
+
+class DocsGenDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "docsgen"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema) -> DocsGenReader:
+        return DocsGenReader(self.options)

@@ -158,3 +158,38 @@ def test_write_zordered_files_have_tight_bboxes(spark, tmp_path):
     worst = max(max(r["dx"], r["dy"]) for r in spans)
     assert worst <= (n // 4) - 1
     assert spark.read.parquet(path).count() == n * n
+
+
+def test_docsgen_python_datasource(spark):
+    """docsgen custom DataSource: declared schema, partitioned
+    executor-side generation, corpus bit-identical across partition
+    counts, and planted near-dups recoverable by the dedup tier."""
+    from sales_forecast_pyspark_spark.llmdata.dedup import minhash_near_dedup
+    from sales_forecast_pyspark_spark.sources.docsgen import DocsGenDataSource
+
+    spark.dataSource.register(DocsGenDataSource)
+
+    def gen(n, parts):
+        return (
+            spark.read.format("docsgen")
+            .option("num_docs", n)
+            .option("num_partitions", parts)
+            .load()
+        )
+
+    df = gen(500, 8)
+    assert df.columns == ["doc_id", "text", "lang", "source", "n_chars"]
+    assert df.count() == 500
+    assert df.rdd.getNumPartitions() == 8
+    a = sorted(map(tuple, gen(300, 3).collect()))
+    b = sorted(map(tuple, gen(300, 7).collect()))
+    assert a == b
+    # every 10th doc is its predecessor with a one-token edit: the
+    # MinHash tier must recover (almost all of) those planted pairs.
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_near_dedup(gen(200, 4), threshold=0.7).collect()
+    }
+    planted = {(i - 1, i) for i in range(9, 200, 10)}
+    found = {p for p in planted if p in pairs or (p[1], p[0]) in pairs}
+    assert len(found) >= 0.8 * len(planted)
