@@ -30,7 +30,12 @@ from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
 
@@ -97,6 +102,44 @@ class DocsGenReader(DataSourceReader):
             )
 
 
+class DocsGenStreamReader(DataSourceStreamReader):
+    """Streaming twin of the batch reader: the corpus arrives as
+    micro-batches of ``docs_per_batch`` ids. Offsets are plain doc-id
+    positions, so a batch is the deterministic id range
+    [start.pos, end.pos) — replayable for exactly-once recovery (same
+    closed-form content on every re-read), no source-side state beyond
+    the position."""
+
+    def __init__(self, options: dict):
+        self.inner = DocsGenReader(options)
+        self.docs_per_batch = max(1, int(options.get("docs_per_batch", 100)))
+        self._pos = 0
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def latestOffset(self) -> dict:
+        self._pos = min(self._pos + self.docs_per_batch, self.inner.num_docs)
+        return {"pos": self._pos}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        lo, hi = start["pos"], end["pos"]
+        if hi <= lo:
+            return [_Range(lo, lo, self.inner.salt)]
+        n = min(self.inner.num_partitions, hi - lo)
+        step = -(-(hi - lo) // n)
+        return [
+            _Range(s, min(s + step, hi), self.inner.salt)
+            for s in range(lo, hi, step)
+        ]
+
+    def read(self, partition: _Range) -> Iterator[tuple]:
+        return self.inner.read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class DocsGenDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -107,3 +150,6 @@ class DocsGenDataSource(DataSource):
 
     def reader(self, schema) -> DocsGenReader:
         return DocsGenReader(self.options)
+
+    def streamReader(self, schema) -> DocsGenStreamReader:
+        return DocsGenStreamReader(self.options)

@@ -131,3 +131,40 @@ def test_streaming_daily_panel_matches_batch(spark):
     cols = ["country", "stock", "ds", "qty", "revenue", "avg_price"]
     assert _rows(got, cols) == _rows(batch, cols)
     assert got.count() > 0
+
+
+def test_docsgen_stream_reader_matches_batch(spark, tmp_path):
+    """The docsgen streaming reader delivers the corpus in
+    docs_per_batch micro-batches and the union of all batches is
+    bit-equal to the batch read — offset ranges are replayable id
+    spans, so content is exactly-once by construction."""
+    import time
+
+    from sales_forecast_pyspark_spark.sources.docsgen import DocsGenDataSource
+
+    spark.dataSource.register(DocsGenDataSource)
+    opts = {"num_docs": "300", "num_partitions": "4"}
+    stream = (
+        spark.readStream.format("docsgen")
+        .options(docs_per_batch="100", **opts)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("docsgen_stream_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        for _ in range(90):
+            if spark.table("docsgen_stream_test").count() >= 300:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    got = sorted(map(tuple, spark.table("docsgen_stream_test").collect()))
+    batch = sorted(
+        map(tuple, spark.read.format("docsgen").options(**opts).load().collect())
+    )
+    assert got == batch
+    assert len(q.recentProgress) >= 3  # arrived as multiple micro-batches
