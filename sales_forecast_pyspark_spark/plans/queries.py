@@ -1682,7 +1682,14 @@ def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     a DECLARED schema (``from_json`` — schema-on-read with column
     pruning, vs ``get_json_object``'s per-path re-parse) and aggregate
     the extracted field. Integer sums are exact under any partitioning;
-    the average is one exact-long division in both engines."""
+    the average is one exact-long division in both engines.
+
+    The schema-LESS alternative on Spark 4 is VariantType —
+    ``variant_get(parse_json(props), '$.k', 'int')`` parses once into a
+    binary-encoded variant and extracts typed paths without declaring a
+    struct up front (parity with this query pinned in
+    tests/test_oracle_queries.py); prefer the declared schema when the
+    shape is known, variant when payloads are heterogeneous."""
     ev = read_table(spark, sf_dir, "events")
     k = F.from_json(F.col("props"), "k INT").getField("k")
     return (

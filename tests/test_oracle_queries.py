@@ -26,3 +26,21 @@ def test_all_queries_runnable(spark):
     for name, q in QUERIES.items():
         df = q.builder(spark, SF_SMALL)
         assert df.count() >= 0, name
+
+
+def test_variant_path_matches_declared_schema(spark):
+    """Spark 4 VariantType (schema-less semi-structured path): parsing
+    props once into a variant and extracting '$.k' typed must agree
+    with the declared-schema from_json extraction events_json_extract
+    uses — same ints, same nulls on malformed payloads."""
+    from pyspark.sql import functions as F
+    from sales_forecast_pyspark_spark.sources.readers import read_table
+
+    ev = read_table(spark, SF_SMALL, "events").limit(500)
+    both = ev.select(
+        F.from_json(F.col("props"), "k INT").getField("k").alias("declared"),
+        F.variant_get(F.try_parse_json("props"), "$.k", "int").alias("variant"),
+    )
+    assert both.filter(
+        ~F.col("declared").eqNullSafe(F.col("variant"))
+    ).count() == 0
