@@ -33,8 +33,8 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
-    DataSourceStreamReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
@@ -102,39 +102,47 @@ class DocsGenReader(DataSourceReader):
             )
 
 
-class DocsGenStreamReader(DataSourceStreamReader):
+class DocsGenStreamReader(SimpleDataSourceStreamReader):
     """Streaming twin of the batch reader: the corpus arrives as
     micro-batches of ``docs_per_batch`` ids. Offsets are plain doc-id
-    positions, so a batch is the deterministic id range
-    [start.pos, end.pos) — replayable for exactly-once recovery (same
-    closed-form content on every re-read), no source-side state beyond
-    the position."""
+    positions and every batch is the deterministic id range
+    [start.pos, end.pos), so replay is exact.
+
+    Built on the SIMPLE stream-reader protocol deliberately: Spark
+    hands the committed start offset to every ``read(start)`` call, so
+    the reader holds NO position state of its own and checkpoint
+    restart is exactly-once by construction. (A stateful
+    ``latestOffset``-based reader loses its position on restart; if its
+    availability counter restarts below the WAL frontier, Spark plans a
+    regressed batch and re-delivers committed spans — caught by the
+    restart test.) Tradeoff: simple-reader batches surface through the
+    driver; bulk generation belongs to the partition-parallel batch
+    reader, the stream is for pipeline/recovery semantics at bounded
+    rates."""
 
     def __init__(self, options: dict):
         self.inner = DocsGenReader(options)
         self.docs_per_batch = max(1, int(options.get("docs_per_batch", 100)))
-        self._pos = 0
 
     def initialOffset(self) -> dict:
         return {"pos": 0}
 
-    def latestOffset(self) -> dict:
-        self._pos = min(self._pos + self.docs_per_batch, self.inner.num_docs)
-        return {"pos": self._pos}
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        lo = start["pos"]
+        hi = min(lo + self.docs_per_batch, self.inner.num_docs)
+        return self._rows(lo, hi), {"pos": hi}
 
-    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
-        lo, hi = start["pos"], end["pos"]
-        if hi <= lo:
-            return [_Range(lo, lo, self.inner.salt)]
-        n = min(self.inner.num_partitions, hi - lo)
-        step = -(-(hi - lo) // n)
-        return [
-            _Range(s, min(s + step, hi), self.inner.salt)
-            for s in range(lo, hi, step)
-        ]
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        # Replay path runs on executors, whose read wrapper REQUIRES an
+        # iterator (lists are rejected) — the mirror of read()'s
+        # constraint below.
+        return iter(self._rows(start["pos"], end["pos"]))
 
-    def read(self, partition: _Range) -> Iterator[tuple]:
-        return self.inner.read(partition)
+    def _rows(self, lo: int, hi: int) -> list[tuple]:
+        # Materialized, not a generator: the driver-side prefetch cache
+        # copy.copy()s what read() returns, which generators do not
+        # support. Bounded by docs_per_batch, so driver-safe.
+        return list(self.inner.read(_Range(lo, max(lo, hi), self.inner.salt)))
 
     def commit(self, end: dict) -> None:
         pass
@@ -151,5 +159,5 @@ class DocsGenDataSource(DataSource):
     def reader(self, schema) -> DocsGenReader:
         return DocsGenReader(self.options)
 
-    def streamReader(self, schema) -> DocsGenStreamReader:
+    def simpleStreamReader(self, schema) -> DocsGenStreamReader:
         return DocsGenStreamReader(self.options)
