@@ -2178,6 +2178,55 @@ def q_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "benchmark_contamination",
+    r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(toks) - 7)) AS i) s
+), bench AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 0
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_grams FROM grams
+  WHERE doc_id % 20 <> 0 GROUP BY doc_id
+), hits AS (
+  SELECT g.doc_id, COUNT(*) AS n_hits
+  FROM grams g JOIN bench USING (gram)
+  WHERE g.doc_id % 20 <> 0
+  GROUP BY g.doc_id
+)
+SELECT h.doc_id, p.n_grams, h.n_hits
+FROM hits h JOIN per_doc p USING (doc_id)
+ORDER BY h.n_hits DESC, h.doc_id
+""",
+)
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination sweep (the pre-training hygiene pass):
+    documents with ``doc_id % 20 == 0`` stand in as the held-out eval
+    suite; every other document is checked for verbatim 8-gram overlap
+    with it, and the violation list (doc, distinct 8-grams, hits) comes
+    back exact-integer. On this corpus the hits are exactly the planted
+    near-duplicates that straddle the bench/corpus split — the
+    contamination a real suite exists to catch. Shape: one explode per
+    side, benchmark grams broadcast, corpus-side hash semi-join + two
+    hash-aggs — no corpus-sized shuffle, nothing quadratic."""
+    from sales_forecast_pyspark_spark.llmdata.contamination import (
+        ngram_contamination,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return ngram_contamination(corpus, bench, n=8).orderBy(
+        F.col("n_hits").desc(), F.col("doc_id")
+    )
+
+
+@register(
     "series_gaps",
     PANEL_CTE
     + """

@@ -448,3 +448,42 @@ def test_repetition_stats_flags_looping_text(spark):
     rep1 = 1 - out[1]["n2_distinct"] / out[1]["n2_total"]
     rep2 = 1 - out[2]["n2_distinct"] / out[2]["n2_total"]
     assert rep1 > 0.8 > rep2
+
+
+def test_ngram_contamination_and_decontaminate(spark):
+    """Contamination: a corpus doc sharing an 8-gram with the benchmark
+    is flagged with exact distinct-gram counts; clean and too-short docs
+    are absent; decontaminate drops exactly the flagged ids. Repeats of
+    one n-gram inside a document must not inflate n_hits (distinct
+    semantics)."""
+    from sales_forecast_pyspark_spark.llmdata.contamination import (
+        decontaminate,
+        ngram_contamination,
+    )
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta closing words"
+    corpus = spark.createDataFrame(
+        [
+            # contains bench 8-gram twice (repeat must count once)
+            (1, ("alpha beta gamma delta epsilon zeta eta theta " * 2) + "tail"),
+            (2, "totally unrelated words about spark shuffles and parquet row groups and more"),
+            (3, "short doc"),  # < 8 tokens: no grams at all
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+
+    out = {r["doc_id"]: r for r in ngram_contamination(corpus, bench).collect()}
+    assert list(out) == [1]
+    # the repeated benchmark 8-gram counts once (distinct semantics)
+    assert out[1]["n_hits"] == 1
+    assert out[1]["n_grams"] >= out[1]["n_hits"]
+
+    clean = decontaminate(corpus, bench)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [2, 3]
+    assert clean.columns == corpus.columns
+
+    # benchmark side must not leak into the output even if benchmark ids
+    # overlap corpus ids (pure text comparison, id-agnostic)
+    plan = ngram_contamination(corpus, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
