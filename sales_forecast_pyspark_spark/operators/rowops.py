@@ -140,3 +140,49 @@ def latest_snapshot(
 
     order = [F.col(c).desc() for c in version_cols]
     return grouped_top_k(df, keys, order, 1, rank_col="__rn").drop("__rn")
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    lo: float = 0.05,
+    hi: float = 0.95,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-group percentile clipping (winsorization) — the outlier
+    treatment for heavy-tailed panel features: values below the group's
+    ``lo`` quantile or above its ``hi`` quantile are pulled to the cut.
+
+    Implemented as a two-pass aggregate-and-join rather than a
+    whole-partition window: one hash-aggregate computes both exact
+    interpolated cuts per group, then an equi-join (broadcast when the
+    group table is small) applies them. That keeps the plan
+    sort-free — a ``PARTITION BY group`` window with an unbounded frame
+    would shuffle AND sort every row, and collapse onto single tasks
+    for giant groups; the agg+join form scales with the grouped
+    aggregate like every other rollup here.
+
+    Exact `F.percentile` (not approx) so results are engine-portable:
+    its linear interpolation is bit-identical to DuckDB/ANSI
+    ``quantile_cont`` on double input (proven in the sketch-tier
+    oracles). Nulls pass through unclipped (SQL aggregate semantics
+    drop them from the cut computation).
+    """
+    out_col = out_col or f"{value_col}_w"
+    v = F.col(value_col)
+    cuts = df.groupBy(*group_cols).agg(
+        F.percentile(v, F.lit(float(lo))).alias("_lo_cut"),
+        F.percentile(v, F.lit(float(hi))).alias("_hi_cut"),
+    )
+    # Explicit null guard: SQL LEAST/GREATEST *skip* nulls (in Spark and
+    # DuckDB alike), which would silently clip a null value to the hi
+    # cut instead of passing it through.
+    clipped = F.when(
+        v.isNotNull(), F.greatest("_lo_cut", F.least("_hi_cut", v))
+    )
+    return (
+        df.join(cuts, group_cols)
+        .withColumn(out_col, clipped)
+        .drop("_lo_cut", "_hi_cut")
+    )

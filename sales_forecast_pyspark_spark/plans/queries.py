@@ -2248,6 +2248,37 @@ def q_series_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return series_gaps(daily_panel(spark, sf_dir), PANEL_KEYS, "ds")
 
 
+@register(
+    "winsorized_daily_qty",
+    PANEL_CTE
+    + """
+, cuts AS (
+  SELECT country,
+         quantile_cont(qty, 0.05) AS lo_cut,
+         quantile_cont(qty, 0.95) AS hi_cut
+  FROM panel GROUP BY country
+)
+SELECT p.country, p.stock, p.ds, p.qty,
+       GREATEST(c.lo_cut, LEAST(c.hi_cut, p.qty)) AS qty_w
+FROM panel p JOIN cuts c USING (country)
+ORDER BY p.country, p.stock, p.ds
+""",
+)
+def q_winsorized_daily_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier treatment for the model features: winsorize daily qty at
+    the per-country [p05, p95] exact interpolated cuts. Plan: one
+    hash-agg for the 25-row cut table, broadcast-joined back — no
+    window sort, no second scan of the panel beyond the agg. Cut values
+    interpolate between integer-valued doubles, so the clipped column
+    is bit-identical across engines (percentile lerp parity)."""
+    from sales_forecast_pyspark_spark.operators.rowops import winsorize
+
+    panel = daily_panel(spark, sf_dir).select("country", "stock", "ds", "qty")
+    return winsorize(panel, "qty", ["country"]).orderBy(
+        "country", "stock", "ds"
+    )
+
+
 def _forecast_tree(spark: SparkSession, sf_dir: str, preset_name: str) -> DataFrame:
     from sales_forecast_pyspark_spark.forecast import (
         feature_pipeline,

@@ -154,3 +154,31 @@ def test_quality_report_detects_violations(spark):
     assert rep["not_null:v"] == (5, 1)
     assert rep["unique:k,line"] == (5, 1)
     assert rep["fk:k->pk"] == (4, 1)
+
+
+def test_winsorize_clips_to_group_cuts_and_passes_nulls(spark):
+    """winsorize: values outside the group's [lo, hi] interpolated cuts
+    are pulled to the cut, in-range values and nulls pass through, and
+    groups are independent. p0/p1 degenerate cuts clip to min/max."""
+    from sales_forecast_pyspark_spark.operators.rowops import winsorize
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 11)]  # 1..10
+        + [("a", None), ("b", 100.0), ("b", 200.0)],
+        "g string, v double",
+    )
+    out = winsorize(df, "v", ["g"], lo=0.1, hi=0.9)
+    a = {r["v"]: r["v_w"] for r in out.filter("g = 'a'").collect()}
+    # cuts for 1..10 at p10/p90: 1.9 and 9.1 (linear interpolation)
+    assert a[1.0] == 1.9 and a[10.0] == 9.1
+    assert a[5.0] == 5.0
+    assert a[None] is None
+    b = {r["v"]: r["v_w"] for r in out.filter("g = 'b'").collect()}
+    # two points: p10 = 110, p90 = 190
+    assert b[100.0] == 110.0 and b[200.0] == 190.0
+    # schema: one added column, original order preserved
+    assert out.columns == ["g", "v", "v_w"]
+
+    full = winsorize(df.filter("v is not null"), "v", ["g"], lo=0.0, hi=1.0)
+    vals = {(r["g"], r["v"]): r["v_w"] for r in full.collect()}
+    assert all(vals[k] == k[1] for k in vals)
