@@ -26,6 +26,19 @@ from pyspark.sql import functions as F
 _BIN = "__iv_bin"
 
 
+def _epoch_seconds(df: DataFrame, col: str):
+    """Numeric binning key for a time column, tolerant of every encoding
+    the scan layer can surface: TIMESTAMP, TIMESTAMP_NTZ (plain
+    ``timestamp[us]`` parquet under Spark 4's NTZ inference), DATE, or
+    an already-numeric epoch column. NTZ casts through TIMESTAMP using
+    the session timezone (pinned UTC by the session layer), so both
+    sides of a join land in the same epoch regardless of encoding."""
+    dtype = dict(df.dtypes).get(col)
+    if dtype is not None and (dtype.startswith("timestamp") or dtype == "date"):
+        return F.unix_timestamp(F.col(col).cast("timestamp"))
+    return F.col(col).cast("long")
+
+
 def interval_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -41,9 +54,10 @@ def interval_join(
     ``[start_col, end_col]`` (inclusive both ends) contains its
     ``point_time``, additionally matching the equality keys ``on``.
 
-    Time columns must share a type across sides: timestamps (binned on
-    epoch seconds; ``bin_width`` in seconds) or integers (``bin_width``
-    in value units). Non-key column names must not collide — alias the
+    Time columns must share a type across sides (the exact range
+    predicate compares them directly): TIMESTAMP / TIMESTAMP_NTZ / DATE
+    (binned on epoch seconds; ``bin_width`` in seconds) or integers
+    (``bin_width`` in value units). Non-key column names must not collide — alias the
     interval side first. ``validate=True`` runs one bounded pre-pass
     over ``intervals`` and raises if any interval covers more than
     ``max_bins`` buckets (or has null bounds) — the fan-out guard; turn
@@ -58,18 +72,9 @@ def interval_join(
             "alias them first"
         )
 
-    is_ts = dict(points.dtypes).get(point_time) == "timestamp"
-    p_num = (
-        F.unix_timestamp(F.col(point_time))
-        if is_ts
-        else F.col(point_time).cast("long")
-    )
-    s_num = (
-        F.unix_timestamp(F.col(start_col)) if is_ts else F.col(start_col).cast("long")
-    )
-    e_num = (
-        F.unix_timestamp(F.col(end_col)) if is_ts else F.col(end_col).cast("long")
-    )
+    p_num = _epoch_seconds(points, point_time)
+    s_num = _epoch_seconds(intervals, start_col)
+    e_num = _epoch_seconds(intervals, end_col)
     s_bin = F.floor(s_num / bin_width).cast("long")
     e_bin = F.floor(e_num / bin_width).cast("long")
 

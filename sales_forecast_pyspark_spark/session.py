@@ -43,9 +43,12 @@ _DEFAULTS = {
     "spark.driver.memory": "8g",
     "spark.ui.enabled": "false",
     "spark.sql.autoBroadcastJoinThreshold": "64MB",
-    # The events testdata ships TIMESTAMP(NANOS) parquet, which the
-    # vectorized reader rejects; read as long nanos and normalize in the
-    # scan layer (sources.readers.read_table).
+    # Earlier testdata generations shipped TIMESTAMP(NANOS) parquet,
+    # which the vectorized reader rejects; this conf reads those as long
+    # nanos so the scan layer can normalize (readers.normalize_event_ts).
+    # Current testdata is plain timestamp[us] (read as TIMESTAMP_NTZ and
+    # likewise normalized); the conf is kept for encoding tolerance and
+    # is a no-op on non-nanos files.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Local-harness scan parallelism: the testdata is ONE ~10-20MB file
     # per table, which the default 4MB open-cost packs into 2-3 tasks,

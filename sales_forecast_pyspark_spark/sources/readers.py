@@ -75,21 +75,38 @@ def parse_invoice_date(df: DataFrame, col: str = "InvoiceDate") -> DataFrame:
     return df.withColumn(col, F.to_date(F.to_timestamp(F.col(col), "M/d/yy H:mm")))
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one star-schema table from a testdata scale-factor directory.
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Canonicalize an event-time column to TIMESTAMP regardless of the
+    physical parquet encoding. The testdata generator has shipped the
+    events table in two encodings across rounds: TIMESTAMP(NANOS)
+    (surfaced as long nanos under the ``nanosAsLong`` session conf) and
+    plain ``timestamp[us]`` (surfaced as TIMESTAMP_NTZ under Spark 4's
+    NTZ inference). Downstream operators see ONE dtype either way:
 
-    The events table stores nanosecond-precision timestamps, which
-    Spark's parquet reader surfaces as long nanos (see the
-    ``nanosAsLong`` session default); they are normalized here to
-    microsecond TIMESTAMP by truncating division — the same truncation
-    external engines apply when narrowing nanos.
+    - ``bigint`` (nanos) → truncating ``DIV 1000`` to micros, the same
+      narrowing every engine applies when reading nanos parquet;
+    - ``timestamp_ntz`` → cast through the session timezone (pinned UTC
+      by ``ensure_runtime_confs``), value-preserving;
+    - ``timestamp`` / anything else → unchanged.
     """
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` DIV 1000")))
+    if dtype == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one star-schema table from a testdata scale-factor directory,
+    normalizing the events time column to TIMESTAMP (see
+    ``normalize_event_ts`` for the encodings tolerated)."""
     from sales_forecast_pyspark_spark.session import ensure_runtime_confs
 
     ensure_runtime_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "events":
+        df = normalize_event_ts(df)
     return df
 
 

@@ -17,12 +17,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # Streaming scans require a declared schema (no inference mid-stream).
-# ts arrives as long nanos (see session.py nanosAsLong) and is
-# normalized exactly like the batch scan layer.
+# The canonical post-normalization events schema; the physical parquet
+# may store ts as long nanos or timestamp[us] — stream_events reads the
+# footer once and normalizes exactly like the batch scan layer.
 EVENTS_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
         T.StructField("user_id", T.LongType(), True),
         T.StructField("event_type", T.StringType(), True),
         T.StructField("value", T.DoubleType(), True),
@@ -34,13 +35,25 @@ EVENTS_STREAM_SCHEMA = T.StructType(
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (each file = one
     micro-batch under availableNow; in production this is a directory
-    that accumulates files, or a Kafka source with the same schema)."""
+    that accumulates files, or a Kafka source with the same schema).
+
+    The declared schema comes from the existing file's footer (a
+    driver-side metadata read, not a data scan — same pattern as
+    ``stream_lineitem``) so the stream works against every ts encoding
+    the generator has shipped; ``normalize_event_ts`` then canonicalizes
+    ts to TIMESTAMP exactly like the batch scan layer."""
+    import os
+
+    from sales_forecast_pyspark_spark.sources.readers import normalize_event_ts
+
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
     raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return normalize_event_ts(raw)
 
 
 def windowed_event_totals(

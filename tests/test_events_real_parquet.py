@@ -1,0 +1,133 @@
+"""The events-reading operator family against the REAL testdata parquet.
+
+Round-3 regression: the driver regenerated the events table with a new
+physical ts encoding (plain ``timestamp[us]``, read by Spark 4 as
+TIMESTAMP_NTZ, where earlier generations shipped TIMESTAMP(NANOS) read
+as long nanos) and ``interval_join``'s dtype check missed it — the unit
+suite never caught this because it built frames via ``createDataFrame``,
+which always yields TIMESTAMP_LTZ. These tests pin the scan-layer
+normalization and run every events-consuming operator family over the
+file the driver actually ships, so a future encoding change fails HERE
+instead of in the driver bench.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from sales_forecast_pyspark_spark.operators.asof import asof_join
+from sales_forecast_pyspark_spark.operators.interval import interval_join
+from sales_forecast_pyspark_spark.sources.readers import (
+    normalize_event_ts,
+    read_table,
+)
+
+from conftest import SF_SMALL
+
+
+def test_read_table_canonicalizes_ts_to_timestamp(spark):
+    ev = read_table(spark, SF_SMALL, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    # Values must be real event times, not a units-confused cast.
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    assert lo.year >= 1990 and hi.year <= 2100
+
+
+def test_normalize_event_ts_all_encodings(spark):
+    base = datetime.datetime(2024, 5, 1, 12, 30, 45, 123456)
+    micros = int(base.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
+
+    nanos_df = spark.createDataFrame([(micros * 1000,)], "ts long")
+    ntz_df = spark.sql(
+        f"SELECT timestamp_ntz '{base.isoformat(sep=' ')}' AS ts"
+    )
+    ltz_df = spark.createDataFrame([(base,)], "ts timestamp")
+
+    outs = [normalize_event_ts(df) for df in (nanos_df, ntz_df, ltz_df)]
+    for out in outs:
+        assert dict(out.dtypes)["ts"] == "timestamp"
+    vals = {out.first()["ts"] for out in outs}
+    assert vals == {base}, vals
+
+
+@pytest.fixture(scope="module")
+def raw_events_ntz(spark):
+    """The events table as the parquet reader surfaces it, WITHOUT the
+    scan layer's normalization — on current testdata this is
+    TIMESTAMP_NTZ, the encoding that broke round 3."""
+    df = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":  # old nanos encoding
+        pytest.skip("testdata predates the timestamp[us] encoding")
+    return df
+
+
+def test_interval_join_on_raw_ntz_events(spark, raw_events_ntz):
+    """interval_join must accept whatever dtype the reader surfaces."""
+    ev = raw_events_ntz
+    points = ev.select("event_id", "user_id", "ts", "value")
+    intervals = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("win_end"),
+    )
+    joined = interval_join(
+        points, intervals, "ts", "win_start", "win_end",
+        on=["user_id"], bin_width=300,
+    )
+    # Every error event matches at least itself (win_start == its own ts).
+    n_errors = intervals.count()
+    n_self = joined.filter(F.col("event_id") == F.col("error_id")).count()
+    assert n_errors > 0 and n_self == n_errors
+
+
+def test_asof_join_on_raw_ntz_events(spark, raw_events_ntz):
+    """asof_join over the raw-encoded table: each error event's most
+    recent same-user purchase at-or-before it, cross-checked against a
+    direct per-row max aggregation."""
+    ev = raw_events_ntz
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    got = asof_join(
+        errors, purchases, on="user_id", left_time="ts", right_time="p_ts",
+        value_cols=["p_value"], matched_time_col="matched_ts",
+    )
+    expect = (
+        errors.join(purchases, "user_id")
+        .filter(F.col("p_ts") <= F.col("ts"))
+        .groupBy("event_id")
+        .agg(F.max("p_ts").alias("matched_ts"))
+    )
+    diff = (
+        got.select("event_id", "matched_ts")
+        .filter(F.col("matched_ts").isNotNull())
+        .exceptAll(expect)
+    )
+    assert got.count() == errors.count()
+    assert diff.count() == 0
+
+
+def test_registered_event_queries_run_on_real_parquet(spark):
+    """Smoke the whole events-consuming registry block at sf0.001 — the
+    driver-shaped end-to-end path (read_table + query builder)."""
+    from sales_forecast_pyspark_spark.plans.queries import QUERIES
+
+    for name in (
+        "events_window",
+        "sessionization",
+        "events_near_errors",
+        "asof_last_purchase",
+        "user_daily_locf",
+        "latest_events_per_user",
+    ):
+        out = QUERIES[name].builder(spark, SF_SMALL)
+        assert out.count() > 0, name
