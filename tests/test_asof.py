@@ -215,3 +215,87 @@ def test_asof_property_matches_brute_force(spark, lefts, rights):
         ]
         expect = max(cands)[1] if cands else None
         assert got[i] == expect, (i, k, t, cands)
+
+
+def test_duplicate_right_times_with_tolerance_oracle_parity(spark):
+    """The combined edge the per-feature tests miss: several right rows
+    share the matched (key, timestamp) AND a tolerance bound is active.
+    Pinned against a DuckDB replay of the asof_last_purchase oracle
+    shape (union-then-window, greatest-order tie-break) with the
+    tolerance predicate applied on top, so operator and oracle agree on
+    BOTH who wins the tie and when the match is too stale."""
+    import duckdb
+
+    left_rows = [
+        (1, ts("2024-01-01 12:00:00"), "tie-at-left-time"),
+        (1, ts("2024-01-01 12:30:00"), "tie-in-tolerance"),
+        (1, ts("2024-01-01 14:00:00"), "tie-too-stale"),
+        (2, ts("2024-01-01 12:00:00"), "dup-before-left"),
+        (2, ts("2024-01-01 11:00:00"), "before-any-right"),
+    ]
+    right_rows = [
+        # key 1: three rows at the SAME instant — rid 12 must win
+        (1, ts("2024-01-01 12:00:00"), 10.0, 10),
+        (1, ts("2024-01-01 12:00:00"), 11.0, 11),
+        (1, ts("2024-01-01 12:00:00"), 12.0, 12),
+        # key 2: duplicate instant strictly before the left time
+        (2, ts("2024-01-01 11:30:00"), 20.0, 20),
+        (2, ts("2024-01-01 11:30:00"), 21.0, 21),
+    ]
+    left = spark.createDataFrame(left_rows, "k long, t timestamp, tag string")
+    right = spark.createDataFrame(
+        right_rows, "k long, t timestamp, v double, rid long"
+    )
+    got = collect_map(
+        asof_join(
+            left, right, on="k", left_time="t",
+            value_cols=["v", "rid"], right_order="rid",
+            tolerance=F.expr("INTERVAL 1 HOUR"),
+        )
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE l AS SELECT * FROM (VALUES "
+        + ", ".join(f"({k}, TIMESTAMP '{t}', '{tag}')" for k, t, tag in left_rows)
+        + ") AS t(k, t, tag)"
+    )
+    con.execute(
+        "CREATE TABLE r AS SELECT * FROM (VALUES "
+        + ", ".join(f"({k}, TIMESTAMP '{t}', {v}, {rid})" for k, t, v, rid in right_rows)
+        + ") AS t(k, t, v, rid)"
+    )
+    oracle = {
+        (k, tag): (v, rid)
+        for k, tag, v, rid in con.execute(
+            """
+WITH u AS (
+  SELECT k, t, 0 AS side, rid AS ord, t AS rt, v AS r_v, rid AS r_rid,
+         NULL::VARCHAR AS tag FROM r
+  UNION ALL
+  SELECT k, t, 1 AS side, NULL, NULL, NULL, NULL, tag FROM l
+), w AS (
+  SELECT k, tag, t, side,
+         last_value(rt IGNORE NULLS) OVER win AS rt,
+         last_value(r_v IGNORE NULLS) OVER win AS r_v,
+         last_value(r_rid IGNORE NULLS) OVER win AS r_rid
+  FROM u
+  WINDOW win AS (PARTITION BY k ORDER BY t, side, ord
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT k, tag,
+       CASE WHEN rt >= t - INTERVAL 1 HOUR THEN r_v END AS v,
+       CASE WHEN rt >= t - INTERVAL 1 HOUR THEN r_rid END AS rid
+FROM w WHERE side = 1
+"""
+        ).fetchall()
+    }
+    assert set(got) == set(oracle)
+    for key, row in got.items():
+        assert (row["v"], row["rid"]) == oracle[key], (key, row, oracle[key])
+    # and the specific pins, so a joint regression in both engines fails too:
+    assert got[(1, "tie-at-left-time")]["rid"] == 12   # greatest order wins the tie
+    assert got[(1, "tie-in-tolerance")]["rid"] == 12   # 30 min stale, in range
+    assert got[(1, "tie-too-stale")]["rid"] is None    # 2 h stale, nulled
+    assert got[(2, "dup-before-left")]["rid"] == 21
+    assert got[(2, "before-any-right")]["rid"] is None
