@@ -204,11 +204,20 @@ def minhash_near_dedup(
         )
     rows_per_band = num_hashes // bands
     sh = _exploded_shingles(df, id_col, text_col, n)
-    sig = sh.groupBy(id_col).agg(
+    # Hash columns are projected BEFORE the groupBy: aggregate
+    # expressions are not common-subexpression-eliminated against each
+    # other, and keeping the per-hash expressions tiny keeps the
+    # 32-aggregate partial-min codegen cheap (same hoist as
+    # vectorize.py::srp_signatures).
+    hashed = sh.select(
+        id_col,
         *[
-            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+            F.xxhash64(F.lit(i), F.col("shingle")).alias(f"_x{i}")
             for i in range(num_hashes)
-        ]
+        ],
+    )
+    sig = hashed.groupBy(id_col).agg(
+        *[F.min(F.col(f"_x{i}")).alias(f"h{i}") for i in range(num_hashes)]
     )
     band_buckets = sig.select(
         F.col(id_col),
