@@ -193,6 +193,96 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def expiring_user_stats(
+    events: DataFrame, ttl: str = "1 hour", watermark: str = "0 seconds"
+) -> DataFrame:
+    """TTL-expiring per-user stats via ``applyInPandasWithState`` with an
+    EVENT-TIME timeout — the state-lifecycle pattern
+    ``running_user_totals`` (NoTimeout) cannot provide for an UNBOUNDED
+    key space: every key's state would otherwise live for the query's
+    lifetime, and on a 100 TB stream the state store, not the data,
+    becomes the bottleneck.
+
+    Per user: count events and sum value across micro-batches; arm an
+    event-time timeout at (max event time seen for this key + ttl). When
+    the watermark passes that mark with no new events, Spark invokes the
+    handler once more with ``state.hasTimedOut`` set: the key emits a
+    FINAL row (``final=true``) and its state is removed — emit-on-expiry
+    with custom finalization logic, which no built-in window/session
+    operator expresses. Keys seen again later start fresh (a new
+    "visit"). Non-final rows stream out on every update, so downstream
+    gets both live running values and a terminal record per visit.
+
+    Timeouts only fire when the watermark ADVANCES, i.e. at micro-batch
+    boundaries — a single availableNow batch never expires anything
+    (the test drives two batches via maxFilesPerTrigger)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def _update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            n, total, last_ms = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                    "final": [True],
+                }
+            )
+            return
+        n, total, last_ms = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+            batch_max_ms = int(pdf["ts"].max().value // 1_000_000)
+            last_ms = max(last_ms, batch_max_ms)
+        state.update((n, total, last_ms))
+        # arm expiry at (latest event for this key + ttl); must exceed
+        # the current watermark or Spark rejects it
+        timeout_at = max(
+            last_ms + _TTL_MS[0], state.getCurrentWatermarkMs() + 1
+        )
+        state.setTimeoutTimestamp(timeout_at)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 2)],
+                "final": [False],
+            }
+        )
+
+    # Resolve the TTL interval to milliseconds once, driver-side, with
+    # Spark's own interval parser (so '1 hour', '90 seconds' etc. all
+    # work); smuggled into the closure via a 1-element list.
+    sess = events.sparkSession
+    _TTL_MS = [
+        int(
+            sess.range(1)
+            .select(
+                (
+                    F.unix_timestamp(
+                        F.lit("1970-01-01 00:00:00").cast("timestamp")
+                        + F.expr(f"INTERVAL {ttl}")
+                    )
+                    * 1000
+                ).alias("ms")
+            )
+            .first()["ms"]
+        )
+    ]
+
+    return events.withWatermark("ts", watermark).groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType="user_id long, n_events long, total_value double, final boolean",
+        stateStructType="n long, total double, last_ms long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def run_available_now(
     df: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> DataFrame:

@@ -5,6 +5,8 @@ must produce exactly the batch query's results once the stream drains
 
 from __future__ import annotations
 
+from datetime import datetime
+
 from sales_forecast_pyspark_spark.plans.queries import QUERIES
 from sales_forecast_pyspark_spark.streaming import (
     run_available_now,
@@ -235,3 +237,67 @@ def test_docsgen_stream_restart_exactly_once(spark, tmp_path):
     got = spark.read.parquet(*committed)
     assert got.count() == 300
     assert got.select("doc_id").distinct().count() == 300
+
+
+def test_ttl_stateful_expiry_emits_final_rows(spark, tmp_path):
+    """expiring_user_stats: state armed with an event-time TTL emits a
+    final row and drops its state once the watermark passes (last event
+    + ttl). Two parquet files drained one-per-trigger give two
+    micro-batches: batch 2's events advance the watermark far past
+    user 1's batch-1 activity, so user 1 finalizes; user 2 (active in
+    batch 2) stays live with running totals only."""
+    import pandas as pd
+
+    from sales_forecast_pyspark_spark.streaming.stream_ops import (
+        expiring_user_stats,
+    )
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+    schema = "event_id long, ts timestamp, user_id long, value double"
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    t0 = datetime.fromisoformat("2024-01-01 10:00:00")
+
+    def at(minutes):
+        return datetime.fromisoformat("2024-01-01 10:00:00") + pd.Timedelta(
+            minutes=minutes
+        )
+
+    write_file("b1.parquet", [(1, t0, 1, 5.0), (2, at(1), 1, 7.0), (3, at(1), 2, 1.0)])
+    # batch 2: user 2 active 3 hours later -> watermark (max ts, 0s
+    # delay) passes user 1's (last event + 1h TTL) and expires it
+    write_file("b2.parquet", [(4, at(180), 2, 2.0)])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*.parquet")
+    )
+    out = expiring_user_stats(stream, ttl="1 hour", watermark="0 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ttl_stats_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = [r.asDict() for r in spark.table("ttl_stats_test").collect()]
+
+    finals = [r for r in rows if r["final"]]
+    assert len(finals) == 1, rows
+    assert finals[0]["user_id"] == 1
+    assert finals[0]["n_events"] == 2
+    assert finals[0]["total_value"] == 12.0  # 5.0 + 7.0, frozen at expiry
+
+    live_u2 = [r for r in rows if r["user_id"] == 2 and not r["final"]]
+    assert [r["n_events"] for r in live_u2] == [1, 2]  # running update per batch
+    assert live_u2[-1]["total_value"] == 3.0
+    # user 2 never expired: no final row for it
+    assert not any(r["final"] for r in rows if r["user_id"] == 2)
