@@ -96,3 +96,114 @@ def hll_rollup(
         .agg(F.hll_union_agg(F.col("hll")).alias("hll"))
         .select(*coarse_keys, F.hll_sketch_estimate("hll").alias(out_col))
     )
+
+
+def topk_rollup(
+    df: DataFrame,
+    fine_keys: Sequence[str],
+    coarse_keys: Sequence[str],
+    col: str,
+    k: int = 10,
+    max_items_tracked: int = 10_000,
+) -> DataFrame:
+    """Two-level MERGEABLE heavy-hitters: ``approx_top_k_accumulate``
+    sketches at the fine grain, ``approx_top_k_combine`` upward to the
+    coarse grain, ``approx_top_k_estimate`` there — the frequent-items
+    twin of ``hll_rollup``, with the same incremental-rollup property:
+    persist the fine-grain sketch table and answer any coarser top-k
+    without rescanning raw data.
+
+    Why not exact ``groupBy(col).count().orderBy desc.limit(k)``: the
+    exact plan's first aggregate carries one row per DISTINCT value per
+    group — at web-corpus token cardinality that is the scan all over
+    again. The sketch state is bounded by ``max_items_tracked`` entries
+    per group regardless of cardinality. Counts for items that stay
+    within the tracked set all the way up are EXACT (SpaceSaving-family
+    guarantee); items that churned in/out carry overestimates bounded by
+    the eviction floor — set ``max_items_tracked >> k`` (the default
+    tracks 1000x a k of 10) so head items never churn.
+
+    Output: ``coarse_keys…, item, est_count, rank`` — ``k`` rows per
+    coarse group, rank 1 = most frequent, ties broken by item value for
+    a deterministic order. The sketch is OVERSAMPLED (k x 8, min 64)
+    before the deterministic re-rank: ``approx_top_k_estimate`` breaks
+    count ties by its internal heap order, so asking it for exactly
+    ``k`` items would let the sketch — not the declared (count desc,
+    item asc) order — choose which tied items survive the cut."""
+    k_est = min(int(max_items_tracked), max(int(k) * 8, 64))
+    fine = df.groupBy(*fine_keys).agg(
+        F.expr(f"approx_top_k_accumulate({col}, {int(max_items_tracked)})").alias(
+            "_tk"
+        )
+    )
+    coarse = fine.groupBy(*coarse_keys).agg(
+        F.expr(f"approx_top_k_combine(_tk, {int(max_items_tracked)})").alias("_tk")
+    )
+    est = coarse.select(
+        *coarse_keys,
+        F.explode(F.expr(f"approx_top_k_estimate(_tk, {k_est})")).alias("_e"),
+    ).select(
+        *coarse_keys,
+        F.col("_e.item").alias("item"),
+        F.col("_e.count").alias("est_count"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*coarse_keys).orderBy(
+        F.col("est_count").desc(), F.col("item").asc()
+    )
+    return est.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def theta_overlap(
+    df: DataFrame,
+    group_col: str,
+    member_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Pairwise distinct-member overlap between groups via Apache
+    DataSketches THETA sketches — the set-operation tier HLL lacks: HLL
+    unions only, theta sketches also INTERSECT, so "how many distinct
+    users did both A and B touch" needs one sketch per group instead of
+    a (group x group) self-join of the raw membership table.
+
+    At 100 TB the raw-data alternative is a distinct on (group, member)
+    followed by a self-join on member — quadratic in the hot members and
+    a full extra shuffle. Here: ONE aggregation builds a ~2^lg_k-byte
+    sketch per group; the pairwise stage joins single-row-per-group
+    sketch tables (broadcast, trivially) and intersects driver-free.
+    Estimates carry the sketches' relative error (~1/sqrt(2^lg_k));
+    exactness is regression-tested against the exact tier in
+    tests/test_sketches.py.
+
+    Output: ``group_a, group_b (a < b), n_a, n_b, n_overlap, n_union``
+    — jaccard and containment derive in one map from these four."""
+    sk = df.groupBy(group_col).agg(
+        F.expr(f"theta_sketch_agg({member_col}, {int(lg_k)})").alias("_sk"),
+    )
+    a = sk.select(
+        F.col(group_col).alias("group_a"), F.col("_sk").alias("_sk_a")
+    )
+    b = sk.select(
+        F.col(group_col).alias("group_b"), F.col("_sk").alias("_sk_b")
+    )
+    return (
+        a.join(b, F.col("group_a") < F.col("group_b"))
+        .select(
+            "group_a",
+            "group_b",
+            F.round(F.expr("theta_sketch_estimate(_sk_a)")).cast("long").alias("n_a"),
+            F.round(F.expr("theta_sketch_estimate(_sk_b)")).cast("long").alias("n_b"),
+            F.round(
+                F.expr("theta_sketch_estimate(theta_intersection(_sk_a, _sk_b))")
+            )
+            .cast("long")
+            .alias("n_overlap"),
+            F.round(F.expr("theta_sketch_estimate(theta_union(_sk_a, _sk_b))"))
+            .cast("long")
+            .alias("n_union"),
+        )
+        .orderBy("group_a", "group_b")
+    )

@@ -2326,6 +2326,97 @@ def _forecast_tree(spark: SparkSession, sf_dir: str, preset_name: str) -> DataFr
     )
 
 
+@register(
+    "token_topk_sketch",
+    """
+WITH tok AS (
+  SELECT lang, source, w
+  FROM (
+    SELECT lang, source,
+           unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+    FROM documents
+  )
+  WHERE w <> ''
+),
+cnt AS (
+  SELECT lang, w AS item, COUNT(*) AS est_count
+  FROM tok GROUP BY 1, 2
+),
+rk AS (
+  SELECT lang, item, est_count,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY est_count DESC, item ASC) AS rank
+  FROM cnt
+)
+SELECT lang, item, est_count, CAST(rank AS INT) AS rank
+FROM rk WHERE rank <= 5
+ORDER BY lang, rank
+""",
+)
+def q_token_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable heavy-hitters rollup (operators/sketches.py::
+    topk_rollup): approx_top_k sketches accumulated per (lang, source),
+    combined up to lang, estimated there — the frequent-items twin of
+    the HLL rollup, with the same persist-the-fine-sketches property.
+    The oracle is EXACT counting: approx_top_k counts are exact while
+    the per-group vocabulary (31 here) stays within max_items_tracked
+    (10,000), which holds at every test SF — at web-corpus cardinality
+    the same plan degrades gracefully to bounded-error estimates
+    instead of blowing up the aggregation state."""
+    from sales_forecast_pyspark_spark.operators.sketches import topk_rollup
+
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang",
+        "source",
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("w"),
+    ).filter(F.col("w") != "")
+    out = topk_rollup(tok, ["lang", "source"], ["lang"], "w", k=5)
+    return out.select(
+        "lang",
+        "item",
+        F.col("est_count").cast("long").alias("est_count"),
+        F.col("rank").cast("int").alias("rank"),
+    ).orderBy("lang", "rank")
+
+
+@register(
+    "user_overlap_theta",
+    """
+WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+c AS (SELECT event_type, COUNT(*) AS n FROM d GROUP BY 1),
+ov AS (
+  SELECT a.event_type AS group_a, b.event_type AS group_b,
+         COUNT(*) AS n_overlap
+  FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT ca.event_type AS group_a, cb.event_type AS group_b,
+       ca.n AS n_a, cb.n AS n_b,
+       COALESCE(ov.n_overlap, 0) AS n_overlap,
+       ca.n + cb.n - COALESCE(ov.n_overlap, 0) AS n_union
+FROM c ca
+JOIN c cb ON ca.event_type < cb.event_type
+LEFT JOIN ov ON ov.group_a = ca.event_type AND ov.group_b = cb.event_type
+ORDER BY group_a, group_b
+""",
+)
+def q_user_overlap_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap via theta sketches
+    (operators/sketches.py::theta_overlap): one sketch per event_type,
+    then intersections/unions of SKETCHES instead of a raw-membership
+    self-join on user_id. The oracle is the exact set algebra: theta
+    sketches are exact below 2^lg_k distinct members (1,500 users here
+    vs 4,096 nominal entries), which holds at every test SF — at
+    billions of users the same one-sketch-per-group plan keeps working
+    with ~1.6% relative error while the exact self-join's hot-member
+    fan-out does not."""
+    from sales_forecast_pyspark_spark.operators.sketches import theta_overlap
+
+    ev = read_table(spark, sf_dir, "events")
+    return theta_overlap(ev, "event_type", "user_id", lg_k=12)
+
+
 @register("forecast_rf")  # rows-only: ML not SQL-expressible
 def q_forecast_rf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M3: RandomForest preset (numTrees=50, maxDepth=5, seed=42,
@@ -2376,6 +2467,9 @@ _CHECK_PRIORITY = [
     "forecast_gbt",
     # errored in round 3 (unhashable array output, now serialized)
     "embedding_quantize",
+    # new in round 4 — never driver-checked
+    "token_topk_sketch",
+    "user_overlap_theta",
     # rows-only entries — cheap to keep in-budget
     "forecast_lr",
     "forecast_lr_full",

@@ -89,3 +89,51 @@ def test_hll_rollup_merges_consistently_and_bounds_error(spark):
     assert set(m) == set(exact)
     for et, est in m.items():
         assert abs(est - exact[et]) / exact[et] < 0.05, (et, est, exact[et])
+
+
+def test_topk_rollup_merge_path_equals_direct_and_handles_churn(spark):
+    """topk_rollup's two-level accumulate->combine->estimate must agree
+    with a single-level count at small cardinality (exactness regime),
+    keep the declared deterministic tie order, and emit exactly k rows
+    per coarse group."""
+    from sales_forecast_pyspark_spark.operators.sketches import topk_rollup
+
+    rows = [
+        (g, s, w)
+        for g in ("g1", "g2")
+        for s in ("s1", "s2")
+        for w, c in (("a", 5), ("b", 5), ("c", 3), ("d", 1))
+        for _ in range(c)
+    ]
+    df = spark.createDataFrame(rows, "g string, s string, w string")
+    got = topk_rollup(df, ["g", "s"], ["g"], "w", k=3).collect()
+    by_g = {}
+    for r in got:
+        by_g.setdefault(r["g"], []).append((r["rank"], r["item"], r["est_count"]))
+    for g in ("g1", "g2"):
+        # counts double across the two fine groups; tie a/b broken by item
+        assert sorted(by_g[g]) == [(1, "a", 10), (2, "b", 10), (3, "c", 6)], by_g
+
+
+def test_theta_overlap_exact_regime_matches_set_algebra(spark):
+    """theta_overlap under 2^lg_k distinct members reproduces exact set
+    intersection/union, including zero-overlap pairs (present with
+    n_overlap=0, not dropped)."""
+    from sales_forecast_pyspark_spark.operators.sketches import theta_overlap
+
+    rows = (
+        [("x", i) for i in range(40)]
+        + [("y", i) for i in range(20, 60)]
+        + [("z", i) for i in range(100, 110)]  # disjoint from x and y
+    )
+    df = spark.createDataFrame(rows, "grp string, member long")
+    got = {
+        (r["group_a"], r["group_b"]): r.asDict()
+        for r in theta_overlap(df, "grp", "member", lg_k=12).collect()
+    }
+    assert got[("x", "y")]["n_overlap"] == 20
+    assert got[("x", "y")]["n_union"] == 60
+    assert got[("x", "z")]["n_overlap"] == 0
+    assert got[("x", "z")]["n_union"] == 50
+    assert got[("y", "z")]["n_overlap"] == 0
+    assert set(got) == {("x", "y"), ("x", "z"), ("y", "z")}
