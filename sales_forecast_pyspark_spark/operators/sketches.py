@@ -207,3 +207,59 @@ def theta_overlap(
         )
         .orderBy("group_a", "group_b")
     )
+
+
+def kll_rollup(
+    df: DataFrame,
+    fine_keys: Sequence[str],
+    coarse_keys: Sequence[str],
+    col: str,
+    probs: Sequence[float],
+    k: int = 200,
+    prefix: str = "p",
+) -> DataFrame:
+    """Two-level MERGEABLE quantiles — the rank twin of ``hll_rollup`` /
+    ``topk_rollup``, completing the sketch family (distinct=HLL,
+    frequency=top-k, set-ops=theta, quantiles=KLL): DataSketches KLL
+    sketches at the fine grain, merged upward to the coarse grain,
+    queried there. Persist the fine sketch table once and any coarser
+    percentile cube is answered without rescanning raw data — what
+    ``percentile_approx`` cannot do (its GK buffer dies inside the one
+    aggregation that built it).
+
+    Spark ships ``kll_sketch_merge_double`` as a two-sketch scalar (no
+    merge aggregate), so the coarse level folds a ``collect_list`` of
+    fine sketches with ``aggregate``. The list is SORTED first: KLL
+    compaction in the sampling regime depends on merge order, and
+    ``collect_list`` order is partition-dependent — sorting pins a
+    deterministic merged sketch for any partitioning. List size is the
+    fine-per-coarse group count (bounded by construction: day-grain
+    fine keys roll into month/all-time coarse keys), each entry ~3 kB
+    at k=200 (worst-case normalized rank error ~1.65%).
+
+    Below ~k retained values per sketch KLL is EXACT and returns actual
+    data values — ``quantile_disc`` semantics, which the oracle pins at
+    the test SFs."""
+    q_arr = "array(" + ", ".join(repr(float(p)) for p in probs) + ")"
+    fine = df.groupBy(*fine_keys).agg(
+        F.expr(f"kll_sketch_agg_double({col}, {int(k)})").alias("_sk")
+    )
+    merged = (
+        fine.groupBy(*coarse_keys)
+        .agg(F.sort_array(F.collect_list("_sk")).alias("_skl"))
+        .select(
+            *coarse_keys,
+            F.expr(
+                "aggregate(slice(_skl, 2, size(_skl) - 1), _skl[0], "
+                "(acc, x) -> kll_sketch_merge_double(acc, x))"
+            ).alias("_sk"),
+        )
+    )
+    qcol = F.expr(f"kll_sketch_get_quantile_double(_sk, {q_arr})")
+    return merged.select(
+        *coarse_keys,
+        *[
+            qcol.getItem(i).alias(f"{prefix}{100 * p:g}")
+            for i, p in enumerate(probs)
+        ],
+    )

@@ -2417,6 +2417,36 @@ def q_user_overlap_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return theta_overlap(ev, "event_type", "user_id", lg_k=12)
 
 
+@register("value_quantiles_kll")  # rows-only: KLL sampling regime at this SF
+def q_value_quantiles_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile rollup (operators/sketches.py::kll_rollup):
+    KLL sketches per (event_type, day) merged up to event_type. Unlike
+    the HLL/top-k/theta queries, the events table at test SF already
+    exceeds the sketch's exact regime (~12k values/group vs k=200
+    retained), so this registers rows-only with the exact discrete
+    quantiles carried ALONGSIDE as self-audit columns — the p*_exact
+    tier is a collect_list sort (test-scale audit only, NOT the scale
+    path; the KLL columns are). Rank-error bounds are pinned in
+    tests/test_sketches.py. Output is deterministic: day-grain fine
+    sketches stay exact (<200 values each) and the coarse merge folds a
+    sorted sketch list."""
+    from sales_forecast_pyspark_spark.operators.sketches import kll_rollup
+
+    probs = [0.25, 0.5, 0.9, 0.99]
+    ev = read_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    kll = kll_rollup(ev, ["event_type", "day"], ["event_type"], "value", probs)
+    arr = F.sort_array(F.collect_list("value"))
+    exact = ev.groupBy("event_type").agg(
+        *[
+            F.element_at(
+                arr, F.ceil(F.size(arr) * F.lit(p)).cast("int")
+            ).alias(f"p{100 * p:g}_exact")
+            for p in probs
+        ]
+    )
+    return kll.join(exact, "event_type").orderBy("event_type")
+
+
 @register("forecast_rf")  # rows-only: ML not SQL-expressible
 def q_forecast_rf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M3: RandomForest preset (numTrees=50, maxDepth=5, seed=42,
@@ -2470,6 +2500,7 @@ _CHECK_PRIORITY = [
     # new in round 4 — never driver-checked
     "token_topk_sketch",
     "user_overlap_theta",
+    "value_quantiles_kll",
     # rows-only entries — cheap to keep in-budget
     "forecast_lr",
     "forecast_lr_full",

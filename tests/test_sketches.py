@@ -137,3 +137,45 @@ def test_theta_overlap_exact_regime_matches_set_algebra(spark):
     assert got[("x", "z")]["n_union"] == 50
     assert got[("y", "z")]["n_overlap"] == 0
     assert set(got) == {("x", "y"), ("x", "z"), ("y", "z")}
+
+
+def test_kll_rollup_exact_regime_and_rank_error(spark):
+    """kll_rollup: below k retained values the merged sketch returns
+    exact discrete quantiles; above it (events at SF_ORACLE) every
+    estimate's true rank stays within the k=200 sketch's normalized
+    rank-error bound (~1.65%, checked at 3x for merge slack)."""
+    from sales_forecast_pyspark_spark.operators.sketches import kll_rollup
+
+    # exact regime: 26 values split across fine groups
+    vals = [float(v) for v in range(1, 27)]
+    df = spark.createDataFrame(
+        [(("g1" if i % 2 else "g2"), v) for i, v in enumerate(vals)],
+        "g string, x double",
+    )
+    got = kll_rollup(df, ["g"], [], "x", [0.5, 1.0]).first()
+    assert got["p50"] == 13.0  # quantile_disc semantics: ceil(0.5*26)th value
+    assert got["p100"] == 26.0
+
+    # sampling regime on the real events table
+    from pyspark.sql import functions as F
+
+    from sales_forecast_pyspark_spark.sources.readers import read_table
+
+    ev = read_table(spark, SF_ORACLE, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    probs = [0.25, 0.5, 0.9]
+    est = kll_rollup(ev, ["event_type", "day"], ["event_type"], "value", probs)
+    ranks = ev.join(est, "event_type").groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum((F.col("value") <= F.col(f"p{100 * p:g}")).cast("int")).alias(
+                f"r{i}"
+            )
+            for i, p in enumerate(probs)
+        ],
+    )
+    for row in ranks.collect():
+        for i, p in enumerate(probs):
+            frac = row[f"r{i}"] / row["n"]
+            assert abs(frac - p) <= 0.05, (row["event_type"], p, frac)
