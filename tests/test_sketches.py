@@ -179,3 +179,45 @@ def test_kll_rollup_exact_regime_and_rank_error(spark):
         for i, p in enumerate(probs):
             frac = row[f"r{i}"] / row["n"]
             assert abs(frac - p) <= 0.05, (row["event_type"], p, frac)
+
+
+def test_hll_incremental_merge_equals_full_recompute(spark, tmp_path):
+    """Maintaining a persisted fine-sketch table incrementally (merge
+    yesterday's table with today's delta) gives estimates IDENTICAL to
+    rebuilding from all raw data — including through a parquet
+    round-trip of the sketch binaries, and for keys present on only one
+    side."""
+    from pyspark.sql import functions as F
+
+    from sales_forecast_pyspark_spark.operators.sketches import (
+        hll_fine_sketches,
+        hll_merge_rollups,
+    )
+    from sales_forecast_pyspark_spark.sources.readers import read_table
+
+    ev = read_table(spark, SF_ORACLE, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    cutoff = ev.select(F.percentile_approx("day", F.lit(0.8))).first()[0]
+    old, new = ev.filter(F.col("day") <= cutoff), ev.filter(F.col("day") > cutoff)
+
+    base = hll_fine_sketches(old, ["event_type", "day"], "user_id")
+    path = str(tmp_path / "sketches.parquet")
+    base.write.parquet(path)  # persist: binary sketch column round-trips
+    persisted = spark.read.parquet(path)
+
+    delta = hll_fine_sketches(new, ["event_type", "day"], "user_id")
+    merged = hll_merge_rollups(persisted, delta, ["event_type", "day"])
+
+    est = lambda fine: {
+        tuple(r)[:-1]: r[-1]
+        for r in fine.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("n")
+        )
+        .collect()
+    }
+    full = hll_fine_sketches(ev, ["event_type", "day"], "user_id")
+    assert est(merged) == est(full)
+    # delta-only days exist on one side only and must pass through
+    assert merged.count() == full.count()
