@@ -1648,6 +1648,63 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sessionization_dynamic",
+    """
+WITH e AS (
+  SELECT user_id, ts,
+         ts + CASE WHEN event_type IN ('view','click')
+                   THEN INTERVAL 30 MINUTES ELSE INTERVAL 10 MINUTES END AS reach
+  FROM events
+), g AS (
+  SELECT user_id, ts,
+         CASE WHEN ts > max(reach) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) THEN 1 ELSE 0 END AS new_s
+  FROM e
+), s AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM g
+)
+SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_event,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
+""",
+)
+def q_sessionization_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC-GAP sessionization: the inactivity gap depends on the
+    event itself (engaged-browsing events extend the session 30 min,
+    transactional ones 10) via ``session_window``'s per-event gap
+    expression — no custom state code, same one-shuffle shape as the
+    fixed-gap query. Gap columns must be CalendarIntervalType
+    (``make_interval``); DAY-TIME interval CASE branches are rejected.
+    The oracle is the chained-reach gaps-and-islands form: a new
+    session starts when ts exceeds the running max of every previous
+    event's (ts + its gap) — NOT just the previous event's reach, which
+    would split sessions a long-gap event should have bridged."""
+    ev = read_table(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type").isin("view", "click"),
+        F.expr("make_interval(0,0,0,0,0,30,0)"),
+    ).otherwise(F.expr("make_interval(0,0,0,0,0,10,0)"))
+    return (
+        ev.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "last_event"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "last_event", "n_events")
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
     "pivot_event_counts",
     """
 SELECT user_id,
@@ -2501,6 +2558,7 @@ _CHECK_PRIORITY = [
     "token_topk_sketch",
     "user_overlap_theta",
     "value_quantiles_kll",
+    "sessionization_dynamic",
     # rows-only entries — cheap to keep in-budget
     "forecast_lr",
     "forecast_lr_full",
