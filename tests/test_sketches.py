@@ -221,3 +221,67 @@ def test_hll_incremental_merge_equals_full_recompute(spark, tmp_path):
     assert est(merged) == est(full)
     # delta-only days exist on one side only and must pass through
     assert merged.count() == full.count()
+
+
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_items = st.lists(
+    st.tuples(st.sampled_from(["g1", "g2"]), st.integers(0, 8)),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_items)
+def test_topk_rollup_property_matches_exact_counts(spark, rows):
+    """In the exact regime (cardinality << max_items_tracked), the
+    two-level top-k rollup equals brute-force counting with the
+    declared (count desc, item asc) order, for arbitrary data."""
+    from sales_forecast_pyspark_spark.operators.sketches import topk_rollup
+
+    df = spark.createDataFrame(
+        [(g, i % 2, str(v)) for (g, v), i in zip(rows, range(len(rows)))],
+        "g string, s int, w string",
+    )
+    got = {
+        (r["g"], r["rank"]): (r["item"], r["est_count"])
+        for r in topk_rollup(df, ["g", "s"], ["g"], "w", k=3).collect()
+    }
+    by_group: dict[str, Counter] = {}
+    for i, (g, v) in enumerate(rows):
+        by_group.setdefault(g, Counter())[str(v)] += 1
+    for g, cnt in by_group.items():
+        expect = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        for rank, (item, c) in enumerate(expect, 1):
+            assert got[(g, rank)] == (item, c), (g, rank, got, expect)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_items)
+def test_theta_overlap_property_matches_sets(spark, rows):
+    """Exact-regime theta overlap equals Python set algebra for
+    arbitrary group/member layouts, including single-group inputs
+    (empty result) and zero-overlap pairs."""
+    from sales_forecast_pyspark_spark.operators.sketches import theta_overlap
+
+    df = spark.createDataFrame(rows, "grp string, member long")
+    got = {
+        (r["group_a"], r["group_b"]): (r["n_a"], r["n_b"], r["n_overlap"], r["n_union"])
+    for r in theta_overlap(df, "grp", "member").collect()}
+    sets: dict[str, set] = {}
+    for g, m in rows:
+        sets.setdefault(g, set()).add(m)
+    groups = sorted(sets)
+    expect = {
+        (a, b): (
+            len(sets[a]), len(sets[b]),
+            len(sets[a] & sets[b]), len(sets[a] | sets[b]),
+        )
+        for i, a in enumerate(groups)
+        for b in groups[i + 1:]
+    }
+    assert got == expect
