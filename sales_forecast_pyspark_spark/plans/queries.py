@@ -2103,6 +2103,20 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+@register("ann_pq_topk")  # rows-only: KMeans codebooks are not SQL-expressible
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (llmdata/similarity.py::pq_topk):
+    8-subspace codebooks compress vectors to 8 code bytes, ADC lookup
+    tables score the compressed corpus, exact cosine re-ranks a 4x
+    pruned candidate set. Recall >= 0.5 vs cosine_topk is pinned in
+    tests/test_similarity.py; deterministic (seeded codebooks, tie
+    order by neighbor id)."""
+    from sales_forecast_pyspark_spark.llmdata.similarity import pq_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return pq_topk(emb, emb.limit(20), k=5)
+
+
 @register("embedding_near_dups")  # rows-only: LSH hyperplanes are not SQL-expressible
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: LSH candidate generation, then
@@ -2559,6 +2573,7 @@ _CHECK_PRIORITY = [
     "user_overlap_theta",
     "value_quantiles_kll",
     "sessionization_dynamic",
+    "ann_pq_topk",
     # rows-only entries — cheap to keep in-budget
     "forecast_lr",
     "forecast_lr_full",

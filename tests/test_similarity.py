@@ -245,3 +245,31 @@ def test_quantize_roundtrip_error_bound(spark):
     cq = dequantize_embeddings(quantize_embeddings(const), out_col="emb_hat").first()
     assert cq["codes"] == [0, 0, 0]
     assert cq["emb_hat"] == [2.5, 2.5, 2.5]
+
+
+def test_pq_topk_recall_and_determinism(emb, spark):
+    """Product-quantization ANN: recall@5 vs exact cosine must clear
+    the same bar as IVF (>= 0.5 with the default prune-then-refine
+    config), results must be identical across runs (seeded codebooks),
+    and every returned neighbor's cos_sim must match the exact score
+    (the refine stage computes true cosines, not ADC estimates)."""
+    from sales_forecast_pyspark_spark.llmdata.similarity import (
+        cosine_topk,
+        pq_topk,
+    )
+
+    queries = emb.limit(20)
+    got = pq_topk(emb, queries, k=5)
+    pairs = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in got.collect()}
+    exact = cosine_topk(emb, queries, k=5)
+    epairs = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in exact.collect()}
+    recall = len(pairs.keys() & epairs.keys()) / len(epairs)
+    assert recall >= 0.5, recall
+    # refined scores are exact cosines: equal wherever both report a pair
+    for key in pairs.keys() & epairs.keys():
+        assert abs(pairs[key] - epairs[key]) < 1e-6, key
+    rerun = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in pq_topk(emb, queries, k=5).collect()
+    }
+    assert rerun == pairs
