@@ -117,3 +117,48 @@ def quality_report(
     for r in reports[1:]:
         out = out.unionByName(r)
     return out.orderBy("check")
+
+
+def skew_profile(
+    df: DataFrame,
+    keys: list[str],
+    top_n: int = 10,
+) -> DataFrame:
+    """Per-key distribution diagnosis — the measurement you run BEFORE
+    choosing a skew remedy (``salted_join``, AQE skew thresholds,
+    repartitioning): one hash aggregate to per-key row counts, then a
+    single-row summary of the count distribution plus the ``top_n``
+    heaviest keys.
+
+    The output's load-bearing number is ``skew_ratio`` = max key count /
+    mean key count: a shuffle on these keys gives its busiest reducer
+    ~skew_ratio x the average work, so a ratio around the cluster's
+    task-time tolerance (5-10x, AQE's skewedPartitionFactor regime)
+    means the plain shuffle is fine and anything far beyond it needs
+    salting or a broadcast. ``p50/p99_rows_per_key`` locate where the
+    mass sits; ``top_keys`` (key rendered as a string, count) names the
+    offenders so the fix can be targeted (e.g. salt ONLY the hot keys).
+
+    Cost: the same one-shuffle aggregate any groupBy on these keys pays,
+    over (keys, count) rows only — safe to run on the 100 TB input
+    itself. Returns ONE row."""
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
+    key_str = F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
+    top = (
+        counts.orderBy(F.desc("_n"), *[F.asc(k) for k in keys])
+        .limit(top_n)
+        .select(F.struct(key_str.alias("key"), F.col("_n").alias("n")).alias("s"))
+        .agg(F.collect_list("s").alias("top_keys"))
+    )
+    summary = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("_n").alias("n_rows"),
+        F.max("_n").alias("max_rows_per_key"),
+        F.round(F.avg("_n"), 2).alias("mean_rows_per_key"),
+        F.percentile(F.col("_n"), F.lit(0.5)).alias("p50_rows_per_key"),
+        F.percentile(F.col("_n"), F.lit(0.99)).alias("p99_rows_per_key"),
+    ).withColumn(
+        "skew_ratio",
+        F.round(F.col("max_rows_per_key") / F.col("mean_rows_per_key"), 2),
+    )
+    return summary.crossJoin(top)  # two 1-row frames

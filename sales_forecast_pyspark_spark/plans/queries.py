@@ -1705,6 +1705,54 @@ def q_sessionization_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "key_skew_profile",
+    """
+WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+t AS (
+  SELECT string_agg(user_id || ':' || n, ',' ORDER BY n DESC, user_id ASC) AS top_keys
+  FROM (SELECT user_id, n FROM c ORDER BY n DESC, user_id ASC LIMIT 5)
+)
+SELECT (SELECT COUNT(*) FROM c) AS n_keys,
+       (SELECT SUM(n) FROM c) AS n_rows,
+       (SELECT MAX(n) FROM c) AS max_rows_per_key,
+       (SELECT ROUND(AVG(n), 2) FROM c) AS mean_rows_per_key,
+       (SELECT quantile_cont(n, 0.5) FROM c) AS p50_rows_per_key,
+       (SELECT quantile_cont(n, 0.99) FROM c) AS p99_rows_per_key,
+       (SELECT ROUND(MAX(n) / ROUND(AVG(n), 2), 2) FROM c) AS skew_ratio,
+       t.top_keys
+FROM t
+""",
+)
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnosis (operators/quality.py::skew_profile) on
+    the events-per-user distribution: one row with the key-count
+    distribution, skew_ratio (max/mean — the busiest-reducer multiplier
+    a shuffle on this key pays), and the heaviest keys — the
+    measurement that decides between plain shuffle, AQE skew handling,
+    and targeted salting before running a 100 TB join. ``top_keys`` is
+    serialized to a 'key:count' string for the driver's hasher."""
+    from sales_forecast_pyspark_spark.operators.quality import skew_profile
+
+    ev = read_table(spark, sf_dir, "events")
+    out = skew_profile(ev, ["user_id"], top_n=5)
+    return out.select(
+        "n_keys",
+        "n_rows",
+        "max_rows_per_key",
+        "mean_rows_per_key",
+        "p50_rows_per_key",
+        "p99_rows_per_key",
+        "skew_ratio",
+        F.array_join(
+            F.transform(
+                "top_keys", lambda s: F.concat_ws(":", s["key"], s["n"].cast("string"))
+            ),
+            ",",
+        ).alias("top_keys"),
+    )
+
+
+@register(
     "pivot_event_counts",
     """
 SELECT user_id,
@@ -2574,6 +2622,7 @@ _CHECK_PRIORITY = [
     "value_quantiles_kll",
     "sessionization_dynamic",
     "ann_pq_topk",
+    "key_skew_profile",
     # rows-only entries — cheap to keep in-budget
     "forecast_lr",
     "forecast_lr_full",
