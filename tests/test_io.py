@@ -193,3 +193,22 @@ def test_docsgen_python_datasource(spark):
     planted = {(i - 1, i) for i in range(9, 200, 10)}
     found = {p for p in planted if p in pairs or (p[1], p[0]) in pairs}
     assert len(found) >= 0.8 * len(planted)
+
+
+def test_partitioned_scan_actually_prunes(spark, tmp_path):
+    """A filter on the partition column must reach the scan as a
+    PartitionFilter (directory-level pruning: non-matching partitions
+    are never listed into the scan), not as a post-scan row filter —
+    the property that makes a date-partitioned 100 TB table cheap to
+    time-slice."""
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", float(i)) for i in range(10)],
+        "id long, k string, v double",
+    )
+    path = os.path.join(str(tmp_path), "pt")
+    write_parquet(df, path, partition_by=["k"])
+    scan = spark.read.parquet(path).filter(F.col("k") == "a")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "(k" in plan.split("PartitionFilters")[1][:80], plan
+    # and the pruned read returns only the matching partition's rows
+    assert sorted(r["id"] for r in scan.collect()) == [1, 3, 5, 7, 9]
