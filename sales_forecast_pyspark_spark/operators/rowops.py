@@ -5,7 +5,7 @@ Reference operators P4-P9 (SURVEY.md §2.2).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -140,6 +140,37 @@ def latest_snapshot(
 
     order = [F.col(c).desc() for c in version_cols]
     return grouped_top_k(df, keys, order, 1, rank_col="__rn").drop("__rn")
+
+
+def scd2_intervals(
+    df: DataFrame,
+    keys: list[str],
+    version_cols: list[str],
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from a changelog — the
+    HISTORY twin of ``latest_snapshot``: every version of every key is
+    kept, annotated with its validity interval. ``valid_from`` is the
+    row's own first version column; ``valid_to`` is the NEXT version's
+    ``valid_from`` (half-open [from, to) intervals — they tile each
+    key's timeline with no gaps or overlaps); the newest row per key
+    gets a null ``valid_to`` and ``is_current`` true.
+
+    ``version_cols`` must totally order each key's versions (unique
+    tie-break last), exactly as in ``latest_snapshot`` — same reason:
+    otherwise lead() is partition-order-dependent. One shuffle on the
+    keys (a single window), no join; point-in-time lookups against the
+    result are ``asof_join``s or a ``valid_from <= t < valid_to``
+    interval join, both already in the operator set."""
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in version_cols])
+    first_version = version_cols[0]
+    return (
+        df.withColumn(valid_from_col, F.col(first_version))
+        .withColumn(valid_to_col, F.lead(valid_from_col).over(w))
+        .withColumn(current_col, F.col(valid_to_col).isNull())
+    )
 
 
 def winsorize(

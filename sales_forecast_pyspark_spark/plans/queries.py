@@ -1705,6 +1705,41 @@ def q_sessionization_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "user_state_history",
+    """
+SELECT event_id, user_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+       strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+       lead(ts) OVER w IS NULL AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+ORDER BY user_id, valid_from, event_id
+""",
+)
+def q_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 history tracking (operators/rowops.py::scd2_intervals):
+    every event version of a user annotated with its half-open
+    [valid_from, valid_to) interval; the newest row per user is
+    is_current with a null valid_to. The history twin of the
+    latest_events_per_user compaction — together they give a changelog
+    both its current state and its point-in-time queryability (the
+    intervals feed asof_join / interval_join directly)."""
+    from sales_forecast_pyspark_spark.operators.rowops import scd2_intervals
+
+    ev = read_table(spark, sf_dir, "events")
+    out = scd2_intervals(ev, ["user_id"], ["ts", "event_id"])
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("valid_from", fmt).alias("valid_from"),
+        F.date_format("valid_to", fmt).alias("valid_to"),
+        "is_current",
+    ).orderBy("user_id", "valid_from", "event_id")
+
+
+@register(
     "key_skew_profile",
     """
 WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
@@ -2623,6 +2658,7 @@ _CHECK_PRIORITY = [
     "sessionization_dynamic",
     "ann_pq_topk",
     "key_skew_profile",
+    "user_state_history",
     # rows-only entries — cheap to keep in-budget
     "forecast_lr",
     "forecast_lr_full",

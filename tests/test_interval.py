@@ -128,3 +128,33 @@ def test_interval_property_matches_brute_force(spark, times, spans, bin_width):
         if lo <= t <= lo + width
     }
     assert got == brute
+
+
+def test_scd2_intervals_tile_each_key_timeline(spark):
+    """SCD-2 validity intervals must tile each key's timeline: exactly
+    one is_current row per key (null valid_to), every other row's
+    valid_to equals the next row's valid_from (half-open, no gaps or
+    overlaps), and ties in the version column are ordered by the
+    unique tie-break."""
+    from sales_forecast_pyspark_spark.operators.rowops import scd2_intervals
+
+    rows = [
+        (1, 10, 100, "a"),
+        (1, 20, 101, "b"),
+        (1, 20, 102, "c"),  # same version instant, id tie-break
+        (2, 5, 103, "x"),
+    ]
+    df = spark.createDataFrame(rows, "k long, v long, uid long, payload string")
+    got = sorted(
+        (
+            (r["k"], r["valid_from"], r["valid_to"], r["is_current"], r["payload"])
+            for r in scd2_intervals(df, ["k"], ["v", "uid"]).collect()
+        ),
+        key=lambda t: (t[0], t[1], t[2] is None, t[2] or 0, t[4]),
+    )
+    assert got == [
+        (1, 10, 20, False, "a"),
+        (1, 20, 20, False, "b"),   # zero-length interval for the tie loser
+        (1, 20, None, True, "c"),
+        (2, 5, None, True, "x"),
+    ]
