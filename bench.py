@@ -49,6 +49,11 @@ BENCH_QUERIES = [
     "sessionization",
     "asof_last_purchase",
     "events_near_errors",
+    "sessionization_dynamic",
+    "user_state_history",
+    "key_skew_profile",
+    "user_overlap_theta",
+    "token_topk_sketch",
     "event_value_profile",
     "pivot_event_counts",
     "events_json_extract",
