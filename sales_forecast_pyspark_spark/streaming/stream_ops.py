@@ -86,8 +86,40 @@ def sessionize_stream(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:
     """Streaming sessionization with the built-in ``session_window`` —
-    the stateful-operator path without custom state code (dynamic-gap or
-    custom-merge semantics would drop to applyInPandasWithState)."""
+    the stateful-operator path without custom state code (dynamic gaps
+    are a gap EXPRESSION, see ``sessionize_stream_dynamic``; only custom
+    MERGE semantics need applyInPandasWithState)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "last_event"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "last_event", "n_events")
+    )
+
+
+def sessionize_stream_dynamic(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming DYNAMIC-GAP sessionization — the same per-event
+    CalendarInterval gap expression as the batch
+    ``sessionization_dynamic`` query (engaged-browsing events extend
+    the session 30 min, transactional ones 10), run through the
+    stateful ``session_window`` operator with a watermark bounding the
+    open-session state. Batch-stream equivalence is asserted in tests;
+    no custom state code — the gap EXPRESSION is the extension point,
+    applyInPandasWithState is only needed for custom merge logic."""
+    gap = F.when(
+        F.col("event_type").isin("view", "click"),
+        F.expr("make_interval(0,0,0,0,0,30,0)"),
+    ).otherwise(F.expr("make_interval(0,0,0,0,0,10,0)"))
     return (
         events.withWatermark("ts", watermark)
         .groupBy("user_id", F.session_window("ts", gap).alias("w"))

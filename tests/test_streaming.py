@@ -301,3 +301,16 @@ def test_ttl_stateful_expiry_emits_final_rows(spark, tmp_path):
     assert live_u2[-1]["total_value"] == 3.0
     # user 2 never expired: no final row for it
     assert not any(r["final"] for r in rows if r["user_id"] == 2)
+
+
+def test_streaming_dynamic_gap_sessionization_matches_batch(spark):
+    from sales_forecast_pyspark_spark.streaming.stream_ops import (
+        sessionize_stream_dynamic,
+    )
+
+    stream = sessionize_stream_dynamic(stream_events(spark, SF_SMALL))
+    got = run_available_now(stream, "stream_dynsess_test")
+    batch = QUERIES["sessionization_dynamic"].builder(spark, SF_SMALL)
+    cols = ["user_id", "session_start", "last_event", "n_events"]
+    assert _rows(got, cols) == _rows(batch, cols)
+    assert got.count() > 0
