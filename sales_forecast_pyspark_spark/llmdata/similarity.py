@@ -447,3 +447,190 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    codebook_k: int = 32,
+    refine_factor: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the composition of the two scale
+    tiers into the standard billion-scale layout (FAISS's IVFPQ;
+    Jégou et al. TPAMI 2011, public literature): a coarse KMeans
+    quantizer restricts each query to ``n_probe`` cells (IVF), and
+    within probed cells the RESIDUALS (vector − its cell centroid) are
+    PQ-encoded and scored with per-(query, cell) ADC lookup tables.
+    Residual encoding is what makes the composition better than either
+    tier alone: residuals concentrate near zero, so the same codebook
+    budget quantizes them much more finely than raw vectors.
+
+    Scale shape: the corpus stores (cell, m code bytes) per vector;
+    a query touches ~n_probe/n_centroids of the corpus, reads only
+    codes, and computes m lookups per candidate; the
+    k x refine_factor survivors are re-ranked with exact cosine.
+    Codebooks are shared across cells (trained on the pooled
+    residuals), so the broadcast state is m x codebook_k centroids +
+    n_centroids cell centers regardless of corpus size.
+
+    Output and determinism match ``pq_topk`` (seeded, neighbor-id tie
+    order, refined scores are true cosines)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = df.sparkSession
+    corpus0 = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("v0"),
+    )
+    norm = F.sqrt(
+        F.aggregate(F.transform("v0", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    corpus = (
+        corpus0.withColumn("n", norm)
+        .filter(F.col("n") > 0)
+        .select("neighbor_id", F.transform("v0", lambda x: x / F.col("n")).alias("v"))
+    )
+    d = len(corpus.select("v").first()["v"])
+    if d % m != 0:
+        raise ValueError(f"vector dim {d} must divide evenly into m={m} subspaces")
+    sub = d // m
+    corpus.cache()
+
+    # Coarse quantizer (IVF cells).
+    vecs = corpus.select("neighbor_id", "v", array_to_vector(F.col("v")).alias("_fv"))
+    coarse = KMeans(
+        k=n_centroids, seed=seed, featuresCol="_fv", predictionCol="cell"
+    ).fit(vecs)
+    cells = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(coarse.clusterCenters())],
+        "cell int, cv array<double>",
+    )
+    assigned = (
+        coarse.transform(vecs)
+        .select("neighbor_id", "v", "cell")
+        .join(F.broadcast(cells), "cell")
+        .select(
+            "neighbor_id",
+            "v",
+            "cell",
+            F.zip_with("v", "cv", lambda x, y: x - y).alias("r"),
+        )
+    )
+    assigned.cache()
+
+    # Shared PQ codebooks trained on pooled residuals, then encode.
+    enc = assigned
+    codebooks = []
+    for j in range(m):
+        enc = enc.withColumn(f"_f{j}", array_to_vector(F.slice("r", j * sub + 1, sub)))
+        km = KMeans(
+            k=codebook_k, seed=seed + 1 + j, featuresCol=f"_f{j}", predictionCol=f"_c{j}"
+        ).fit(enc)
+        enc = km.transform(enc)
+        codebooks += [
+            (j, c, [float(x) for x in cen])
+            for c, cen in enumerate(km.clusterCenters())
+        ]
+    enc = enc.select(
+        "neighbor_id",
+        "v",
+        "cell",
+        F.array(*[F.col(f"_c{j}") for j in range(m)]).alias("codes"),
+    )
+    cb = spark.createDataFrame(codebooks, "j int, code int, cen array<double>")
+
+    q0 = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv0"),
+    )
+    qnorm = F.sqrt(
+        F.aggregate(F.transform("qv0", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    q = (
+        q0.withColumn("n", qnorm)
+        .filter(F.col("n") > 0)
+        .select("query_id", F.transform("qv0", lambda x: x / F.col("n")).alias("qv"))
+    )
+
+    # Probe the n_probe nearest cells per query.
+    cell_d = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.asc("cd"), F.asc("cell"))
+    probes = (
+        q.join(F.broadcast(cells))
+        .select(
+            "query_id",
+            "qv",
+            "cell",
+            cell_d.alias("cd"),
+            F.zip_with("qv", "cv", lambda x, y: x - y).alias("qr"),
+        )
+        .withColumn("pr", F.row_number().over(w_probe))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "qv", "cell", "qr")
+    )
+
+    # Per-(query, cell) ADC tables from the query RESIDUAL.
+    sqd = F.aggregate(
+        F.zip_with(
+            F.slice("qr", F.col("j") * sub + 1, sub),
+            F.col("cen"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    tabs = (
+        probes.join(F.broadcast(cb))
+        .select("query_id", "qv", "cell", "j", "code", sqd.alias("dd"))
+        .groupBy("query_id", "qv", "cell", "j")
+        .agg(F.array_sort(F.collect_list(F.struct("code", "dd"))).alias("cl"))
+        .select(
+            "query_id", "qv", "cell", "j",
+            F.transform("cl", lambda s: s["dd"]).alias("tab"),
+        )
+        .groupBy("query_id", "qv", "cell")
+        .agg(F.array_sort(F.collect_list(F.struct("j", "tab"))).alias("jt"))
+        .select(
+            "query_id", "qv", "cell",
+            F.transform("jt", lambda s: s["tab"]).alias("tables"),
+        )
+    )
+
+    # Score ONLY probed cells' codes (equality join on cell), refine.
+    adc = F.aggregate(
+        F.zip_with("codes", "tables", lambda c, t: F.element_at(t, c.cast("int") + 1)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    scored = (
+        tabs.join(enc, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "qv", "neighbor_id", "v", adc.alias("adc"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+    cand = scored.withColumn("prank", F.row_number().over(w_adc)).filter(
+        F.col("prank") <= k * refine_factor
+    )
+    cos = F.round(
+        F.aggregate(F.zip_with("v", "qv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x),
+        6,
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        cand.select("query_id", "neighbor_id", cos.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w_cos))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

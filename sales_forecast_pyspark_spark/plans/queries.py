@@ -2200,6 +2200,19 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, emb.limit(20), k=5)
 
 
+@register("ann_ivfpq_topk")  # rows-only: KMeans cells/codebooks not SQL-expressible
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (llmdata/similarity.py::ivfpq_topk): coarse cells
+    restrict each query to n_probe/n_centroids of the corpus, residual
+    PQ codes are ADC-scored within probed cells, exact cosine re-ranks
+    the pruned set — the billion-scale composition of the IVF and PQ
+    tiers. Recall >= 0.5 pinned in tests/test_similarity.py."""
+    from sales_forecast_pyspark_spark.llmdata.similarity import ivfpq_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(emb, emb.limit(20), k=5)
+
+
 @register("embedding_near_dups")  # rows-only: LSH hyperplanes are not SQL-expressible
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: LSH candidate generation, then
@@ -2659,6 +2672,7 @@ _CHECK_PRIORITY = [
     "ann_pq_topk",
     "key_skew_profile",
     "user_state_history",
+    "ann_ivfpq_topk",
     # rows-only entries — cheap to keep in-budget
     "forecast_lr",
     "forecast_lr_full",

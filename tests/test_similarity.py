@@ -273,3 +273,27 @@ def test_pq_topk_recall_and_determinism(emb, spark):
         for r in pq_topk(emb, queries, k=5).collect()
     }
     assert rerun == pairs
+
+
+def test_ivfpq_topk_recall_and_determinism(emb, spark):
+    """IVF-PQ composition: recall@5 vs exact cosine >= 0.5 while
+    scanning only n_probe/n_centroids of the corpus; deterministic
+    across runs; refined scores are exact cosines."""
+    from sales_forecast_pyspark_spark.llmdata.similarity import (
+        cosine_topk,
+        ivfpq_topk,
+    )
+
+    queries = emb.limit(20)
+    got = ivfpq_topk(emb, queries, k=5)
+    pairs = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in got.collect()}
+    exact = cosine_topk(emb, queries, k=5)
+    epairs = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in exact.collect()}
+    assert len(pairs.keys() & epairs.keys()) / len(epairs) >= 0.5
+    for key in pairs.keys() & epairs.keys():
+        assert abs(pairs[key] - epairs[key]) < 1e-6, key
+    rerun = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in ivfpq_topk(emb, queries, k=5).collect()
+    }
+    assert rerun == pairs
