@@ -121,6 +121,30 @@ def time_split(
     return train, test
 
 
+def epoch_shuffle(
+    df: DataFrame,
+    key: str,
+    epoch: int = 0,
+    order_col: str = "shuffle_order",
+) -> DataFrame:
+    """Deterministic training-epoch shuffle: a total order from
+    ``md5(key || ':' || epoch)`` — every epoch is a different but fully
+    reproducible permutation of the corpus, identical across engines
+    (md5 is everywhere), partition counts, and reruns; exactly what a
+    trainer feed needs where ``orderBy(rand(seed))`` is Spark-internal
+    and ``repartition`` order is nondeterministic.
+
+    One range shuffle (the global sort). At 100 TB a full sort per
+    epoch is real cost — the standard cheat is to shuffle SHARD order
+    plus intra-shard order (sequence packing's hashed shards already
+    give the former), but when a true global permutation is required
+    this is its reproducible form. Ties are impossible (md5 over
+    distinct keys); duplicate keys order together — pass a unique key.
+    """
+    h = F.md5(F.concat_ws(":", F.col(key).cast("string"), F.lit(str(epoch))))
+    return df.withColumn(order_col, h).orderBy(order_col)
+
+
 def latest_snapshot(
     df: DataFrame,
     keys: list[str],

@@ -1740,6 +1740,25 @@ def q_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "epoch_shuffle",
+    """
+SELECT doc_id, lang, md5(doc_id || ':' || 1) AS shuffle_order
+FROM documents
+ORDER BY shuffle_order
+""",
+)
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-1 shuffle of the documents corpus
+    (operators/rowops.py::epoch_shuffle): a reproducible global
+    permutation for trainer feeds, identical across engines and
+    partitionings — the oracle replays the md5 order in DuckDB."""
+    from sales_forecast_pyspark_spark.operators.rowops import epoch_shuffle
+
+    docs = read_table(spark, sf_dir, "documents")
+    return epoch_shuffle(docs.select("doc_id", "lang"), "doc_id", epoch=1)
+
+
+@register(
     "key_skew_profile",
     """
 WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
@@ -2673,6 +2692,7 @@ _CHECK_PRIORITY = [
     "key_skew_profile",
     "user_state_history",
     "ann_ivfpq_topk",
+    "epoch_shuffle",
     # rows-only entries — cheap to keep in-budget
     "forecast_lr",
     "forecast_lr_full",
