@@ -1,0 +1,77 @@
+"""Plan-shape invariants as CI: the properties PLANS.md documents,
+asserted for every auditable registered query so a regression (a new
+cartesian product, an undeclared nested-loop join, lost scan pushdown
+on the flagship) fails the suite instead of surfacing in a 100 TB run.
+
+Builds plans only (no execution) at sf0.001; the ML/iterative queries
+that fit models at plan-build time are skipped exactly as in
+scripts/audit_plans.py.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sales_forecast_pyspark_spark.plans.queries import QUERIES
+from tests.conftest import SF_SMALL
+
+# Queries that fit models / run jobs at plan-build time (same set as
+# scripts/audit_plans.py) — building their "plan" costs minutes.
+SKIP = {
+    "forecast_lr", "forecast_lr_full", "forecast_segmented",
+    "forecast_eval_kpi", "lr_coefficients_top", "ann_ivf_topk",
+    "dedup_clusters", "near_dedup_survivors", "forecast_rf",
+    "forecast_gbt", "ann_pq_topk", "ann_ivfpq_topk",
+}
+
+# BNLJ appears ONLY where a bounded side is deliberately broadcast:
+# the declared brute-force ANN baseline, 1-row summary crossJoins, and
+# the pairwise group_a < group_b join over one-row-per-group sketch
+# frames (bounded by the group count, not the data).
+BNLJ_DECLARED = {
+    "ann_topk",
+    "data_quality_report",
+    "key_skew_profile",
+    "user_overlap_theta",
+}
+
+AUDITABLE = [n for n in QUERIES if n not in SKIP]
+
+
+def _plan(spark, name):
+    q = QUERIES[name]
+    return q.builder(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_no_cartesian_products_anywhere(spark):
+    offenders = [n for n in AUDITABLE if "CartesianProduct" in _plan(spark, n)]
+    assert offenders == [], offenders
+
+
+def test_nested_loop_joins_only_where_declared(spark):
+    offenders = [
+        n
+        for n in AUDITABLE
+        if "BroadcastNestedLoopJoin" in _plan(spark, n) and n not in BNLJ_DECLARED
+    ]
+    assert offenders == [], offenders
+
+
+@pytest.mark.parametrize("name", ["daily_rollup", "eval_join", "lag_features"])
+def test_flagship_scans_push_filters(spark, name):
+    """The flagship fact-table plans must push at least one filter to
+    the parquet scan (join-key IsNotNull counts — it prunes nulls
+    before the shuffle)."""
+    import re
+
+    plan = _plan(spark, name)
+    assert re.search(r"PushedFilters: \[[^\]]", plan), name
+
+
+def test_flagship_rollup_is_single_exchange(spark):
+    """daily_rollup: one hash-partitioning exchange (the groupBy), the
+    dimension joins broadcast — the shape that holds at 100x."""
+    import re
+
+    plan = _plan(spark, "daily_rollup")
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
