@@ -2693,17 +2693,10 @@ _CHECK_PRIORITY = [
     "user_state_history",
     "ann_ivfpq_topk",
     "epoch_shuffle",
-    # rows-only entries — cheap to keep in-budget
-    "forecast_lr",
-    "forecast_lr_full",
-    "forecast_segmented",
-    "sequence_packs",
-    "near_dedup_minhash",
-    "near_dedup_survivors",
-    "simhash_pairs",
-    "ann_lsh_pairs",
-    "tfidf_similar_docs",
-    # oracle rows kept fresh (recently-added operator families)
+    # oracle rows kept fresh (recently-added operator families) — these
+    # outrank the rows-only tier below: an oracle row is stronger
+    # evidence per check-budget slot than re-confirming a rows-only
+    # count, so if the driver's budget cuts anywhere, it cuts there
     "sessionization",
     "events_window",
     "multimodal_features",
@@ -2724,6 +2717,16 @@ _CHECK_PRIORITY = [
     "value_weighted_error",
     "kpi_global",
     "date_rollup",
+    # rows-only entries (ML / hash internals), re-confirmed as budget allows
+    "forecast_lr",
+    "forecast_lr_full",
+    "forecast_segmented",
+    "sequence_packs",
+    "near_dedup_minhash",
+    "near_dedup_survivors",
+    "simhash_pairs",
+    "ann_lsh_pairs",
+    "tfidf_similar_docs",
 ]
 
 
