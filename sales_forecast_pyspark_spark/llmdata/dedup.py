@@ -314,3 +314,52 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def duplicated_chunk_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 50,
+) -> DataFrame:
+    """Boilerplate / template detection at CHUNK grain: split each doc
+    into non-overlapping ``chunk_tokens``-token chunks, md5 each, and
+    report per document how many of its chunks appear verbatim in at
+    least one OTHER document. A high ``dup_fraction`` with a surviving
+    doc-level dedup pass is the classic template signature (shared
+    headers/footers/navigation around unique cores) — the doc-grain
+    near-dup tiers rank such docs below threshold, so this is the
+    complementary lens.
+
+    Shape: one tokenize+explode (map-only), md5 per chunk, a hash-agg
+    on the chunk hash for distinct-doc counts, one equality join back
+    on the hash, one doc-keyed agg — all hash-partitioned, no pairwise
+    anything; chunk hashes are 16 bytes regardless of chunk text size.
+    Exact and cross-engine (md5), so fully oracle-checkable."""
+    from sales_forecast_pyspark_spark.llmdata.text import chunk_documents
+
+    ch = chunk_documents(
+        df, id_col=id_col, text_col=text_col,
+        chunk_tokens=chunk_tokens, overlap=0,
+    )
+    h = ch.select(F.col(id_col), F.md5(F.col("chunk_text")).alias("_h"))
+    docs_per_hash = h.groupBy("_h").agg(
+        F.countDistinct(id_col).alias("_ndocs")
+    )
+    return (
+        h.join(docs_per_hash, "_h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("_ndocs") >= 2).cast("int")).alias("n_dup_chunks"),
+        )
+        .select(
+            id_col,
+            "n_chunks",
+            "n_dup_chunks",
+            F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 4).alias(
+                "dup_fraction"
+            ),
+        )
+        .orderBy(id_col)
+    )

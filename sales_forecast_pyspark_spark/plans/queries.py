@@ -1095,6 +1095,49 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "boilerplate_chunk_stats",
+    """
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+),
+ch AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(toks, start + 1, start + 50), ' ')) AS h
+  FROM (
+    SELECT doc_id, toks, unnest(range(0, length(toks), 50)) AS start
+    FROM tok WHERE length(toks) > 0
+  )
+),
+dph AS (SELECT h, COUNT(DISTINCT doc_id) AS ndocs FROM ch GROUP BY 1)
+SELECT ch.doc_id,
+       COUNT(*) AS n_chunks,
+       SUM(CASE WHEN dph.ndocs >= 2 THEN 1 ELSE 0 END) AS n_dup_chunks,
+       ROUND(SUM(CASE WHEN dph.ndocs >= 2 THEN 1 ELSE 0 END) / COUNT(*), 4) AS dup_fraction
+FROM ch JOIN dph ON ch.h = dph.h
+GROUP BY ch.doc_id
+ORDER BY ch.doc_id
+""",
+)
+def q_boilerplate_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-grain boilerplate detection (llmdata/dedup.py::
+    duplicated_chunk_stats): fraction of each doc's non-overlapping
+    50-token chunks that appear verbatim in at least one other doc —
+    the template/shared-header lens that doc-grain near-dup scoring
+    misses. Exact md5 chunk identity, fully oracle-checked."""
+    from sales_forecast_pyspark_spark.llmdata.dedup import duplicated_chunk_stats
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = duplicated_chunk_stats(docs, "doc_id", "text", chunk_tokens=50)
+    return out.select(
+        "doc_id",
+        F.col("n_chunks").cast("long").alias("n_chunks"),
+        F.col("n_dup_chunks").cast("long").alias("n_dup_chunks"),
+        "dup_fraction",
+    )
+
+
+@register(
     "pii_scrub",
     r"""
 SELECT doc_id,
@@ -2693,6 +2736,7 @@ _CHECK_PRIORITY = [
     "user_state_history",
     "ann_ivfpq_topk",
     "epoch_shuffle",
+    "boilerplate_chunk_stats",
     # oracle rows kept fresh (recently-added operator families) — these
     # outrank the rows-only tier below: an oracle row is stronger
     # evidence per check-budget slot than re-confirming a rows-only
