@@ -363,3 +363,53 @@ def duplicated_chunk_stats(
         )
         .orderBy(id_col)
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: containment C(A in B) = |A∩B| / |A| over
+    distinct n-gram shingles — the subset lens symmetric Jaccard
+    misses. A short doc fully embedded in a much longer one (a quoted
+    article, a post plus its reply chain, a doc plus appended
+    boilerplate) has Jaccard ~ |A|/|B| (arbitrarily low) but
+    containment ~ 1; dedup pipelines that only threshold Jaccard keep
+    both copies. Returns ordered pairs (doc_a contained in doc_b,
+    doc_a != doc_b, both directions evaluated) with the shared/|A|/|B|
+    counts so callers can re-derive Jaccard too.
+
+    Same one co-shingle self-join as the exact Jaccard operator (the
+    pair fan-out is symmetric; only the final scoring differs), same
+    flat-df caveat: prefix filtering does not apply to containment
+    (its correctness argument is Jaccard-specific), so heavy-tailed
+    corpora should pre-filter stop-shingles upstream."""
+    sh = _exploded_shingles(df, id_col, text_col, n)
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    shared = (
+        a.join(b, ["shingle"])
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    na = counts.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    nb = counts.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        shared.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            "n_a",
+            "n_b",
+            F.round(F.col("shared") / F.col("n_a"), 4).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1372,6 +1372,48 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ngram_containment_pairs",
+    """
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+  WHERE length(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) > 0
+),
+shl AS (
+  SELECT doc_id, list_distinct(CASE WHEN length(toks) >= 3
+      THEN list_transform(range(1, length(toks) - 3 + 2), i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+      ELSE [array_to_string(toks, ' ')] END) AS shingles
+  FROM tok
+),
+sh AS (SELECT doc_id, UNNEST(shingles) AS shingle FROM shl),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+sp AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, shared, na.n AS n_a, nb.n AS n_b,
+       ROUND(CAST(shared AS DOUBLE) / na.n, 4) AS containment
+FROM sp
+JOIN cnt na ON sp.doc_a = na.doc_id
+JOIN cnt nb ON sp.doc_b = nb.doc_id
+WHERE ROUND(CAST(shared AS DOUBLE) / na.n, 4) >= 0.8
+ORDER BY doc_a, doc_b
+""",
+)
+def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup (llmdata/dedup.py::
+    ngram_containment_pairs): C(A in B) = |A∩B|/|A| over 3-gram
+    shingles — catches short docs embedded in longer ones, where
+    Jaccard ~ |A|/|B| stays below any sane threshold and symmetric
+    dedup keeps both copies."""
+    from sales_forecast_pyspark_spark.llmdata.dedup import ngram_containment_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    return ngram_containment_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+
+
+@register(
     "dedup_clusters",
     _SHINGLE_CTE.replace("WITH tok", "WITH RECURSIVE tok", 1)
     + """
@@ -2737,6 +2779,7 @@ _CHECK_PRIORITY = [
     "ann_ivfpq_topk",
     "epoch_shuffle",
     "boilerplate_chunk_stats",
+    "ngram_containment_pairs",
     # oracle rows kept fresh (recently-added operator families) — these
     # outrank the rows-only tier below: an oracle row is stronger
     # evidence per check-budget slot than re-confirming a rows-only
