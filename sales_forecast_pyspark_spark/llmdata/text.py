@@ -283,3 +283,54 @@ def repetition_stats(
             f"n{n}_top", F.coalesce(F.col(f"n{n}_top"), F.lit(0))
         )
     return out
+
+
+def unigram_surprisal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 7,
+) -> DataFrame:
+    """Corpus-internal language-model quality score: mean unigram
+    surprisal −mean(ln p(w)) per document, with p(w) the token's
+    corpus frequency — the zero-dependency stand-in for the
+    perplexity filters real pipelines run with external LMs. Low
+    scores flag repetitive/templated text (tokens the corpus has
+    everywhere); high scores flag gibberish (tokens the corpus has
+    nowhere). Two corpus aggregates (token frequencies + total), a
+    frequency join, one doc-keyed mean — all hash-partitioned.
+
+    Determinism follows the stable_avg pattern: per-token surprisal is
+    rounded at ``scale`` then summed in DECIMAL, so the mean is exact
+    given the rounded values, and ln() outputs (identical IEEE doubles
+    across engines except at most the last ulp) can only diverge after
+    rounding if a value lands within an ulp of a .5e-7 boundary —
+    measure-zero for transcendentals. Output rounded to 4.
+    """
+    from sales_forecast_pyspark_spark.functions.deterministic import dec_sum
+
+    tok = df.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("t"))
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("total"))
+    surp = (
+        tok.join(freq, "t")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            F.round(
+                F.log(F.col("total").cast("double"))
+                - F.log(F.col("cnt").cast("double")),
+                scale,
+            ).alias("s"),
+        )
+    )
+    return (
+        surp.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                dec_sum(F.col("s"), scale=scale) / F.count(F.lit(1)), 4
+            ).alias("avg_surprisal"),
+        )
+        .orderBy(id_col)
+    )

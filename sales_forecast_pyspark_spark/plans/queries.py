@@ -1095,6 +1095,37 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_surprisal",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t
+  FROM documents
+),
+freq AS (SELECT t, COUNT(*) AS cnt FROM tok GROUP BY 1),
+tot AS (SELECT SUM(cnt) AS total FROM freq),
+surp AS (
+  SELECT doc_id,
+         ROUND(ln(CAST(tot.total AS DOUBLE)) - ln(CAST(freq.cnt AS DOUBLE)), 7) AS s
+  FROM tok JOIN freq USING (t) CROSS JOIN tot
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       ROUND(CAST(SUM(CAST(s AS DECIMAL(30,7))) AS DOUBLE) / COUNT(*), 4) AS avg_surprisal
+FROM surp GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def q_doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram surprisal per document (llmdata/text.py::
+    unigram_surprisal) — the corpus-internal perplexity-style quality
+    score: low = templated/repetitive, high = gibberish. Exact decimal
+    mean of 7-decimal-rounded ln() surprisals, oracle-checked."""
+    from sales_forecast_pyspark_spark.llmdata.text import unigram_surprisal
+
+    docs = read_table(spark, sf_dir, "documents")
+    return unigram_surprisal(docs, "doc_id", "text")
+
+
+@register(
     "boilerplate_chunk_stats",
     """
 WITH tok AS (
@@ -2780,6 +2811,7 @@ _CHECK_PRIORITY = [
     "epoch_shuffle",
     "boilerplate_chunk_stats",
     "ngram_containment_pairs",
+    "doc_surprisal",
     # oracle rows kept fresh (recently-added operator families) — these
     # outrank the rows-only tier below: an oracle row is stronger
     # evidence per check-budget slot than re-confirming a rows-only
