@@ -33,6 +33,7 @@ BNLJ_DECLARED = {
     "data_quality_report",
     "key_skew_profile",
     "user_overlap_theta",
+    "doc_surprisal",  # 1-row corpus-total crossJoin(broadcast(...))
 }
 
 AUDITABLE = [n for n in QUERIES if n not in SKIP]
