@@ -241,3 +241,55 @@ def winsorize(
         .withColumn(out_col, clipped)
         .drop("_lo_cut", "_hi_cut")
     )
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: list[str],
+    id_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel analysis: how many entities completed step 1,
+    then step 2 STRICTLY AFTER their step 1, then step 3 after that,
+    and so on — each step matched at its EARLIEST eligible time (the
+    standard funnel semantics: earliest-entry, strict ordering, no
+    window cap; compose with a time-range filter upstream for bounded
+    windows).
+
+    Shape: one filtered hash-aggregate per step, each keyed on
+    ``id_col`` (len(steps) passes over progressively smaller frames —
+    step frames shrink monotonically, so the expensive pass is the
+    first). No window functions, no self-join on the raw events: at
+    100 TB each stage is a key-partitioned agg over one event type's
+    rows. Returns (step_idx, step, n_entities) with step_idx 1-based,
+    monotonically non-increasing counts."""
+    spark = df.sparkSession
+    prev = None
+    counts = []
+    for i, step in enumerate(steps):
+        ev = df.filter(F.col(type_col) == step).select(
+            F.col(id_col).alias("_id"), F.col(ts_col).alias("_ts")
+        )
+        if prev is None:
+            prev = ev.groupBy("_id").agg(F.min("_ts").alias("_t"))
+        else:
+            prev = (
+                ev.join(prev, "_id")
+                .filter(F.col("_ts") > F.col("_t"))
+                .groupBy("_id")
+                .agg(F.min("_ts").alias("_t"))
+            )
+        counts.append((i + 1, step, prev))
+    rows = [
+        frame.agg(
+            F.lit(idx).alias("step_idx"),
+            F.lit(name).alias("step"),
+            F.count(F.lit(1)).alias("n_entities"),
+        )
+        for idx, name, frame in counts
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("step_idx")

@@ -1875,6 +1875,42 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "funnel_signup_view_purchase",
+    """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+  WHERE e.event_type = 'view' GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+  WHERE e.event_type = 'purchase' GROUP BY 1
+)
+SELECT 1 AS step_idx, 'signup' AS step, (SELECT COUNT(*) FROM s1) AS n_entities
+UNION ALL
+SELECT 2, 'view', (SELECT COUNT(*) FROM s2)
+UNION ALL
+SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+ORDER BY step_idx
+""",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (operators/rowops.py::funnel_counts): users who
+    signed up, then viewed strictly after their first signup, then
+    purchased strictly after that earliest eligible view —
+    earliest-entry strict-order semantics, one key-partitioned
+    aggregate per step over monotonically shrinking frames."""
+    from sales_forecast_pyspark_spark.operators.rowops import funnel_counts
+
+    ev = read_table(spark, sf_dir, "events")
+    return funnel_counts(ev, ["signup", "view", "purchase"])
+
+
+@register(
     "key_skew_profile",
     """
 WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
@@ -2812,6 +2848,7 @@ _CHECK_PRIORITY = [
     "boilerplate_chunk_stats",
     "ngram_containment_pairs",
     "doc_surprisal",
+    "funnel_signup_view_purchase",
     # oracle rows kept fresh (recently-added operator families) — these
     # outrank the rows-only tier below: an oracle row is stronger
     # evidence per check-budget slot than re-confirming a rows-only

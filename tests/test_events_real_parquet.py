@@ -131,3 +131,36 @@ def test_registered_event_queries_run_on_real_parquet(spark):
     ):
         out = QUERIES[name].builder(spark, SF_SMALL)
         assert out.count() > 0, name
+
+
+def test_funnel_strict_ordering_semantics(spark):
+    """Funnel steps must be matched at the earliest ELIGIBLE time, not
+    the global min: a user whose only purchase precedes their first
+    eligible view must not count in step 3, and step counts are
+    monotonically non-increasing."""
+    from datetime import datetime
+
+    from sales_forecast_pyspark_spark.operators.rowops import funnel_counts
+
+    t = lambda s: datetime.fromisoformat(f"2024-01-01 {s}")
+    rows = [
+        # u1 completes in order
+        (1, t("09:00:00"), 1, "signup", 0.0, "{}"),
+        (2, t("10:00:00"), 1, "view", 0.0, "{}"),
+        (3, t("11:00:00"), 1, "purchase", 0.0, "{}"),
+        # u2: purchase BEFORE the post-signup view -> stops at step 2
+        (4, t("09:00:00"), 2, "signup", 0.0, "{}"),
+        (5, t("09:30:00"), 2, "purchase", 0.0, "{}"),
+        (6, t("10:00:00"), 2, "view", 0.0, "{}"),
+        # u3: never signs up -> counts nowhere
+        (7, t("08:00:00"), 3, "view", 0.0, "{}"),
+        (8, t("09:00:00"), 3, "purchase", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {
+        r["step"]: r["n_entities"]
+        for r in funnel_counts(ev, ["signup", "view", "purchase"]).collect()
+    }
+    assert got == {"signup": 2, "view": 2, "purchase": 1}
