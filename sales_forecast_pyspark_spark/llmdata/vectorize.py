@@ -235,3 +235,32 @@ def tfidf_near_pairs(
         )
         .orderBy("id_a", "id_b")
     )
+
+
+def doc_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    scale: int = 7,
+) -> DataFrame:
+    """Top-``k`` TF-IDF keywords per document from the exact long-form
+    weighting (``term_tfidf``, unnormalized): the keyword-extraction
+    hook (tagging, routing, weak labels) and the oracle-checkable proof
+    of the TF-IDF arithmetic the similarity tier builds on. Weights are
+    rounded at ``scale`` BEFORE ranking so the (weight desc, term asc)
+    order — and therefore the returned keyword set — is deterministic
+    across engines and partitionings; one row_number window on top of
+    the term_tfidf aggregates."""
+    w = term_tfidf(df, text_col=text_col, id_col=id_col, normalize=False)
+    ranked = w.select(
+        "doc_id", "term", F.round(F.col("w"), scale).alias("weight")
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.desc("weight"), F.asc("term")
+    )
+    return (
+        ranked.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .orderBy("doc_id", "rank")
+    )

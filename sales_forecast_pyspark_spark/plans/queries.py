@@ -1095,6 +1095,45 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_keywords",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+w AS (
+  SELECT doc_id, term,
+         ROUND(tf * ln((nd.n + 1.0) / (dfreq.df + 1.0)), 7) AS weight
+  FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+  WHERE tf * ln((nd.n + 1.0) / (dfreq.df + 1.0)) > 0
+)
+SELECT doc_id, term, weight, CAST(rank AS INT) AS rank
+FROM (
+  SELECT doc_id, term, weight,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY weight DESC, term ASC) AS rank
+  FROM w
+)
+WHERE rank <= 3
+ORDER BY doc_id, rank
+""",
+)
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (llmdata/vectorize.py::
+    doc_keywords) — the keyword-extraction hook and the oracle proof of
+    the exact long-form TF-IDF arithmetic the similarity tier builds
+    on (weights rounded at 7 decimals before the deterministic
+    (weight desc, term) rank)."""
+    from sales_forecast_pyspark_spark.llmdata.vectorize import doc_keywords
+
+    docs = read_table(spark, sf_dir, "documents")
+    return doc_keywords(docs, "text", "doc_id", k=3)
+
+
+@register(
     "doc_surprisal",
     """
 WITH tok AS (
@@ -2849,6 +2888,7 @@ _CHECK_PRIORITY = [
     "ngram_containment_pairs",
     "doc_surprisal",
     "funnel_signup_view_purchase",
+    "doc_keywords",
     # oracle rows kept fresh (recently-added operator families) — these
     # outrank the rows-only tier below: an oracle row is stronger
     # evidence per check-budget slot than re-confirming a rows-only
