@@ -210,3 +210,40 @@ def finalize_daily_rollup(partials: DataFrame, keys: list[str]) -> DataFrame:
             / F.nullif(F.col("_price_cnt"), F.lit(0))
         ).alias("avg_price"),
     )
+
+
+def retention_matrix(
+    df: DataFrame,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly retention cohorts: assign each entity to the Monday-start
+    week of its FIRST event, then count distinct entities active in
+    each subsequent week — the (cohort_week, week_offset, n_active)
+    long form of the classic retention triangle (pivot to wide with the
+    pivot operator if a matrix view is wanted).
+
+    Shape: one min-per-entity aggregate, an equality join back on the
+    entity key, one (cohort, offset) count-distinct — every stage
+    keyed, nothing pairwise; cohort frames are bounded by entities, not
+    events. Offset 0 always contains the full cohort (the first event
+    is itself in week 0), so n_active at offset 0 doubles as cohort
+    size and retention RATES derive in one map."""
+    first = df.groupBy(F.col(id_col).alias("_id")).agg(
+        F.date_trunc("week", F.min(ts_col)).cast("date").alias("cohort_week")
+    )
+    active = df.select(
+        F.col(id_col).alias("_id"),
+        F.date_trunc("week", F.col(ts_col)).cast("date").alias("_week"),
+    ).distinct()
+    return (
+        active.join(first, "_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("_week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("_id").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )

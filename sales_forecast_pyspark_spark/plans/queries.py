@@ -1914,6 +1914,36 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "retention_weekly",
+    """
+WITH first AS (
+  SELECT user_id, date_trunc('week', MIN(ts))::DATE AS cohort_week
+  FROM events GROUP BY 1
+),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS week FROM events
+)
+SELECT first.cohort_week,
+       CAST((active.week - first.cohort_week) / 7 AS INT) AS week_offset,
+       COUNT(DISTINCT active.user_id) AS n_active
+FROM active JOIN first USING (user_id)
+GROUP BY 1, 2
+ORDER BY cohort_week, week_offset
+""",
+)
+def q_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts (operators/aggregates.py::
+    retention_matrix): entities grouped by the week of their first
+    event, distinct-active counts per week offset — the long form of
+    the retention triangle, every stage keyed on the entity or the
+    (cohort, offset) pair."""
+    from sales_forecast_pyspark_spark.operators.aggregates import retention_matrix
+
+    ev = read_table(spark, sf_dir, "events")
+    return retention_matrix(ev)
+
+
+@register(
     "funnel_signup_view_purchase",
     """
 WITH s1 AS (
@@ -2889,6 +2919,7 @@ _CHECK_PRIORITY = [
     "doc_surprisal",
     "funnel_signup_view_purchase",
     "doc_keywords",
+    "retention_weekly",
     # oracle rows kept fresh (recently-added operator families) — these
     # outrank the rows-only tier below: an oracle row is stronger
     # evidence per check-budget slot than re-confirming a rows-only
