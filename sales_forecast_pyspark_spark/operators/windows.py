@@ -189,3 +189,44 @@ def ma_baseline(
     ma = F.avg(col).over(w.rowsBetween(-window, -1))
     lag1 = F.lag(col, 1).over(w)
     return df.select("*", F.coalesce(ma, lag1).alias(out_col))
+
+
+def transition_matrix(
+    df: DataFrame,
+    id_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """First-order transition counts and probabilities between event
+    types within each entity's timeline: one lead() window over
+    (id, time) and one pair-keyed aggregate — the Markov-chain view of
+    behavior streams (next-step prediction baselines, anomalous-flow
+    detection, UX path analysis).
+
+    ``order_tiebreak`` (default: none) is appended to the window order
+    for timelines with duplicate timestamps — pass a unique column or
+    transitions at tied instants are partition-order-dependent. The
+    probability denominator is per SOURCE state (rows sum to 1 per
+    from_type over its outgoing transitions), rounded at 4 for
+    cross-engine hashing. Terminal events (an entity's last) emit no
+    transition."""
+    order = [F.col(ts_col).asc()]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak).asc())
+    w = Window.partitionBy(id_col).orderBy(*order)
+    pairs = (
+        df.withColumn("_next", F.lead(type_col).over(w))
+        .filter(F.col("_next").isNotNull())
+        .groupBy(
+            F.col(type_col).alias("from_type"), F.col("_next").alias("to_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 4).alias("p"),
+    ).orderBy("from_type", "to_type")

@@ -1914,6 +1914,35 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_transitions",
+    """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+pairs AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       ROUND(n / SUM(n) OVER (PARTITION BY from_type), 4) AS p
+FROM pairs
+ORDER BY from_type, to_type
+""",
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix (operators/windows.py::
+    transition_matrix): one lead() window per user timeline (event_id
+    tie-break) + a pair-keyed aggregate, probabilities normalized per
+    source state — the Markov view of the behavior stream."""
+    from sales_forecast_pyspark_spark.operators.windows import transition_matrix
+
+    ev = read_table(spark, sf_dir, "events")
+    return transition_matrix(ev, order_tiebreak="event_id")
+
+
+@register(
     "retention_weekly",
     """
 WITH first AS (
@@ -2920,6 +2949,7 @@ _CHECK_PRIORITY = [
     "funnel_signup_view_purchase",
     "doc_keywords",
     "retention_weekly",
+    "event_transitions",
     # oracle rows kept fresh (recently-added operator families) — these
     # outrank the rows-only tier below: an oracle row is stronger
     # evidence per check-budget slot than re-confirming a rows-only
