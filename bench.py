@@ -54,6 +54,17 @@ BENCH_QUERIES = [
     "key_skew_profile",
     "user_overlap_theta",
     "token_topk_sketch",
+    "funnel_signup_view_purchase",
+    "retention_weekly",
+    "event_transitions",
+    "doc_surprisal",
+    "doc_keywords",
+    "boilerplate_chunk_stats",
+    # ngram_containment_pairs is NOT benched: its cost is the same
+    # co-shingle self-join the exact-Jaccard tier pays (dominates at
+    # ~10s), which the dedup block already represents via
+    # near_dedup_minhash — benching it would double-count that stage
+    # (same rationale as dedup_clusters, see BENCH_BASELINE.md).
     "event_value_profile",
     "pivot_event_counts",
     "events_json_extract",

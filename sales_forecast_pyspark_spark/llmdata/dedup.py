@@ -386,23 +386,48 @@ def ngram_containment_pairs(
     pair fan-out is symmetric; only the final scoring differs), same
     flat-df caveat: prefix filtering does not apply to containment
     (its correctness argument is Jaccard-specific), so heavy-tailed
-    corpora should pre-filter stop-shingles upstream."""
+    corpora should pre-filter stop-shingles upstream. Shared counts
+    ARE symmetric, so the self-join runs ONCE over doc_a < doc_b and
+    both orientations are emitted from the unordered pair by a
+    trailing explode — half the join fan-out of a naive ``!=`` join,
+    with no duplicated subtree."""
     sh = _exploded_shingles(df, id_col, text_col, n)
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
     shared = (
         a.join(b, ["shingle"])
-        .filter(F.col("doc_a") != F.col("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
     na = counts.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("n_a"))
     nb = counts.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("n_b"))
-    return (
+    both = (
         shared.join(na, "doc_a")
         .join(nb, "doc_b")
         .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a"), F.col("doc_b"),
+                        F.col("shared"),
+                        F.col("n_a"), F.col("n_b"),
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("doc_a"),
+                        F.col("doc_a").alias("doc_b"),
+                        F.col("shared"),
+                        F.col("n_b").alias("n_a"),
+                        F.col("n_a").alias("n_b"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b", "p.shared", "p.n_a", "p.n_b")
+    )
+    return (
+        both.select(
             "doc_a",
             "doc_b",
             "shared",
