@@ -230,3 +230,79 @@ def transition_matrix(
         "n",
         F.round(F.col("n") / F.sum("n").over(tot), 4).alias("p"),
     ).orderBy("from_type", "to_type")
+
+
+def series_autocorr(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    lags: list[int] | None = None,
+) -> DataFrame:
+    """Per-series lag-k autocorrelation — the residual/seasonality
+    diagnostic a forecasting pipeline runs before and after model fit
+    (a large r_6 or r_7 on residuals means the weekly cycle survived
+    the features):
+
+        r_k = Σ_{t>k} (x_t − μ)(x_{t−k} − μ) / Σ_t (x_t − μ)²
+
+    with μ the series mean (the standard biased-denominator ACF —
+    denominator over the FULL series, so r_k is comparable across k and
+    bounded by ±1). Shape: one mean aggregate per key, one lag window
+    per k over the same (key, order) sort, one product aggregate —
+    exactly the window layer's partitioning, no joins beyond the 1-row
+    mean broadcast per key.
+
+    Determinism: deviations are rounded at 1e-7 and multiplied/summed
+    in exact decimal (functions/deterministic.py::weighted_sum — the
+    cross-engine-safe product chain), ratio rounded at 4; NULL when a
+    series is constant (zero variance) or shorter than k+1."""
+    from sales_forecast_pyspark_spark.functions.deterministic import weighted_sum
+
+    # a tiny negative correlation rounds to -0.0, which hashes
+    # differently from +0.0 across engines — normalize
+    _no_negzero = lambda c: F.when(c == 0, F.lit(0.0)).otherwise(c)
+    lags = lags or [1, 2, 3, 4, 5, 6, 7]
+    mean_w = Window.partitionBy(*key_cols)
+    lag_w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).asc())
+    dx = df.select(
+        *key_cols,
+        order_col,
+        (F.col(value_col) - F.avg(value_col).over(mean_w)).alias("_dx"),
+    )
+    lagged = dx.select(
+        *key_cols,
+        "_dx",
+        *[F.lag("_dx", k).over(lag_w).alias(f"_dx_{k}") for k in lags],
+    )
+    den = weighted_sum(F.col("_dx"), F.col("_dx"), out_digits=6)
+    nums = [
+        weighted_sum(
+            F.when(F.col(f"_dx_{k}").isNotNull(), F.col("_dx")),
+            F.col(f"_dx_{k}"),
+            out_digits=6,
+        ).alias(f"_num_{k}")
+        for k in lags
+    ]
+    agg = lagged.groupBy(*key_cols).agg(den.alias("_den"), *nums)
+    out = agg.select(
+        *key_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("lag"),
+                        _no_negzero(
+                            F.round(
+                                F.col(f"_num_{k}")
+                                / F.nullif(F.col("_den"), F.lit(0.0)),
+                                4,
+                            )
+                        ).alias("acf"),
+                    )
+                    for k in lags
+                ]
+            )
+        ).alias("s"),
+    ).select(*key_cols, "s.lag", "s.acf")
+    return out.orderBy(*key_cols, "lag")

@@ -1943,6 +1943,58 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "demand_autocorr",
+    PANEL_CTE
+    + """
+, series AS (
+  SELECT country, ds, SUM(qty) AS qty FROM panel GROUP BY 1, 2
+),
+dev AS (
+  SELECT country, ds,
+         CAST(ROUND(qty - AVG(qty) OVER (PARTITION BY country), 7) AS DECIMAL(19,7)) AS dx
+  FROM series
+),
+lagged AS (
+  SELECT country, dx,
+         lag(dx, 1) OVER w AS dx_1,
+         lag(dx, 6) OVER w AS dx_6,
+         lag(dx, 7) OVER w AS dx_7
+  FROM dev
+  WINDOW w AS (PARTITION BY country ORDER BY ds ASC)
+),
+agg AS (
+  SELECT country,
+         CAST(ROUND(SUM(dx * dx), 6) AS DOUBLE) AS den,
+         CAST(ROUND(SUM(CASE WHEN dx_1 IS NOT NULL THEN dx END * dx_1), 6) AS DOUBLE) AS n1,
+         CAST(ROUND(SUM(CASE WHEN dx_6 IS NOT NULL THEN dx END * dx_6), 6) AS DOUBLE) AS n6,
+         CAST(ROUND(SUM(CASE WHEN dx_7 IS NOT NULL THEN dx END * dx_7), 6) AS DOUBLE) AS n7
+  FROM lagged GROUP BY 1
+)
+SELECT country, lag,
+       CASE WHEN ROUND(num / NULLIF(den, 0), 4) = 0 THEN 0
+            ELSE ROUND(num / NULLIF(den, 0), 4) END AS acf
+FROM (
+  SELECT country, den, unnest([1, 6, 7]) AS lag, unnest([n1, n6, n7]) AS num
+  FROM agg
+)
+ORDER BY country, lag
+""",
+)
+def q_demand_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1/6/7 autocorrelation of each country's daily demand series
+    (operators/windows.py::series_autocorr) — the seasonality/residual
+    diagnostic behind the reference's 6-day-cycle features: a material
+    r_6 confirms the weekly cycle the lag features target. Exact
+    decimal product chain (weighted_sum), biased-denominator ACF."""
+    from sales_forecast_pyspark_spark.operators.windows import series_autocorr
+
+    series = daily_panel(spark, sf_dir).groupBy("country", "ds").agg(
+        F.sum("qty").alias("qty")
+    )
+    return series_autocorr(series, ["country"], "ds", "qty", lags=[1, 6, 7])
+
+
+@register(
     "retention_weekly",
     """
 WITH first AS (
@@ -2950,6 +3002,7 @@ _CHECK_PRIORITY = [
     "doc_keywords",
     "retention_weekly",
     "event_transitions",
+    "demand_autocorr",
     # oracle rows kept fresh (recently-added operator families) — these
     # outrank the rows-only tier below: an oracle row is stronger
     # evidence per check-budget slot than re-confirming a rows-only
