@@ -82,3 +82,64 @@ def fit_per_segment(
         )
         all_metrics[seg_name] = res.metrics
     return union_by_name(*preds), all_metrics
+
+
+def rolling_origin_backtest(
+    spark,
+    feats: DataFrame,
+    numeric: list[str],
+    fold_ends: list[str],
+    horizon_days: int = 60,
+    label: str = "qty",
+    cat_cols: tuple[str, str] = ("country", "stock"),
+    model_factory=None,
+) -> DataFrame:
+    """Walk-forward (rolling-origin) backtesting — the evaluation the
+    reference's single 80/20 time split cannot give: one fit per fold,
+    each trained on data up to ``fold_ends[i]`` and scored on the next
+    ``horizon_days``, so the metric you report is the DISTRIBUTION of
+    out-of-sample errors across origins, not one split's luck. The
+    feature pipeline (indexers + assembler) is re-fit per fold on that
+    fold's train only — refitting per fold is not optional: a label map
+    fit on all data leaks future categories into early folds.
+
+    The fold loop is a driver loop over k model fits (each fit is the
+    cluster-scale operation; k is small by construction). Returns one
+    row per fold: (fold, train_end, horizon_days, n_train, n_test,
+    mae, rmse, r2)."""
+    from pyspark.sql import functions as F
+
+    from sales_forecast_pyspark_spark.forecast.pipelines import (
+        feature_pipeline,
+        lr_preset,
+    )
+
+    factory = model_factory or (lambda: lr_preset(label))
+    rows = []
+    for i, end in enumerate(fold_ends):
+        end_col = F.lit(end).cast("date")
+        train = feats.filter(F.col("ds") <= end_col)
+        test = feats.filter(
+            (F.col("ds") > end_col)
+            & (F.col("ds") <= F.date_add(end_col, horizon_days))
+        )
+        pipe = feature_pipeline(list(cat_cols), numeric)
+        _, train_p, test_p = prepare_features(pipe, train, test)
+        res = train_and_eval(f"fold{i}", train_p, test_p, factory(), label=label)
+        rows.append(
+            (
+                i,
+                end,
+                horizon_days,
+                train_p.count(),
+                res.predictions.count(),
+                round(res.metrics["mae"], 4),
+                round(res.metrics["rmse"], 4),
+                round(res.metrics["r2"], 4),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "fold int, train_end string, horizon_days int, n_train long, "
+        "n_test long, mae double, rmse double, r2 double",
+    )

@@ -2935,6 +2935,26 @@ def q_value_quantiles_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kll.join(exact, "event_type").orderBy("event_type")
 
 
+@register("backtest_lr")  # rows-only: ML not SQL-expressible
+def q_backtest_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward backtest (forecast/run.py::rolling_origin_backtest):
+    three training origins, 60-day horizons, the reduced LR preset —
+    out-of-sample error as a distribution across origins instead of the
+    reference's single-split number. Feature pipeline re-fit per fold
+    (no future-category leakage into indexer label maps)."""
+    from sales_forecast_pyspark_spark.forecast.run import rolling_origin_backtest
+
+    train, test, numeric = _forecast_features(spark, sf_dir)
+    feats = train.unionByName(test)
+    return rolling_origin_backtest(
+        spark,
+        feats,
+        numeric,
+        fold_ends=["1998-03-31", "1998-05-31", "1998-07-31"],
+        horizon_days=60,
+    )
+
+
 @register("forecast_rf")  # rows-only: ML not SQL-expressible
 def q_forecast_rf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M3: RandomForest preset (numTrees=50, maxDepth=5, seed=42,
@@ -3003,6 +3023,7 @@ _CHECK_PRIORITY = [
     "retention_weekly",
     "event_transitions",
     "demand_autocorr",
+    "backtest_lr",
     # oracle rows kept fresh (recently-added operator families) — these
     # outrank the rows-only tier below: an oracle row is stronger
     # evidence per check-budget slot than re-confirming a rows-only

@@ -211,3 +211,23 @@ def test_cap_categories_numeric_key_keeps_schema(spark):
     assert dict(train_c.dtypes)["stock"] == "bigint"
     assert sorted(r["stock"] for r in train_c.collect()) == [-1, 7, 7]
     assert sorted(r["stock"] for r in test_c.collect()) == [-1, 7]
+
+
+def test_rolling_origin_backtest_folds_and_determinism(spark):
+    """Walk-forward backtest: one row per fold, training sets grow
+    monotonically with the origin, metrics are finite, and a rerun
+    reproduces identical rows (seeded fits, refit-per-fold pipeline)."""
+    import math
+
+    from sales_forecast_pyspark_spark.plans.queries import QUERIES
+    from tests.conftest import SF_SMALL
+
+    b = QUERIES["backtest_lr"].builder
+    rows = [tuple(r) for r in b(spark, SF_SMALL).collect()]
+    assert len(rows) == 3
+    n_train = [r[3] for r in rows]
+    assert n_train == sorted(n_train)
+    for r in rows:
+        assert r[4] > 0  # non-empty test window
+        assert all(math.isfinite(x) for x in r[5:8])
+    assert [tuple(r) for r in b(spark, SF_SMALL).collect()] == rows
