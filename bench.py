@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "doc_surprisal",
     "doc_keywords",
     "boilerplate_chunk_stats",
+    "demand_autocorr",
     # ngram_containment_pairs is NOT benched: its cost is the same
     # co-shingle self-join the exact-Jaccard tier pays (dominates at
     # ~10s), which the dedup block already represents via
