@@ -53,18 +53,34 @@ def read_csv(
     schema: T.StructType | None = ONLINE_RETAIL_SCHEMA,
     header: bool = True,
     sep: str = ",",
+    corrupt_col: str | None = None,
 ) -> DataFrame:
     """CSV scan (reference operator S1, Sales_forecast_pyspark.py:69-70).
 
     With ``schema=None`` falls back to the reference's inferSchema
     behavior (two extra jobs: header + inference pass).
+
+    ``corrupt_col`` turns on malformed-row AUDITING (declared schema
+    only): rows that fail to parse keep their raw text in that column
+    with nulls elsewhere (Spark's PERMISSIVE mode) instead of being
+    silently nulled with no trace — at ingest scale "how many rows
+    failed and what did they look like" is a data-quality expectation
+    like any other (``filter(corrupt_col IS NOT NULL)`` is the reject
+    file; route it to quarantine and fail the batch past a threshold).
     """
     reader = spark.read.option("header", header).option("sep", sep)
     if schema is None:
         reader = reader.option("inferSchema", True)
-    else:
-        reader = reader.schema(schema)
-    return reader.csv(path)
+        return reader.csv(path)
+    if corrupt_col is not None:
+        schema = T.StructType(
+            [*schema.fields, T.StructField(corrupt_col, T.StringType(), True)]
+        )
+        reader = (
+            reader.option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", corrupt_col)
+        )
+    return reader.schema(schema).csv(path)
 
 
 def parse_invoice_date(df: DataFrame, col: str = "InvoiceDate") -> DataFrame:

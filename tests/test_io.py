@@ -212,3 +212,30 @@ def test_partitioned_scan_actually_prunes(spark, tmp_path):
     assert "PartitionFilters" in plan and "(k" in plan.split("PartitionFilters")[1][:80], plan
     # and the pruned read returns only the matching partition's rows
     assert sorted(r["id"] for r in scan.collect()) == [1, 3, 5, 7, 9]
+
+
+def test_csv_corrupt_record_auditing(spark, tmp_path):
+    """Malformed CSV rows must be captured verbatim in the corrupt
+    column (the reject feed), not silently nulled: good rows parse with
+    a null audit column, bad rows keep their raw text, and the reject
+    count is exact."""
+    from sales_forecast_pyspark_spark.sources.readers import read_csv
+
+    csv = tmp_path / "dirty.csv"
+    csv.write_text(
+        "InvoiceNo,StockCode,Description,Quantity,InvoiceDate,UnitPrice,CustomerID,Country\n"
+        "536365,85123A,OK ROW,6,12/1/10 8:26,2.55,17850,United Kingdom\n"
+        "536366,85123B,BAD QTY,not_a_number,12/1/10 8:26,2.55,17850,United Kingdom\n"
+        "536367,85123C,OK ROW 2,3,12/1/10 9:00,1.25,13047,France\n"
+    )
+    df = read_csv(spark, str(csv), corrupt_col="_rejected")
+    # Spark's PERMISSIVE parser requires caching (or a fresh scan) when
+    # filtering on the corrupt column — document the supported pattern.
+    df = df.cache()
+    rows = {r["InvoiceNo"]: r for r in df.collect()}
+    assert rows["536365"]["Quantity"] == 6 and rows["536365"]["_rejected"] is None
+    assert rows["536367"]["Quantity"] == 3 and rows["536367"]["_rejected"] is None
+    rejects = df.filter(F.col("_rejected").isNotNull())
+    assert rejects.count() == 1
+    assert "not_a_number" in rejects.first()["_rejected"]
+    df.unpersist()
