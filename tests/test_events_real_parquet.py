@@ -164,3 +164,99 @@ def test_funnel_strict_ordering_semantics(spark):
         for r in funnel_counts(ev, ["signup", "view", "purchase"]).collect()
     }
     assert got == {"signup": 2, "view": 2, "purchase": 1}
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_ev = st.lists(
+    st.tuples(
+        st.integers(0, 3),                    # user
+        st.integers(0, 20),                   # minute offset
+        st.sampled_from(["signup", "view", "purchase"]),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_ev)
+def test_funnel_property_matches_brute_force(spark, evs):
+    """funnel_counts == per-user greedy earliest-eligible walk for
+    arbitrary event layouts (ties broken by time only — minute offsets
+    are made unique per user to keep the brute force well-defined)."""
+    from datetime import datetime, timedelta
+
+    from sales_forecast_pyspark_spark.operators.rowops import funnel_counts
+
+    base = datetime.fromisoformat("2024-01-01 00:00:00")
+    # de-duplicate (user, minute) so event order is total per user
+    seen, rows = set(), []
+    for i, (u, m, t) in enumerate(evs):
+        while (u, m) in seen:
+            m += 100
+        seen.add((u, m))
+        rows.append((i, base + timedelta(minutes=m), u, t, 0.0, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    steps = ["signup", "view", "purchase"]
+    got = {r["step"]: r["n_entities"] for r in funnel_counts(ev, steps).collect()}
+
+    by_user = {}
+    for _, ts, u, t, _v, _p in rows:
+        by_user.setdefault(u, []).append((ts, t))
+    expect = {s: 0 for s in steps}
+    for events in by_user.values():
+        events.sort()
+        t_prev = None
+        for idx, step in enumerate(steps):
+            cand = [ts for ts, t in events if t == step and (t_prev is None or ts > t_prev)]
+            if not cand:
+                break
+            t_prev = min(cand)
+            expect[step] += 1
+    assert got == expect, (got, expect)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_ev)
+def test_transition_matrix_property_matches_brute_force(spark, evs):
+    """transition_matrix == counting consecutive pairs along each
+    user's (ts, event_id)-sorted timeline, with per-source-state
+    probability normalization."""
+    from collections import Counter
+    from datetime import datetime, timedelta
+
+    from sales_forecast_pyspark_spark.operators.windows import transition_matrix
+
+    base = datetime.fromisoformat("2024-01-01 00:00:00")
+    rows = [
+        (i, base + timedelta(minutes=m), u, t, 0.0, "{}")
+        for i, (u, m, t) in enumerate(evs)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["p"])
+        for r in transition_matrix(ev, order_tiebreak="event_id").collect()
+    }
+    by_user = {}
+    for i, ts, u, t, _v, _p in rows:
+        by_user.setdefault(u, []).append((ts, i, t))
+    pairs = Counter()
+    for events in by_user.values():
+        events.sort()
+        for (_, _, a), (_, _, b) in zip(events, events[1:]):
+            pairs[(a, b)] += 1
+    outgoing = Counter()
+    for (a, _b), n in pairs.items():
+        outgoing[a] += n
+    expect = {
+        k: (n, round(n / outgoing[k[0]], 4)) for k, n in pairs.items()
+    }
+    assert got == expect, (got, expect)
