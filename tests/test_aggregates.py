@@ -221,3 +221,39 @@ def test_incremental_daily_rollup_equals_one_shot(spark, tmp_path):
     a = sorted(map(tuple, inc.select(*cols).collect()))
     b = sorted(map(tuple, full.select(*cols).collect()))
     assert a == b
+
+
+def test_retention_matrix_property_matches_brute_force(spark):
+    """retention_matrix == per-user first-week cohorting in plain
+    Python over a deterministic multi-week layout (including users
+    active only in week 0 and a user first seen late)."""
+    from collections import Counter
+    from datetime import date, timedelta
+
+    from sales_forecast_pyspark_spark.operators.aggregates import retention_matrix
+
+    monday = date(2024, 1, 1)  # a Monday
+    rows = []
+    eid = 0
+    layout = {
+        1: [0, 0, 1, 3],      # active weeks 0,1,3
+        2: [0],               # week 0 only
+        3: [2, 2, 2],         # first seen week 2 -> its own cohort
+        4: [0, 1, 2, 3],
+    }
+    for u, weeks in layout.items():
+        for w in weeks:
+            rows.append((eid, u, monday + timedelta(weeks=w, days=eid % 5)))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, user_id long, d date") \
+        .selectExpr("event_id", "user_id", "cast(d as timestamp) as ts")
+    got = {
+        (str(r["cohort_week"]), r["week_offset"]): r["n_active"]
+        for r in retention_matrix(df).collect()
+    }
+    expect = Counter()
+    for u, weeks in layout.items():
+        cohort = min(weeks)
+        for w in set(weeks):
+            expect[(str(monday + timedelta(weeks=cohort)), w - cohort)] += 1
+    assert got == dict(expect), (got, expect)
