@@ -315,6 +315,29 @@ def expiring_user_stats(
     )
 
 
+def observe_quality(
+    df: DataFrame,
+    cols: list[str],
+    name: str = "quality",
+) -> DataFrame:
+    """Attach per-micro-batch data-quality metrics to a stream with
+    ``observe()`` — row count plus a null count per watched column,
+    evaluated INSIDE the running query (no second scan, no extra
+    action) and surfaced through ``StreamingQueryProgress
+    .observedMetrics[name]`` for alerting ("null-rate spiked in this
+    batch") without touching the data path.
+
+    This is the streaming face of the batch ``quality_report``
+    expectations: the batch operator audits a table at rest, this one
+    audits every batch in flight. Works identically on batch frames
+    (metrics arrive via QueryExecutionListener there)."""
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    metrics += [
+        F.sum(F.col(c).isNull().cast("long")).alias(f"n_null_{c}") for c in cols
+    ]
+    return df.observe(name, *metrics)
+
+
 def run_available_now(
     df: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> DataFrame:

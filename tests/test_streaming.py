@@ -314,3 +314,43 @@ def test_streaming_dynamic_gap_sessionization_matches_batch(spark):
     cols = ["user_id", "session_start", "last_event", "n_events"]
     assert _rows(got, cols) == _rows(batch, cols)
     assert got.count() > 0
+
+
+def test_observe_quality_reports_per_batch_metrics(spark, tmp_path):
+    """observe_quality: every micro-batch's progress carries row and
+    per-column null counts summing to the input totals — the in-flight
+    twin of the batch quality_report."""
+    from sales_forecast_pyspark_spark.streaming.stream_ops import observe_quality
+
+    src = tmp_path / "obs_src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 7.0)], "id long, v double"
+    ).coalesce(1).write.parquet(str(src / "a.parquet"))
+    spark.createDataFrame(
+        [(4, None)], "id long, v double"
+    ).coalesce(1).write.parquet(str(src / "b.parquet"))
+
+    stream = (
+        spark.readStream.schema("id long, v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*.parquet")
+    )
+    q = (
+        observe_quality(stream, ["v"])
+        .writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    batches = [
+        p["observedMetrics"]["quality"]
+        for p in q.recentProgress
+        if "quality" in p.get("observedMetrics", {}) and p["observedMetrics"]["quality"]["n_rows"] > 0
+    ]
+    assert len(batches) == 2
+    assert sum(b["n_rows"] for b in batches) == 4
+    assert sum(b["n_null_v"] for b in batches) == 2
+    # each batch individually audited, not just the total
+    assert sorted((b["n_rows"], b["n_null_v"]) for b in batches) == [(1, 1), (3, 1)]
