@@ -142,3 +142,45 @@ def dedup_clusters(
         )
         .orderBy("cluster_id", "doc_id")
     )
+
+
+def cluster_aware_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    val_pct: int = 10,
+    salt: str = "split",
+) -> DataFrame:
+    """Leakage-free train/val assignment: every document is split by
+    the md5 hash of its DEDUP CLUSTER id (its own id when unclustered),
+    so a near-dup cluster lands wholly in one split. Splitting doc-wise
+    instead would put near-copies of training documents in the
+    validation set — the eval-contamination failure mode benchmark
+    decontamination guards against, reproduced inside your own data.
+
+    ``clusters`` is a ``dedup_clusters`` output (only clustered docs
+    need rows; everything else splits by its own id). Deterministic and
+    engine-reproducible (md5(salt:unit)); one left join on the doc id,
+    no shuffle beyond it. Returns the input plus ``split_unit`` and
+    ``split`` ('train' / 'val', ~``val_pct``% of UNITS in val)."""
+    units = clusters.select(
+        F.col(id_col), F.col("cluster_id").alias("_cl")
+    )
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(salt), F.col("split_unit").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long") % 100
+    return (
+        df.join(units, id_col, "left")
+        .withColumn("split_unit", F.coalesce(F.col("_cl"), F.col(id_col)))
+        .drop("_cl")
+        .withColumn(
+            "split",
+            F.when(bucket < val_pct, F.lit("val")).otherwise(F.lit("train")),
+        )
+    )

@@ -2935,6 +2935,41 @@ def q_value_quantiles_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kll.join(exact, "event_type").orderBy("event_type")
 
 
+@register("leakage_free_split")  # rows-only: md5-hex-to-int has no DuckDB twin
+def q_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-cluster-aware train/val split (llmdata/cluster.py::
+    cluster_aware_split) over the documents corpus with its 3-gram
+    Jaccard clusters: near-dup clusters land wholly in one split, so
+    validation never contains near-copies of training docs. Output is
+    self-auditing: per-split doc/unit counts plus the number of
+    clusters spanning both splits, which must be zero."""
+    from sales_forecast_pyspark_spark.llmdata import (
+        dedup_clusters,
+        ngram_jaccard_pairs,
+    )
+    from sales_forecast_pyspark_spark.llmdata.cluster import cluster_aware_split
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    clusters = dedup_clusters(pairs)
+    out = cluster_aware_split(docs.select("doc_id"), clusters, val_pct=10)
+    crossing = (
+        out.groupBy("split_unit")
+        .agg(F.countDistinct("split").alias("_n"))
+        .filter(F.col("_n") > 1)
+        .count()
+    )
+    return (
+        out.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("split_unit").alias("n_units"),
+        )
+        .withColumn("n_clusters_crossing", F.lit(crossing))
+        .orderBy("split")
+    )
+
+
 @register("backtest_lr")  # rows-only: ML not SQL-expressible
 def q_backtest_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Walk-forward backtest (forecast/run.py::rolling_origin_backtest):
@@ -3024,6 +3059,7 @@ _CHECK_PRIORITY = [
     "event_transitions",
     "demand_autocorr",
     "backtest_lr",
+    "leakage_free_split",
     # oracle rows kept fresh (recently-added operator families) — these
     # outrank the rows-only tier below: an oracle row is stronger
     # evidence per check-budget slot than re-confirming a rows-only

@@ -487,3 +487,39 @@ def test_ngram_contamination_and_decontaminate(spark):
     # overlap corpus ids (pure text comparison, id-agnostic)
     plan = ngram_contamination(corpus, bench)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cluster_aware_split_keeps_clusters_whole(spark):
+    """cluster_aware_split: no dedup cluster spans train and val, the
+    val fraction lands near the requested percentage over many units,
+    and the assignment is deterministic across calls."""
+    from sales_forecast_pyspark_spark.llmdata.cluster import cluster_aware_split
+
+    docs = spark.range(2000).select(F.col("id").alias("doc_id"))
+    # every 10th doc pairs with its neighbor -> 200 two-doc clusters
+    clusters = spark.createDataFrame(
+        [(i, i) for i in range(0, 2000, 10)]
+        + [(i + 1, i) for i in range(0, 2000, 10)],
+        "doc_id long, cluster_id long",
+    )
+    out = cluster_aware_split(docs, clusters, val_pct=10)
+    out.cache()
+    # cluster integrity: each split_unit maps to exactly one split
+    assert (
+        out.groupBy("split_unit")
+        .agg(F.countDistinct("split").alias("n"))
+        .filter("n > 1")
+        .count()
+        == 0
+    )
+    # paired docs share their cluster's split
+    paired = out.filter(F.col("doc_id") % 10 <= 1)
+    assert (
+        paired.groupBy("split_unit").agg(F.countDistinct("split").alias("n"))
+        .filter("n > 1").count() == 0
+    )
+    frac = out.filter("split = 'val'").count() / 2000
+    assert 0.05 < frac < 0.16, frac
+    rerun = cluster_aware_split(docs, clusters, val_pct=10)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, rerun.collect()))
+    out.unpersist()
