@@ -3058,8 +3058,6 @@ _CHECK_PRIORITY = [
     "retention_weekly",
     "event_transitions",
     "demand_autocorr",
-    "backtest_lr",
-    "leakage_free_split",
     # oracle rows kept fresh (recently-added operator families) — these
     # outrank the rows-only tier below: an oracle row is stronger
     # evidence per check-budget slot than re-confirming a rows-only
@@ -3094,6 +3092,11 @@ _CHECK_PRIORITY = [
     "simhash_pairs",
     "ann_lsh_pairs",
     "tfidf_similar_docs",
+    # heavy rows-only compositions (k model fits / full cluster pass) —
+    # last: their pytest evidence is stronger than a sweep count row,
+    # and mid-budget they would eat a time-based check budget
+    "backtest_lr",
+    "leakage_free_split",
 ]
 
 
