@@ -144,19 +144,34 @@ def skew_profile(
     itself. Returns ONE row."""
     counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
     key_str = F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
+    # collect_list gives no order guarantee after the limit's exchange, so
+    # the display order is pinned INSIDE the aggregate: sort_array over
+    # (-n, key) structs, then the sort key is projected away.
     top = (
         counts.orderBy(F.desc("_n"), *[F.asc(k) for k in keys])
         .limit(top_n)
-        .select(F.struct(key_str.alias("key"), F.col("_n").alias("n")).alias("s"))
-        .agg(F.collect_list("s").alias("top_keys"))
+        .select(
+            F.struct(
+                (-F.col("_n")).alias("_neg_n"),
+                key_str.alias("key"),
+                F.col("_n").alias("n"),
+            ).alias("s")
+        )
+        .agg(F.sort_array(F.collect_list("s")).alias("_s"))
+        .select(
+            F.transform(
+                "_s", lambda s: F.struct(s["key"].alias("key"), s["n"].alias("n"))
+            ).alias("top_keys")
+        )
     )
     summary = counts.agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("_n").alias("n_rows"),
         F.max("_n").alias("max_rows_per_key"),
         F.round(F.avg("_n"), 2).alias("mean_rows_per_key"),
-        F.percentile(F.col("_n"), F.lit(0.5)).alias("p50_rows_per_key"),
-        F.percentile(F.col("_n"), F.lit(0.99)).alias("p99_rows_per_key"),
+        # interpolated quantiles are rounded like every other hashed double
+        F.round(F.percentile(F.col("_n"), F.lit(0.5)), 2).alias("p50_rows_per_key"),
+        F.round(F.percentile(F.col("_n"), F.lit(0.99)), 2).alias("p99_rows_per_key"),
     ).withColumn(
         "skew_ratio",
         F.round(F.col("max_rows_per_key") / F.col("mean_rows_per_key"), 2),

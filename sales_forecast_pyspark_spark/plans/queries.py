@@ -1182,7 +1182,7 @@ ch AS (
 dph AS (SELECT h, COUNT(DISTINCT doc_id) AS ndocs FROM ch GROUP BY 1)
 SELECT ch.doc_id,
        COUNT(*) AS n_chunks,
-       SUM(CASE WHEN dph.ndocs >= 2 THEN 1 ELSE 0 END) AS n_dup_chunks,
+       CAST(SUM(CASE WHEN dph.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
        ROUND(SUM(CASE WHEN dph.ndocs >= 2 THEN 1 ELSE 0 END) / COUNT(*), 4) AS dup_fraction
 FROM ch JOIN dph ON ch.h = dph.h
 GROUP BY ch.doc_id
@@ -2069,11 +2069,11 @@ t AS (
   FROM (SELECT user_id, n FROM c ORDER BY n DESC, user_id ASC LIMIT 5)
 )
 SELECT (SELECT COUNT(*) FROM c) AS n_keys,
-       (SELECT SUM(n) FROM c) AS n_rows,
+       (SELECT CAST(SUM(n) AS BIGINT) FROM c) AS n_rows,
        (SELECT MAX(n) FROM c) AS max_rows_per_key,
        (SELECT ROUND(AVG(n), 2) FROM c) AS mean_rows_per_key,
-       (SELECT quantile_cont(n, 0.5) FROM c) AS p50_rows_per_key,
-       (SELECT quantile_cont(n, 0.99) FROM c) AS p99_rows_per_key,
+       (SELECT ROUND(quantile_cont(n, 0.5), 2) FROM c) AS p50_rows_per_key,
+       (SELECT ROUND(quantile_cont(n, 0.99), 2) FROM c) AS p99_rows_per_key,
        (SELECT ROUND(MAX(n) / ROUND(AVG(n), 2), 2) FROM c) AS skew_ratio,
        t.top_keys
 FROM t
@@ -2141,7 +2141,7 @@ def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_json_extract",
     """
 SELECT event_type,
-       SUM(CAST(props->>'$.k' AS INT)) AS sum_k,
+       CAST(SUM(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k,
        COUNT(CAST(props->>'$.k' AS INT)) AS n_k,
        CAST(SUM(CAST(props->>'$.k' AS INT)) AS DOUBLE) / COUNT(CAST(props->>'$.k' AS INT)) AS avg_k
 FROM events GROUP BY event_type ORDER BY event_type

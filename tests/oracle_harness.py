@@ -58,6 +58,19 @@ def compare_query(spark_df, duck_con, sql: str, max_report: int = 5):
     duck_cols = list(duck_res.columns)
     duck_rows = duck_res.fetchall()
 
+    # The driver hashes TYPED values: DuckDB's bare SUM() over integers
+    # returns HUGEINT (int128), which hash-mismatches Spark's BIGINT even
+    # when every value is identical (the r04 events_json_extract /
+    # key_skew_profile / boilerplate_chunk_stats failures). Values compare
+    # equal below, so this must be a hard type-level check.
+    duck_types = [str(t).upper() for t in duck_res.types]
+    huge = [c for c, t in zip(duck_cols, duck_types) if "HUGEINT" in t]
+    if huge:
+        return False, (
+            f"oracle returns HUGEINT column(s) {huge}: wrap in "
+            "CAST(... AS BIGINT) — the driver's typed hasher mismatches int128"
+        )
+
     if sorted(spark_cols) != sorted(duck_cols):
         return False, f"column mismatch: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
     if len(spark_rows) != len(duck_rows):
