@@ -3008,104 +3008,37 @@ def q_forecast_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Driver check-budget ordering. The per-round correctness sweep verifies
 # registry entries in dict order and stops after a fixed budget (~50 of
-# 70 in round 3), so iteration order IS the verification schedule.
-# Least-recently-verified queries go first: the block that sat past slot
-# 50 in round 3 (no driver row that round), then the round-3 errored /
-# rows-only entries, then the oracle rows worth keeping fresh. The tail
-# is the long-stable flagship block — green rows in both r02 and r03 —
-# which cedes its slots until the rotation comes back around.
+# 89 in round 4), so iteration order IS the verification schedule. The
+# rotation is DERIVED, not hand-sorted: scripts/gen_check_priority.py
+# computes it from the committed CORRECTNESS_r*.json rounds (latest-check
+# failures first, never-checked next, then least-recently-checked;
+# oracle-backed before rows-only within a tier) and writes
+# plans/check_priority.py; tests/test_check_priority.py fails if that
+# module is stale. Regenerate after each round lands or after
+# registering a query.
 # ---------------------------------------------------------------------------
 
-_CHECK_PRIORITY = [
-    # unchecked in round 3 (registry slots 51-70)
-    "asof_last_purchase",
-    "events_near_errors",
-    "pivot_event_counts",
-    "events_json_extract",
-    "event_value_profile",
-    "distinct_users_hll",
-    "data_quality_report",
-    "latest_events_per_user",
-    "user_daily_locf",
-    "token_counts",
-    "token_frequencies",
-    "benchmark_contamination",
-    "series_gaps",
-    "winsorized_daily_qty",
-    "forecast_eval_kpi",
-    "lr_coefficients_top",
-    "ann_ivf_topk",
-    "embedding_near_dups",
-    "forecast_rf",
-    "forecast_gbt",
-    # errored in round 3 (unhashable array output, now serialized)
-    "embedding_quantize",
-    # new in round 4 — never driver-checked
-    "token_topk_sketch",
-    "user_overlap_theta",
-    "value_quantiles_kll",
-    "sessionization_dynamic",
-    "ann_pq_topk",
-    "key_skew_profile",
-    "user_state_history",
-    "ann_ivfpq_topk",
-    "epoch_shuffle",
-    "boilerplate_chunk_stats",
-    "ngram_containment_pairs",
-    "doc_surprisal",
-    "funnel_signup_view_purchase",
-    "doc_keywords",
-    "retention_weekly",
-    "event_transitions",
-    "demand_autocorr",
-    # oracle rows kept fresh (recently-added operator families) — these
-    # outrank the rows-only tier below: an oracle row is stronger
-    # evidence per check-budget slot than re-confirming a rows-only
-    # count, so if the driver's budget cuts anywhere, it cuts there
-    "sessionization",
-    "events_window",
-    "multimodal_features",
-    "frame_samples",
-    "doc_stats",
-    "doc_fingerprints",
-    "doc_chunks",
-    "pii_scrub",
-    "repetition_stats",
-    "training_mix",
-    "ngram_jaccard_pairs",
-    "dedup_clusters",
-    "ann_topk",
-    "embedding_centroids",
-    "csv_ingest",
-    "eval_join",
-    "kpi_by_country",
-    "value_weighted_error",
-    "kpi_global",
-    "date_rollup",
-    # rows-only entries (ML / hash internals), re-confirmed as budget allows
-    "forecast_lr",
-    "forecast_lr_full",
-    "forecast_segmented",
-    "sequence_packs",
-    "near_dedup_minhash",
-    "near_dedup_survivors",
-    "simhash_pairs",
-    "ann_lsh_pairs",
-    "tfidf_similar_docs",
-    # heavy rows-only compositions (k model fits / full cluster pass) —
-    # last: their pytest evidence is stronger than a sweep count row,
-    # and mid-budget they would eat a time-based check budget
-    "backtest_lr",
-    "leakage_free_split",
-]
+# registration order (pre-rotation) — the derivation's stable tie-break
+REGISTRATION_ORDER = tuple(QUERIES)
+
+try:
+    from sales_forecast_pyspark_spark.plans.check_priority import (
+        CHECK_PRIORITY as _CHECK_PRIORITY,
+    )
+except ImportError:  # first generation bootstrap
+    _CHECK_PRIORITY = list(QUERIES)
 
 
 def _apply_check_priority() -> None:
     missing = [n for n in _CHECK_PRIORITY if n not in QUERIES]
     if missing:
         raise RuntimeError(f"_CHECK_PRIORITY names unknown queries: {missing}")
-    ordered = {n: QUERIES[n] for n in _CHECK_PRIORITY}
-    ordered.update({n: q for n, q in QUERIES.items() if n not in ordered})
+    # Queries registered after the last generation run land FIRST
+    # (never-checked == highest priority), never silently at the tail;
+    # tests/test_check_priority.py still fails until the list is
+    # regenerated, so this is a safety net, not the workflow.
+    ordered = {n: QUERIES[n] for n in QUERIES if n not in set(_CHECK_PRIORITY)}
+    ordered.update({n: QUERIES[n] for n in _CHECK_PRIORITY})
     QUERIES.clear()
     QUERIES.update(ordered)
 
