@@ -69,6 +69,46 @@ def weighted_sum(
     return F.round(F.sum(da * db), out_digits).cast("double")
 
 
+def quantized_long(expr: Column, scale: int = 7, precision: int = 15) -> Column:
+    """``round(expr, scale)`` as an exact scaled long (value × 10^scale).
+
+    Same factor quantization as ``weighted_sum`` — round-half-up on the
+    decimal representation, NOT ``round(expr * 10^scale)`` (the double
+    multiply can cross a .5 boundary) — but materialized as an integer so
+    downstream dot products are long multiply-adds instead of decimal
+    arithmetic. The decimal→long cast is exact: the scaled decimal holds
+    an integer value by construction.
+    """
+    return (
+        F.round(expr, scale).cast(f"decimal({precision},{scale})")
+        * F.lit(10**scale).cast(f"decimal({scale + 1},0)")
+    ).cast("long")
+
+
+def quantized_dot(
+    a_scaled: Column,
+    b_scaled: Column,
+    scale: int = 7,
+    out_digits: int = 4,
+) -> Column:
+    """``weighted_sum`` over factors pre-quantized by ``quantized_long``
+    — bit-identical output, integer-speed hot path.
+
+    Σ (a×10^s)(b×10^s) is an exact long (unit-norm factors keep it near
+    10^2s ≪ 2^63); half-up rounding to ``out_digits`` is an integer
+    divide; the final ``int / 10^out_digits`` double division is
+    correctly rounded, matching decimal→double. Callers must guarantee a
+    non-negative sum (true for dot products of non-negative weights) —
+    the half-up shift is written for Σ ≥ 0.
+    """
+    shift = 10 ** (2 * scale - out_digits)
+    total = F.sum(a_scaled * b_scaled)
+    rounded = (total + F.lit(shift // 2)) - ((total + F.lit(shift // 2)) % F.lit(shift))
+    return (rounded / F.lit(shift)).cast("long").cast("double") / F.lit(
+        float(10**out_digits)
+    )
+
+
 def stable_avg(
     expr: Column, scale: int = 7, round_digits: int | None = None
 ) -> Column:

@@ -46,7 +46,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from sales_forecast_pyspark_spark.functions.deterministic import weighted_sum
+from sales_forecast_pyspark_spark.functions.deterministic import (
+    quantized_dot,
+    quantized_long,
+)
 from sales_forecast_pyspark_spark.llmdata.text import tokens_expr
 
 
@@ -199,8 +202,14 @@ def tfidf_near_pairs(
     # both are persisted — they are far smaller than the corpus
     # (|doc-term pairs| and bands×|docs| rows), and without the cache
     # the whole tokenize→tf→idf→normalize chain re-executes per read
-    # (measured 4x end-to-end on the sf0.1 documents table).
-    weights = term_tfidf(df, text_col=text_col, id_col=id_col)
+    # (measured 4x end-to-end on the sf0.1 documents table). The verify
+    # quantization (round at 1e-7 → scaled long) is hoisted INTO the
+    # cached frame: it would otherwise re-run per candidate-expanded row
+    # (|candidates| × terms, ~20× the weights rows here) on the hot side
+    # of the verify join.
+    weights = term_tfidf(df, text_col=text_col, id_col=id_col).withColumn(
+        "_wdec", quantized_long(F.col("w"))
+    )
     weights.cache()
     weights.count()
     sig = srp_signatures(weights, bands=bands, bits=bits)
@@ -215,16 +224,21 @@ def tfidf_near_pairs(
         .distinct()
     )
     wa = weights.select(
-        F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("w_a")
+        F.col("doc_id").alias("doc_a"), "term", F.col("_wdec").alias("w_a")
     )
     wb = weights.select(
-        F.col("doc_id").alias("doc_b"), "term", F.col("w").alias("w_b")
+        F.col("doc_id").alias("doc_b"), "term", F.col("_wdec").alias("w_b")
     )
+    # quantized_dot == weighted_sum(w_a, w_b, out_digits=6) bit-for-bit
+    # (same 1e-7 factor quantization, same half-up rounding at 1e-6),
+    # but the per-joined-row work is one long multiply instead of two
+    # rounds + two decimal casts + a decimal multiply — this join output
+    # is the largest frame in the query (candidates × shared terms).
     scored = (
         cand.join(wa, "doc_a")
         .join(wb, ["doc_b", "term"])
         .groupBy("doc_a", "doc_b")
-        .agg(weighted_sum(F.col("w_a"), F.col("w_b"), out_digits=6).alias("cos_sim"))
+        .agg(quantized_dot(F.col("w_a"), F.col("w_b"), out_digits=6).alias("cos_sim"))
     )
     return (
         scored.filter(F.col("cos_sim") >= cos_threshold)
