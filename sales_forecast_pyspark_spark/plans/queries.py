@@ -2109,6 +2109,47 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "salted_segment_value",
+    """
+SELECT c.c_mktsegment AS segment,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(e.value AS DECIMAL(30,6))), 2) AS DOUBLE) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1 ORDER BY 1
+""",
+)
+def q_salted_segment_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remedy `key_skew_profile` diagnoses: a skew-resistant SALTED
+    shuffle join (operators/joins.py::salted_join) of the events fact
+    (hot user_id keys — skew_ratio ~= max/mean per the profile) against
+    customer, then a per-segment rollup. Salting is correctness-neutral:
+    the left side gets a random bucket, the right side is exploded
+    across all buckets, so each hot key's rows spread over
+    ``salt_buckets`` reducers while every (key, salt) pair still finds
+    its match — the oracle is the PLAIN join, and the hash check proves
+    value equality. At test SF the optimizer may still broadcast the
+    exploded right side (harmless — the salt fan-out exists either way,
+    pinned in tests/test_plan_invariants.py); at 100 TB with a
+    non-broadcastable right side this is the shape that keeps one hot
+    user from pinning a reducer."""
+    from sales_forecast_pyspark_spark.operators.joins import salted_join
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "value")
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        salted_join(ev, cust, on=["user_id"], how="inner", salt_buckets=8)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum(F.col("value")).alias("total_value"),
+        )
+        .orderBy("segment")
+    )
+
+
+@register(
     "pivot_event_counts",
     """
 SELECT user_id,

@@ -69,6 +69,17 @@ def test_flagship_scans_push_filters(spark, name):
     assert re.search(r"PushedFilters: \[[^\]]", plan), name
 
 
+def test_salted_join_fans_out_hot_keys(spark):
+    """salted_segment_value: the salt fan-out must exist in the physical
+    plan — a Generate(explode) replicating the right side across salt
+    buckets, and the join keyed on (user_id, __salt), not user_id alone.
+    The physical strategy (broadcast at test SF, shuffle at scale) is
+    the optimizer's call; the fan-out is the invariant."""
+    plan = _plan(spark, "salted_segment_value")
+    assert "Generate explode" in plan, plan
+    assert "__salt" in plan, plan
+
+
 def test_flagship_rollup_is_single_exchange(spark):
     """daily_rollup: one hash-partitioning exchange (the groupBy), the
     dimension joins broadcast — the shape that holds at 100x."""
