@@ -3047,6 +3047,235 @@ def q_forecast_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-5 tranche: market-basket co-occurrence, per-series anomaly
+# detection, multi-granularity grouping sets, embedding-quality stats,
+# month-over-month growth.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "basket_lift",
+    """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+),
+n AS (SELECT COUNT(DISTINCT b) AS n_baskets FROM items),
+pairs AS (
+  SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS n_baskets_together
+  FROM items a JOIN items b ON a.b = b.b AND a.i < b.i
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+),
+ic AS (SELECT i, COUNT(*) AS n_i FROM items GROUP BY 1)
+SELECT p.item_a, p.item_b, p.n_baskets_together,
+       ROUND((p.n_baskets_together * (SELECT n_baskets FROM n))
+             / (ca.n_i * cb.n_i), 4) AS lift
+FROM pairs p
+JOIN ic ca ON ca.i = p.item_a
+JOIN ic cb ON cb.i = p.item_b
+ORDER BY p.n_baskets_together DESC, p.item_a, p.item_b
+LIMIT 100
+""",
+)
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence with lift (operators/baskets.py::
+    basket_lift): top product pairs ordered together, lift = P(a,b) /
+    (P(a)·P(b)) from exact counts with one final double division. The
+    scale-safe shape: pairs are generated only WITHIN a basket via a
+    self-join on the basket key (fan-out bounded by basket size, ≤13 in
+    this fact), never across the catalog."""
+    from sales_forecast_pyspark_spark.operators.baskets import basket_lift
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return basket_lift(
+        li, "l_orderkey", "l_partkey", min_pair_support=2, top_k=100
+    )
+
+
+@register(
+    "anomaly_zscore",
+    PANEL_CTE
+    + """
+, stats AS (
+  SELECT country, stock, ds, qty,
+         COUNT(qty) OVER w AS cnt,
+         SUM(qty) OVER w AS s1,
+         SUM(qty * qty) OVER w AS s2
+  FROM panel
+  WINDOW w AS (PARTITION BY country, stock ORDER BY ds
+               ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING)
+)
+SELECT country, stock, ds, qty,
+       ROUND(s1 / cnt, 4) AS exp_val,
+       ROUND((qty - s1 / cnt)
+             / SQRT((s2 - s1 * s1 / cnt) / (cnt - 1)), 4) AS z
+FROM stats
+WHERE cnt >= 5
+  AND SQRT((s2 - s1 * s1 / cnt) / (cnt - 1)) > 0
+  AND ABS((qty - s1 / cnt)
+          / SQRT((s2 - s1 * s1 / cnt) / (cnt - 1))) >= 3.0
+ORDER BY country, stock, ds
+""",
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series anomaly flags (operators/anomaly.py::
+    rolling_zscore_anomalies): |z| ≥ 3 vs the trailing-28-day mean/std
+    of the SAME series, current row excluded (leakage-free frame).
+    Sufficient-statistic std (sum / sum-of-squares / count —
+    integer-exact on summed quantities), so mean, z, and the cut itself
+    are bit-identical cross-engine. min_obs is 5 here (the operator
+    default is 14) because this panel's series are sparse — most
+    (country, stock) series see well under 14 sale days in any 28-day
+    span at test SF."""
+    from sales_forecast_pyspark_spark.operators.anomaly import (
+        rolling_zscore_anomalies,
+    )
+
+    panel = daily_panel(spark, sf_dir).select("country", "stock", "ds", "qty")
+    return rolling_zscore_anomalies(
+        panel, PANEL_KEYS, "ds", "qty", window=28, min_obs=5, z_threshold=3.0
+    ).orderBy("country", "stock", "ds")
+
+
+@register(
+    "grouping_sets_sales",
+    PANEL_CTE
+    + """
+, p AS (
+  SELECT country, CAST(year(ds) AS INT) AS year, qty, revenue FROM panel
+)
+SELECT country, year,
+       CAST(GROUPING(country) AS INT) AS g_country,
+       CAST(GROUPING(year) AS INT) AS g_year,
+       ROUND(SUM(qty), 2) AS total_qty,
+       CAST(ROUND(SUM(CAST(revenue AS DECIMAL(30,6))), 2) AS DOUBLE) AS total_revenue,
+       COUNT(*) AS n_rows
+FROM p
+GROUP BY GROUPING SETS ((country, year), (country), (year), ())
+ORDER BY g_country, g_year, country, year
+""",
+)
+def q_grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form CUBE/ROLLUP specialize;
+    `cube_sales` covers the cube) with GROUPING() flags distinguishing
+    "aggregated out" from "key is NULL" — one shuffle produces all four
+    granularities (per country-year, per country, per year, grand
+    total), vs four separate scans in the naive UNION formulation."""
+    panel = daily_panel(spark, sf_dir)
+    p = panel.select(
+        "country", F.year("ds").cast("int").alias("year"), "qty", "revenue"
+    )
+    return (
+        p.groupingSets([["country", "year"], ["country"], ["year"], []],
+                       "country", "year")
+        .agg(
+            F.grouping("country").cast("int").alias("g_country"),
+            F.grouping("year").cast("int").alias("g_year"),
+            F.round(F.sum("qty"), 2).alias("total_qty"),
+            money_sum(F.col("revenue")).alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            "country", "year", "g_country", "g_year",
+            "total_qty", "total_revenue", "n_rows",
+        )
+        .orderBy("g_country", "g_year", "country", "year")
+    )
+
+
+@register(
+    "embedding_norm_stats",
+    """
+WITH pervec AS (
+  SELECT vec_id, label,
+         ROUND(SQRT(CAST(SUM(r6 * r6) AS DOUBLE)), 6) AS norm
+  FROM (
+    SELECT vec_id, label,
+           CAST(ROUND(CAST(val AS DOUBLE), 6) AS DECIMAL(12,6)) AS r6
+    FROM (SELECT vec_id, label, unnest(embedding) AS val FROM embeddings)
+  )
+  GROUP BY 1, 2
+)
+SELECT label,
+       COUNT(*) AS n_vectors,
+       CAST(SUM(CAST(norm AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_norm,
+       MIN(norm) AS min_norm,
+       MAX(norm) AS max_norm
+FROM pervec GROUP BY label ORDER BY label
+""",
+)
+def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality screen: per-label L2-norm distribution (count,
+    mean, min, max) — the cheap detector for broken encoder batches
+    (all-zero rows, un-normalized shards, fp16 overflow spikes) run
+    BEFORE the ANN tiers assume unit-ish norms. Element squares are
+    computed in exact decimal on 1e-6-rounded values (the same
+    float-ingest discipline as `embedding_centroids`), so every stat is
+    order- and engine-independent. Map-side: one explode + two hash
+    aggregates, no joins."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    ex = emb.select("vec_id", "label", F.explode("embedding").alias("val"))
+    r6 = F.round(F.col("val").cast("double"), 6).cast("decimal(12,6)")
+    pervec = ex.groupBy("vec_id", "label").agg(
+        F.round(F.sqrt(F.sum(r6 * r6).cast("double")), 6).alias("norm")
+    )
+    return (
+        pervec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            (
+                F.sum(F.col("norm").cast("decimal(30,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_norm"),
+            F.min("norm").alias("min_norm"),
+            F.max("norm").alias("max_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "mom_growth",
+    PANEL_CTE
+    + """
+, m AS (
+  SELECT country, CAST(year(ds) AS INT) AS year, CAST(month(ds) AS INT) AS month,
+         CAST(ROUND(SUM(CAST(revenue AS DECIMAL(30,6))), 2) AS DOUBLE) AS revenue
+  FROM panel GROUP BY 1, 2, 3
+)
+SELECT country, year, month, revenue,
+       LAG(revenue) OVER w AS prev_revenue,
+       ROUND((revenue - LAG(revenue) OVER w)
+             / NULLIF(LAG(revenue) OVER w, 0), 6) AS growth_pct
+FROM m
+WINDOW w AS (PARTITION BY country ORDER BY year, month)
+ORDER BY country, year, month
+""",
+)
+def q_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth per country: monthly exact-decimal
+    rollup, one LAG window (year+month ordering is total within a
+    country), growth = (rev − prev) / prev on the already-identical
+    doubles. First month per country has NULL prev/growth — the honest
+    answer, not 0."""
+    panel = daily_panel(spark, sf_dir)
+    m = panel.groupBy(
+        "country",
+        F.year("ds").cast("int").alias("year"),
+        F.month("ds").cast("int").alias("month"),
+    ).agg(money_sum(F.col("revenue")).alias("revenue"))
+    w = Window.partitionBy("country").orderBy("year", "month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "country", "year", "month", "revenue",
+        prev.alias("prev_revenue"),
+        F.round((F.col("revenue") - prev) / F.nullif(prev, F.lit(0)), 6).alias(
+            "growth_pct"
+        ),
+    ).orderBy("country", "year", "month")
+
+
+# ---------------------------------------------------------------------------
 # Driver check-budget ordering. The per-round correctness sweep verifies
 # registry entries in dict order and stops after a fixed budget (~50 of
 # 89 in round 4), so iteration order IS the verification schedule. The
