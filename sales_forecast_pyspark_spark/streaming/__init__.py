@@ -3,6 +3,7 @@
 from sales_forecast_pyspark_spark.streaming.stream_ops import (
     daily_panel_stream,
     dedup_stream,
+    enrich_stream_with_dim,
     run_available_now,
     running_user_totals,
     sessionize_stream,
@@ -15,6 +16,7 @@ from sales_forecast_pyspark_spark.streaming.stream_ops import (
 __all__ = [
     "daily_panel_stream",
     "dedup_stream",
+    "enrich_stream_with_dim",
     "run_available_now",
     "running_user_totals",
     "sessionize_stream",

@@ -192,6 +192,44 @@ def stream_join_near_errors(
     )
 
 
+def enrich_stream_with_dim(
+    events: DataFrame,
+    dim: DataFrame,
+    stream_key: str,
+    dim_key: str,
+    segment_col: str,
+) -> DataFrame:
+    """Stream-static enrichment: join the event stream against a BATCH
+    dimension table, then aggregate per segment — the canonical "attach
+    the customer profile to the clickstream" shape.
+
+    The static side is re-read per micro-batch by definition (Spark
+    plans the batch relation fresh each trigger, so a dim table updated
+    between triggers is picked up); ``F.broadcast`` pins the hash-join
+    strategy so no micro-batch ever shuffles the stream side. Stream-
+    static joins need NO watermark — the dim side never buffers state.
+    The aggregate's state is one row per segment (bounded by segment
+    cardinality, not stream length), so complete-mode output is safe.
+
+    Equivalence contract (asserted in tests): after an availableNow
+    drain this equals the batch ``salted_segment_value`` query — the
+    same join expressed salted-batch, stream-static, and as the plain
+    SQL oracle must agree row-for-row."""
+    d = dim.select(
+        F.col(dim_key).alias(stream_key), F.col(segment_col).alias("segment")
+    )
+    return (
+        events.join(F.broadcast(d), stream_key, "inner")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(30,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     cumulative event count + value total, maintained in GroupState

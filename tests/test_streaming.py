@@ -40,6 +40,31 @@ def test_streaming_sessionization_matches_batch(spark):
     assert got.count() > 0
 
 
+def test_stream_static_enrichment_matches_salted_batch(spark):
+    """Three-way agreement on the same join: the stream-static
+    broadcast enrichment, drained, must equal the batch
+    salted_segment_value query (itself oracle-checked against the
+    plain SQL join) — salting and streaming are both
+    correctness-neutral formulations."""
+    from sales_forecast_pyspark_spark.sources.readers import read_table
+    from sales_forecast_pyspark_spark.streaming import (
+        enrich_stream_with_dim,
+        run_available_now,
+        stream_events,
+    )
+
+    cust = read_table(spark, SF_SMALL, "customer")
+    stream = enrich_stream_with_dim(
+        stream_events(spark, SF_SMALL), cust, "user_id", "c_custkey",
+        "c_mktsegment",
+    )
+    got = run_available_now(stream, "stream_enrich_test")
+    batch = QUERIES["salted_segment_value"].builder(spark, SF_SMALL)
+    cols = ["segment", "n_events", "total_value"]
+    assert _rows(got, cols) == _rows(batch, cols)
+    assert got.count() > 0
+
+
 def test_stateful_running_totals_match_batch(spark):
     """applyInPandasWithState cumulative per-user totals: after the
     stream drains (one availableNow pass), the latest emitted state per
