@@ -5,6 +5,8 @@ Reference operators P4-P9 (SURVEY.md §2.2).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -107,6 +109,50 @@ def stratified_sample(
         *[x for v, frac in fractions.items() for x in (F.lit(v), F.lit(int(frac * scale)))]
     )[F.col(strata_col)]
     return df.filter(h < F.coalesce(threshold, F.lit(0)))
+
+
+def weighted_sample(
+    df: DataFrame,
+    strata: Sequence[str],
+    weight_col: str,
+    k: int,
+    id_cols: Sequence[str],
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted reservoir sample (A-Res, Efraimidis & Spirakis 2006):
+    the ``k`` rows per stratum with the largest priority
+    ``u^(1/w)`` — equivalently the largest ``ln(u)/w`` — where ``u`` is
+    a per-row uniform. Inclusion probability is proportional to
+    ``weight_col`` without ever materializing cumulative weights, and
+    the whole thing is one window top-k: shuffle on the strata, no
+    driver state — the distributed-and-exact way to draw "sample 10k
+    docs per language, weighted by quality" from 100 TB.
+
+    Determinism: ``u`` is not random — it is derived from
+    ``md5(seed | id_cols)`` (first 8 hex digits + 0.5, scaled by 2^32:
+    an exactly-representable dyadic rational in (0,1)), so the sample
+    is a pure function of row identity + seed: reproducible across
+    engines (the DuckDB oracle computes the same u), reruns, and
+    repartitions, and a different ``seed`` is a fresh draw. Rows with
+    non-positive weight are excluded (zero weight == never sampled).
+    The priority itself is never output — only membership and rank —
+    so the one transcendental (ln) cannot leak engine ulp differences
+    into hashed values."""
+    ids = F.concat_ws(
+        "|", F.lit(str(seed)), *[F.col(c).cast("string") for c in id_cols]
+    )
+    u = (
+        F.conv(F.substring(F.md5(ids), 1, 8), 16, 10).cast("double") + F.lit(0.5)
+    ) / F.lit(float(2**32))
+    priority = F.log(u) / F.col(weight_col)
+    win = Window.partitionBy(*strata).orderBy(
+        F.desc(priority), *[F.asc(c) for c in id_cols]
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("sample_rank", F.row_number().over(win))
+        .filter(F.col("sample_rank") <= k)
+    )
 
 
 def time_split(

@@ -3275,6 +3275,91 @@ def q_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("country", "year", "month")
 
 
+@register(
+    "copurchase_triangles",
+    """
+WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+e AS (
+  SELECT a.i AS x, b.i AS y
+  FROM items a JOIN items b ON a.b = b.b AND a.i < b.i
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+v AS (
+  SELECT COUNT(DISTINCT n) AS n_nodes
+  FROM (SELECT x AS n FROM e UNION ALL SELECT y FROM e)
+),
+t AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM e e1
+  JOIN e e2 ON e2.x = e1.y
+  JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y
+)
+SELECT (SELECT n_nodes FROM v) AS n_nodes,
+       (SELECT COUNT(*) FROM e) AS n_edges,
+       (SELECT n_triangles FROM t) AS n_triangles
+""",
+)
+def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count on the co-purchase graph (edges = part pairs
+    co-ordered in ≥2 baskets, from `basket_lift`'s pair stage) via
+    DEGREE-ORDERED orientation (operators/graph.py::count_triangles):
+    wedge fan-out per node is bounded by oriented out-degree — O(√m) —
+    so a hub product can't melt one reducer. The oracle counts the same
+    triangles with the simple id-ordered 3-way self-join (counts are
+    orientation-invariant); the Spark plan is the one that survives a
+    hub."""
+    from sales_forecast_pyspark_spark.operators.baskets import basket_item_pairs
+    from sales_forecast_pyspark_spark.operators.graph import count_triangles
+
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = basket_item_pairs(li, "l_orderkey", "l_partkey").filter(
+        F.col("n_baskets_together") >= 2
+    )
+    return count_triangles(edges, "item_a", "item_b")
+
+
+@register(
+    "weighted_doc_sample",
+    """
+WITH w AS (
+  SELECT doc_id, lang, n_chars,
+         (CAST(('0x' || substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          + 0.5) / 4294967296.0 AS u
+  FROM documents WHERE n_chars > 0
+),
+r AS (
+  SELECT doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY ln(u) / n_chars DESC, doc_id)
+           AS sample_rank
+  FROM w
+)
+SELECT doc_id, lang, n_chars, CAST(sample_rank AS INT) AS sample_rank
+FROM r WHERE sample_rank <= 20
+ORDER BY lang, sample_rank
+""",
+)
+def q_weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted reservoir sample (operators/rowops.py::
+    weighted_sample, A-Res): 20 docs per language with inclusion
+    probability proportional to length — the "rebalance the training
+    mixture, favor substantive docs" primitive. The per-row uniform is
+    md5-derived (seed | doc_id → first 8 hex digits + 0.5 over 2^32, an
+    exact dyadic rational), so the DuckDB oracle reproduces the exact
+    sample; the ln-based priority is used only for ranking, never
+    output."""
+    from sales_forecast_pyspark_spark.operators.rowops import weighted_sample
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = weighted_sample(
+        docs, ["lang"], "n_chars", k=20, id_cols=["doc_id"], seed=42
+    )
+    return out.select(
+        "doc_id", "lang", "n_chars", F.col("sample_rank").cast("int").alias("sample_rank")
+    ).orderBy("lang", "sample_rank")
+
+
 # ---------------------------------------------------------------------------
 # Driver check-budget ordering. The per-round correctness sweep verifies
 # registry entries in dict order and stops after a fixed budget (~50 of
