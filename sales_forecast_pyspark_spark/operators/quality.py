@@ -146,13 +146,17 @@ def skew_profile(
     key_str = F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
     # collect_list gives no order guarantee after the limit's exchange, so
     # the display order is pinned INSIDE the aggregate: sort_array over
-    # (-n, key) structs, then the sort key is projected away.
+    # (-n, raw key columns) structs, then the sort keys are projected
+    # away. The RAW (typed) key columns must be the tie-break — the
+    # serialized string would order "10" before "4" and diverge from the
+    # numeric ORDER BY ... , key ASC every SQL engine applies.
     top = (
         counts.orderBy(F.desc("_n"), *[F.asc(k) for k in keys])
         .limit(top_n)
         .select(
             F.struct(
                 (-F.col("_n")).alias("_neg_n"),
+                *[F.col(k).alias(f"_k{i}") for i, k in enumerate(keys)],
                 key_str.alias("key"),
                 F.col("_n").alias("n"),
             ).alias("s")

@@ -34,6 +34,7 @@ BNLJ_DECLARED = {
     "key_skew_profile",
     "user_overlap_theta",
     "doc_surprisal",  # 1-row corpus-total crossJoin(broadcast(...))
+    "copurchase_triangles",  # three 1-row summary frames crossJoined
 }
 
 AUDITABLE = [n for n in QUERIES if n not in SKIP]
