@@ -79,6 +79,16 @@ BENCH_QUERIES = [
     "doc_stats",
     "ann_lsh_pairs",
     "tfidf_similar_docs",
+    # r05 tranche: the new join shapes (basket self-join, degree-ordered
+    # wedge join, salted skew join) plus the cheap single-exchange aggs.
+    "basket_lift",
+    "copurchase_triangles",
+    "salted_segment_value",
+    "anomaly_zscore",
+    "grouping_sets_sales",
+    "embedding_norm_stats",
+    "mom_growth",
+    "weighted_doc_sample",
 ]
 
 

@@ -25,15 +25,18 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def basket_item_pairs(
+def bounded_items(
     df: DataFrame,
     basket_col: str,
     item_col: str,
     max_basket_size: int = 1000,
 ) -> DataFrame:
-    """(item_a, item_b, n_baskets_together) for every pair co-occurring
-    in at least one basket; item_a < item_b. Items are deduped within a
-    basket first (a basket contributes each pair once)."""
+    """The shared basket POPULATION every downstream count must agree
+    on: distinct (_b, _i) pairs, with baskets larger than
+    ``max_basket_size`` dropped whole. Pair counts, item counts, and the
+    basket total are all derived from THIS frame — deriving any of them
+    from the uncapped input would make lift's numerator and denominators
+    disagree about which baskets exist."""
     items = (
         df.select(F.col(basket_col).alias("_b"), F.col(item_col).alias("_i"))
         .groupBy("_b", "_i")
@@ -43,7 +46,22 @@ def basket_item_pairs(
     sized = items.withColumn(
         "_k", F.count(F.lit(1)).over(Window.partitionBy("_b"))
     )
-    bounded = sized.filter(F.col("_k") <= max_basket_size).drop("_k")
+    return sized.filter(F.col("_k") <= max_basket_size).drop("_k")
+
+
+def basket_item_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_basket_size: int = 1000,
+) -> DataFrame:
+    """(item_a, item_b, n_baskets_together) for every pair co-occurring
+    in at least one basket; item_a < item_b. Items are deduped within a
+    basket first (a basket contributes each pair once)."""
+    return _pairs_from(bounded_items(df, basket_col, item_col, max_basket_size))
+
+
+def _pairs_from(bounded: DataFrame) -> DataFrame:
     a = bounded.select(F.col("_b"), F.col("_i").alias("item_a"))
     b = bounded.select(F.col("_b"), F.col("_i").alias("item_b"))
     return (
@@ -67,29 +85,31 @@ def basket_lift(
     lift(a,b) = P(a,b) / (P(a)·P(b)) = n_ab · n_baskets / (n_a · n_b),
     computed as exact long arithmetic with ONE final double division —
     deterministic across engines. Output ordered by support desc then
-    (item_a, item_b) — a total order, so ``top_k`` is reproducible."""
-    items = (
-        df.select(F.col(basket_col).alias("_b"), F.col(item_col).alias("_i"))
-        .groupBy("_b", "_i")
-        .agg(F.count(F.lit(1)).alias("_dup"))
-        .drop("_dup")
+    (item_a, item_b) — a total order, so ``top_k`` is reproducible.
+
+    All three counts — pair, per-item, and basket total — come from the
+    SAME ``max_basket_size``-capped population, so a dropped mega-basket
+    is absent from numerator and denominators alike. The basket total
+    stays a lazy 1-row broadcast crossJoin (never collected): building
+    the query runs no job, and the plan is fused end to end."""
+    bounded = bounded_items(df, basket_col, item_col, max_basket_size)
+    n_baskets = bounded.agg(F.countDistinct("_b").alias("_n_baskets"))
+    item_counts = bounded.groupBy("_i").agg(F.count(F.lit(1)).alias("_n"))
+    pairs = _pairs_from(bounded).filter(
+        F.col("n_baskets_together") >= min_pair_support
     )
-    n_baskets = items.select(F.countDistinct("_b")).first()[0]
-    item_counts = items.groupBy("_i").agg(F.count(F.lit(1)).alias("_n"))
-    pairs = basket_item_pairs(
-        df, basket_col, item_col, max_basket_size=max_basket_size
-    ).filter(F.col("n_baskets_together") >= min_pair_support)
     ca = item_counts.select(F.col("_i").alias("item_a"), F.col("_n").alias("_na"))
     cb = item_counts.select(F.col("_i").alias("item_b"), F.col("_n").alias("_nb"))
     return (
         pairs.join(ca, "item_a")
         .join(cb, "item_b")
+        .crossJoin(F.broadcast(n_baskets))
         .select(
             "item_a",
             "item_b",
             "n_baskets_together",
             F.round(
-                (F.col("n_baskets_together") * F.lit(n_baskets))
+                (F.col("n_baskets_together") * F.col("_n_baskets"))
                 / (F.col("_na") * F.col("_nb")),
                 4,
             ).alias("lift"),

@@ -43,7 +43,17 @@ def canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
 def count_triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """One row: (n_nodes, n_edges, n_triangles) for the undirected graph
     in ``edges`` (any orientation / duplication on input — canonicalized
-    first)."""
+    first).
+
+    The canonical edge frame is ``cache()``d (it feeds the degree
+    aggregate, the orientation join, and the edge count). The returned
+    frame is lazy, so the cache CANNOT be dropped here — the CALLER owns
+    its lifetime: after materializing the result in a long-lived
+    session, release it with
+    ``spark.catalog.clearCache()`` or by unpersisting via
+    ``canonical_edges(edges, src, dst).unpersist()`` (same logical plan
+    → same cache entry). One-shot query runs (the registry/bench path)
+    drop it with the session."""
     e = canonical_edges(edges, src, dst).cache()
 
     deg = (

@@ -136,8 +136,14 @@ def weighted_sample(
     repartitions, and a different ``seed`` is a fresh draw. Rows with
     non-positive weight are excluded (zero weight == never sampled).
     The priority itself is never output — only membership and rank —
-    so the one transcendental (ln) cannot leak engine ulp differences
-    into hashed values."""
+    which removes the COMMON ulp hazard (hashing a transcendental
+    result directly). A residual risk remains in principle: membership
+    is ordered by ``ln(u)/w``, so two rows whose priorities differ by
+    ~1 ulp could rank differently if the engines' ``ln`` rounds
+    differently on those inputs. With md5-derived dyadic-rational u's
+    exact priority ties are impossible and near-ties at 1-ulp distance
+    are vanishingly rare (none at any test SF); accepted rather than
+    quantized, since quantizing only relocates the boundary."""
     ids = F.concat_ws(
         "|", F.lit(str(seed)), *[F.col(c).cast("string") for c in id_cols]
     )

@@ -3056,8 +3056,16 @@ def q_forecast_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "basket_lift",
     """
-WITH items AS (
+WITH items0 AS (
   SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+),
+items AS (
+  -- mirror the operator's max_basket_size=1000 mega-basket guard so
+  -- numerator and denominators share ONE population (no-op at test SF:
+  -- TPC-H orders carry <= 7 lines)
+  SELECT b, i FROM (
+    SELECT b, i, COUNT(*) OVER (PARTITION BY b) AS k FROM items0
+  ) WHERE k <= 1000
 ),
 n AS (SELECT COUNT(DISTINCT b) AS n_baskets FROM items),
 pairs AS (
@@ -3278,7 +3286,13 @@ def q_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "copurchase_triangles",
     """
-WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+WITH items0 AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+items AS (
+  -- mirror basket_item_pairs' max_basket_size=1000 guard (no-op at test SF)
+  SELECT b, i FROM (
+    SELECT b, i, COUNT(*) OVER (PARTITION BY b) AS k FROM items0
+  ) WHERE k <= 1000
+),
 e AS (
   SELECT a.i AS x, b.i AS y
   FROM items a JOIN items b ON a.b = b.b AND a.i < b.i

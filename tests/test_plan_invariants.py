@@ -35,6 +35,7 @@ BNLJ_DECLARED = {
     "user_overlap_theta",
     "doc_surprisal",  # 1-row corpus-total crossJoin(broadcast(...))
     "copurchase_triangles",  # three 1-row summary frames crossJoined
+    "basket_lift",  # lazy 1-row basket-total crossJoin(broadcast(...))
 }
 
 AUDITABLE = [n for n in QUERIES if n not in SKIP]
