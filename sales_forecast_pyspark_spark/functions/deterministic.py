@@ -101,8 +101,20 @@ def quantized_dot(
     non-negative sum (true for dot products of non-negative weights) —
     the half-up shift is written for Σ ≥ 0.
     """
+    return quantized_total_round(
+        F.sum(a_scaled * b_scaled), scale=scale, out_digits=out_digits
+    )
+
+
+def quantized_total_round(
+    total: Column, scale: int = 7, out_digits: int = 4
+) -> Column:
+    """The half-up descale step of ``quantized_dot`` exposed for callers
+    that produce the exact Σ (a×10^s)(b×10^s) long total by other means
+    (e.g. a map-lookup ``aggregate`` over per-doc term maps instead of a
+    join-expanded SUM — same integer, so bit-identical output).
+    ``total`` must be ≥ 0 (see ``quantized_dot``)."""
     shift = 10 ** (2 * scale - out_digits)
-    total = F.sum(a_scaled * b_scaled)
     rounded = (total + F.lit(shift // 2)) - ((total + F.lit(shift // 2)) % F.lit(shift))
     return (rounded / F.lit(shift)).cast("long").cast("double") / F.lit(
         float(10**out_digits)

@@ -47,8 +47,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from sales_forecast_pyspark_spark.functions.deterministic import (
-    quantized_dot,
     quantized_long,
+    quantized_total_round,
 )
 from sales_forecast_pyspark_spark.llmdata.text import tokens_expr
 
@@ -94,15 +94,20 @@ def term_tfidf(
     Shape: one explode + two hash aggregations (term df, doc norm) — no
     driver-side vocabulary, no dense vectors. Terms whose idf is 0
     (present in every doc) drop out; docs left with zero norm are
-    removed (no direction)."""
+    removed (no direction).
+
+    ``N`` (corpus doc count) stays a LAZY 1-row broadcast crossJoin —
+    collecting it on the driver would run an extra docs scan eagerly at
+    query-BUILD time (measured ~2s of the tfidf_similar_docs wall at
+    sf0.1, before any requested action)."""
     tok = df.select(F.col(id_col).alias("doc_id"), F.explode(tokens_expr(text_col)).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = df.select(F.countDistinct(id_col)).first()[0]
+    n_docs = df.agg(F.countDistinct(id_col).alias("_n_docs"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    w = tf.join(dfreq, "term").select(
+    w = tf.join(dfreq, "term").crossJoin(F.broadcast(n_docs)).select(
         "doc_id",
         "term",
-        (F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0))).alias("w"),
+        (F.col("tf") * F.log((F.col("_n_docs") + 1.0) / (F.col("df") + 1.0))).alias("w"),
     ).filter(F.col("w") > 0)
     if not normalize:
         return w
@@ -197,8 +202,8 @@ def tfidf_near_pairs(
     docs' shared terms with an order-independent decimal dot product —
     verifies each candidate. Precision exact; recall per the module
     docstring curve. Returns (id_a, id_b, cos_sim), id_a < id_b."""
-    # The weights table is read THREE times (signature build + both
-    # verify sides) and the signature table twice (candidate self-join);
+    # The weights table is read TWICE (signature build + the verify
+    # doc-map fold) and the signature table twice (candidate self-join);
     # both are persisted — they are far smaller than the corpus
     # (|doc-term pairs| and bands×|docs| rows), and without the cache
     # the whole tokenize→tf→idf→normalize chain re-executes per read
@@ -223,22 +228,39 @@ def tfidf_near_pairs(
         )
         .distinct()
     )
-    wa = weights.select(
-        F.col("doc_id").alias("doc_a"), "term", F.col("_wdec").alias("w_a")
+    # Verify via per-doc term MAPS instead of a candidates×terms join:
+    # the join formulation expands |candidates| × (terms of doc_a) rows
+    # and shuffles them into a (doc_a, doc_b) hash aggregate — the
+    # largest frame in the query. Folding each doc's (term → scaled
+    # weight) map once (one small shuffle over the weights rows) turns
+    # verify into two broadcast-able map-table joins plus a per-pair
+    # in-row aggregate over ~|doc terms| entries — no candidate-grain
+    # shuffle at all. The exact long total Σ (a×10^7)(b×10^7) is the
+    # SAME integer the join version sums, so scores are bit-identical
+    # (pinned by tests/test_similarity.py's pair hashes).
+    doc_maps = weights.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("term", "_wdec"))).alias("m")
     )
-    wb = weights.select(
-        F.col("doc_id").alias("doc_b"), "term", F.col("_wdec").alias("w_b")
-    )
-    # quantized_dot == weighted_sum(w_a, w_b, out_digits=6) bit-for-bit
-    # (same 1e-7 factor quantization, same half-up rounding at 1e-6),
-    # but the per-joined-row work is one long multiply instead of two
-    # rounds + two decimal casts + a decimal multiply — this join output
-    # is the largest frame in the query (candidates × shared terms).
     scored = (
-        cand.join(wa, "doc_a")
-        .join(wb, ["doc_b", "term"])
-        .groupBy("doc_a", "doc_b")
-        .agg(quantized_dot(F.col("w_a"), F.col("w_b"), out_digits=6).alias("cos_sim"))
+        cand.join(
+            doc_maps.select(F.col("doc_id").alias("doc_a"), F.col("m").alias("_ma")),
+            "doc_a",
+        )
+        .join(
+            doc_maps.select(F.col("doc_id").alias("doc_b"), F.col("m").alias("_mb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            quantized_total_round(
+                F.expr(
+                    "aggregate(map_entries(_ma), 0L, (acc, e) -> "
+                    "acc + e.value * coalesce(try_element_at(_mb, e.key), 0L))"
+                ),
+                out_digits=6,
+            ).alias("cos_sim"),
+        )
     )
     return (
         scored.filter(F.col("cos_sim") >= cos_threshold)

@@ -36,6 +36,8 @@ BNLJ_DECLARED = {
     "doc_surprisal",  # 1-row corpus-total crossJoin(broadcast(...))
     "copurchase_triangles",  # three 1-row summary frames crossJoined
     "basket_lift",  # lazy 1-row basket-total crossJoin(broadcast(...))
+    "doc_keywords",  # term_tfidf's lazy 1-row corpus-count crossJoin
+    "tfidf_similar_docs",  # same term_tfidf 1-row corpus-count crossJoin
 }
 
 AUDITABLE = [n for n in QUERIES if n not in SKIP]
