@@ -89,6 +89,16 @@ BENCH_QUERIES = [
     "embedding_norm_stats",
     "mom_growth",
     "weighted_doc_sample",
+    # r06 tranche: the distributed prefix-sum shape, the Q1-style wide
+    # agg, and the new window/LM shapes.
+    "pricing_summary",
+    "abc_products",
+    "rfm_scores",
+    "user_streaks",
+    "time_weighted_value",
+    "ewma_baseline",
+    "bigram_surprisal",
+    "mutual_information",
 ]
 
 

@@ -334,3 +334,74 @@ def unigram_surprisal(
         )
         .orderBy(id_col)
     )
+
+
+def bigram_surprisal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 7,
+) -> DataFrame:
+    """Second-order LM quality score: mean bigram surprisal
+    −mean(ln p(w2|w1)) per document with add-one smoothing,
+    p(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V). The bigram lens catches
+    what ``unigram_surprisal`` can't: shuffled-but-common-token text
+    (word salad from frequent words) scores HIGH here and low there,
+    so the pair separates gibberish from merely-common vocabulary.
+
+    Bigrams are built in-row (one ``transform`` over the token array,
+    no self-join on position), then counted with the same two corpus
+    aggregates + join shape as the unigram tier. c(w1) is the corpus
+    UNIGRAM count (the standard estimator); V = distinct unigrams
+    (1-row broadcast). Determinism: identical to unigram_surprisal —
+    surprisals rounded at ``scale``, decimal mean, round 4."""
+    from sales_forecast_pyspark_spark.functions.deterministic import dec_sum
+
+    toks = df.select(
+        F.col(id_col), tokens_expr(text_col).alias("_toks")
+    )
+    bg = (
+        toks.filter(F.size("_toks") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(_toks) - 2), i -> "
+                    "struct(_toks[i] AS w1, concat(_toks[i], ' ', _toks[i+1]) AS b))"
+                )
+            ).alias("p"),
+        )
+        .select(id_col, "p.w1", "p.b")
+    )
+    uni = (
+        toks.select(F.explode("_toks").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("vsize"))
+    c2 = bg.groupBy("b").agg(F.count(F.lit(1)).alias("c2"))
+    surp = (
+        bg.join(uni.withColumnRenamed("t", "w1"), "w1")
+        .join(c2, "b")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            id_col,
+            F.round(
+                F.log(
+                    (F.col("c1") + F.col("vsize")).cast("double")
+                    / (F.col("c2") + F.lit(1)).cast("double")
+                ),
+                scale,
+            ).alias("s"),
+        )
+    )
+    return (
+        surp.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                dec_sum(F.col("s"), scale=scale) / F.count(F.lit(1)), 4
+            ).alias("avg_surprisal"),
+        )
+        .orderBy(id_col)
+    )

@@ -19,7 +19,7 @@ this operator makes them declarative and reusable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -181,3 +181,61 @@ def skew_profile(
         F.round(F.col("max_rows_per_key") / F.col("mean_rows_per_key"), 2),
     )
     return summary.crossJoin(top)  # two 1-row frames
+
+
+def categorical_mutual_information(
+    df: DataFrame,
+    x_col: Column | str,
+    y_col: Column | str,
+    scale: int = 7,
+) -> DataFrame:
+    """Mutual information (nats) between two categorical columns — the
+    association/drift diagnostic behind feature selection ("does this
+    dimension carry signal about that one?") and leakage screens. ONE
+    row: (n_events, n_x, n_y, mi_nats).
+
+    MI = Σ_xy p(x,y) · ln( p(x,y) / (p(x)·p(y)) ), computed from exact
+    cell counts: one hash aggregate to the (x, y) contingency cells,
+    two re-aggregates for the marginals (cell-sized, not data-sized),
+    and a 1-row total broadcast — at 100 TB the only data-sized pass is
+    the first aggregate; everything after runs on |X|·|Y| rows.
+
+    Determinism follows the ``unigram_surprisal`` pattern: the ln term
+    is computed from identical exact-integer-derived doubles in both
+    engines and rounded at ``scale``; the expectation is then an exact
+    decimal sum of (term × cell count) divided once by N, rounded to 4.
+    """
+    x = F.col(x_col) if isinstance(x_col, str) else x_col
+    y = F.col(y_col) if isinstance(y_col, str) else y_col
+    cells = df.select(x.alias("_x"), y.alias("_y")).groupBy("_x", "_y").agg(
+        F.count(F.lit(1)).alias("_nxy")
+    )
+    mx = cells.groupBy("_x").agg(F.sum("_nxy").alias("_nx"))
+    my = cells.groupBy("_y").agg(F.sum("_nxy").alias("_ny"))
+    tot = cells.agg(F.sum("_nxy").alias("_nn"))
+    terms = (
+        cells.join(mx, "_x")
+        .join(my, "_y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "_nxy",
+            F.round(
+                F.log(
+                    (F.col("_nxy").cast("double") * F.col("_nn").cast("double"))
+                    / (F.col("_nx").cast("double") * F.col("_ny").cast("double"))
+                ),
+                scale,
+            ).alias("_t"),
+        )
+    )
+    return terms.agg(
+        F.sum("_nxy").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.round(
+            F.sum(
+                F.col("_t").cast(f"decimal(30,{scale})") * F.col("_nxy")
+            ).cast("double")
+            / F.sum("_nxy"),
+            4,
+        ).alias("mi_nats"),
+    )

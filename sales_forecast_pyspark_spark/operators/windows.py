@@ -191,6 +191,50 @@ def ma_baseline(
     return df.select("*", F.coalesce(ma, lag1).alias(out_col))
 
 
+def ewma_baseline(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    col: str,
+    window: int = 6,
+    out_col: str = "ewma_qty",
+) -> DataFrame:
+    """Exponentially-weighted moving-average baseline: trailing
+    geometric-decay mean over the previous ``window`` rows, EXCLUDING
+    today (same leakage-free frame as ``ma_baseline``), weights
+    ``0.5^i`` for lag ``i`` renormalized over the lags that exist.
+
+    True (infinite-memory) EWMA is a recursion no window frame can
+    express; the ``window``-term truncation keeps >98% of the mass at
+    K=6 and makes it a plain lag combination — one exchange+sort shared
+    with every other feature on the same keys. Weights are DYADIC
+    (0.5^i is exact in decimal at scale ``window``), values multiply in
+    decimal, and the single double division happens once at the end —
+    bit-identical across engines and partitionings."""
+    w = _window(keys, order_col)
+    num_terms = []
+    den_terms = []
+    for i in range(1, window + 1):
+        wi = F.lit(round(0.5**i, window)).cast(f"decimal({window + 2},{window})")
+        li = F.lag(col, i).over(w)
+        num_terms.append(
+            F.when(li.isNotNull(), li.cast("decimal(20,6)") * wi).otherwise(
+                F.lit(0).cast(f"decimal(27,{window + 6})")
+            )
+        )
+        den_terms.append(
+            F.when(li.isNotNull(), wi).otherwise(
+                F.lit(0).cast(f"decimal({window + 2},{window})")
+            )
+        )
+    num = sum(num_terms[1:], num_terms[0])
+    den = sum(den_terms[1:], den_terms[0])
+    ewma = F.when(
+        den > 0, F.round(num.cast("double") / den.cast("double"), 4)
+    )
+    return df.select("*", ewma.alias(out_col))
+
+
 def transition_matrix(
     df: DataFrame,
     id_col: str = "user_id",

@@ -3375,6 +3375,398 @@ def q_weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-6 tranche: pricing summary, Pareto/ABC via distributed prefix
+# sum, RFM segmentation, activity streaks, time-weighted value, EWMA
+# baseline, bigram LM quality, categorical mutual information.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,6))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6))), 2) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shape pricing summary: the canonical one-pass wide
+    aggregate (8 measures over 2 grouping keys). One hash exchange with
+    map-side combine — the shape that IS the plan at 100 TB. Money
+    chains multiply 2-decimal doubles then sum in exact decimal
+    (functions/deterministic.py); averages follow the stable_avg
+    pattern (exact sum, one double division, deliberately unrounded)."""
+    from sales_forecast_pyspark_spark.functions.deterministic import dec_sum
+
+    li = read_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    n = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum(F.col("l_quantity")).alias("sum_qty"),
+            money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            money_sum(disc_price).alias("sum_disc_price"),
+            money_sum(charge).alias("sum_charge"),
+            (dec_sum(F.col("l_quantity")) / n).alias("avg_qty"),
+            (dec_sum(F.col("l_extendedprice")) / n).alias("avg_price"),
+            (dec_sum(F.col("l_discount")) / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "abc_products",
+    """
+WITH rev AS (
+  SELECT l_partkey AS part,
+         CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE) AS revenue
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(CAST(revenue AS DECIMAL(30,2))) AS DOUBLE) AS total FROM rev),
+c AS (
+  SELECT part, revenue,
+         CAST(SUM(CAST(revenue AS DECIMAL(30,2)))
+              OVER (ORDER BY revenue DESC, part ASC) AS DOUBLE) AS cum_revenue
+  FROM rev
+)
+SELECT part, revenue, cum_revenue,
+       ROUND(cum_revenue / tot.total, 6) AS cum_share,
+       CASE WHEN ROUND(cum_revenue / tot.total, 6) <= 0.8 THEN 'A'
+            WHEN ROUND(cum_revenue / tot.total, 6) <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM c CROSS JOIN tot
+ORDER BY cum_revenue, part
+""",
+)
+def q_abc_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC revenue classification via DISTRIBUTED prefix sum
+    (operators/prefix.py::partitioned_cumsum). The oracle's
+    ``SUM() OVER (ORDER BY ...)`` with no PARTITION BY is the classic
+    single-reducer trap; the Spark side range-repartitions on the total
+    order, running-sums within each partition, and adds broadcast
+    per-partition offsets — the two-phase scan whose cumulative values
+    are EXACTLY the oracle's (decimal sums, boundary-independent).
+    Class cuts: A <= 80% of revenue, B <= 95%, else C."""
+    from sales_forecast_pyspark_spark.functions.deterministic import dec_sum
+    from sales_forecast_pyspark_spark.operators.prefix import partitioned_cumsum
+
+    li = read_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        money_sum(disc_price).alias("revenue")
+    )
+    tot = rev.agg(dec_sum(F.col("revenue"), scale=2).alias("total"))
+    cum = partitioned_cumsum(
+        rev,
+        [F.col("revenue").desc(), F.col("part").asc()],
+        F.col("revenue"),
+        "cum_revenue",
+        scale=2,
+    )
+    share = F.round(F.col("cum_revenue").cast("double") / F.col("total"), 6)
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "part",
+            "revenue",
+            F.col("cum_revenue").cast("double").alias("cum_revenue"),
+            share.alias("cum_share"),
+            F.when(share <= 0.8, "A")
+            .when(share <= 0.95, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+        .orderBy("cum_revenue", "part")
+    )
+
+
+@register(
+    "rfm_scores",
+    """
+WITH p AS (
+  SELECT user_id,
+         CAST(date_diff('day', MAX(CAST(ts AS DATE)), DATE '2025-01-01') AS INT) AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(30,6))), 2) AS DOUBLE) AS monetary
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT user_id, recency_days, frequency, monetary,
+       CAST(NTILE(5) OVER (ORDER BY recency_days DESC, user_id) AS INT) AS r_score,
+       CAST(NTILE(5) OVER (ORDER BY frequency ASC, user_id) AS INT) AS f_score,
+       CAST(NTILE(5) OVER (ORDER BY monetary ASC, user_id) AS INT) AS m_score
+FROM p ORDER BY user_id
+""",
+)
+def q_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency/frequency/monetary) customer segmentation: one hash
+    aggregate to user grain, then quintile scores (5 = best) via ntile
+    with a fully tie-broken total order so bucket assignment is
+    engine-identical. The ntile windows run over the USER-grain frame
+    (cardinality |users|, not |events|) — the same accepted shape as
+    customer_value_deciles; at billion-user scale swap ntile for
+    precomputed percentile thresholds."""
+    ev = read_table(spark, sf_dir, "events")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.datediff(
+                F.lit("2025-01-01").cast("date"), F.max(F.col("ts").cast("date"))
+            ).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            money_sum(F.col("value")).alias("monetary"),
+        )
+    )
+    return p.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("recency_days"), F.asc("user_id")))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.asc("frequency"), F.asc("user_id")))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.asc("monetary"), F.asc("user_id")))
+        .alias("m_score"),
+    ).orderBy("user_id")
+
+
+@register(
+    "user_streaks",
+    """
+WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+g AS (
+  SELECT user_id, day,
+         day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS INT) AS anchor
+  FROM d
+),
+s AS (SELECT user_id, anchor, COUNT(*) AS len FROM g GROUP BY 1, 2)
+SELECT user_id,
+       CAST(SUM(len) AS BIGINT) AS n_active_days,
+       CAST(MAX(len) AS BIGINT) AS longest_streak,
+       COUNT(*) AS n_streaks
+FROM s GROUP BY 1 ORDER BY user_id
+""",
+)
+def q_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands idiom: day minus its per-user row_number is
+    constant exactly along a run of consecutive days, so islands fall
+    out of one user-keyed window plus two hash aggregates. Everything
+    is partitioned by user_id; no global ordering anywhere."""
+    ev = read_table(spark, sf_dir, "events")
+    d = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("day"))
+    g = d.withColumn("anchor", F.date_sub(F.col("day"), rn))
+    s = g.groupBy("user_id", "anchor").agg(F.count(F.lit(1)).alias("len"))
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.sum("len").alias("n_active_days"),
+            F.max("len").cast("long").alias("longest_streak"),
+            F.count(F.lit(1)).alias("n_streaks"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "time_weighted_value",
+    """
+WITH seq AS (
+  SELECT user_id, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t0,
+         CAST(floor(epoch(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS t1
+  FROM events
+),
+seg AS (SELECT user_id, value, t1 - t0 AS dur FROM seq WHERE t1 IS NOT NULL)
+SELECT user_id,
+       COUNT(*) AS n_segments,
+       CAST(SUM(dur) AS BIGINT) AS total_sec,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2)) * dur) AS DOUBLE)
+             / NULLIF(CAST(SUM(dur) AS BIGINT), 0), 4) AS twap_value
+FROM seg GROUP BY 1 ORDER BY user_id
+""",
+)
+def q_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP): each event's value
+    is weighted by how long it was "current" (seconds until the user's
+    next event; the open-ended last segment is excluded). One lead()
+    window + one aggregate, both keyed by user. Durations are integer
+    seconds (floored epochs in both engines); value×duration multiplies
+    in exact decimal, one final double division rounded to 4."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "value",
+        F.unix_timestamp("ts").alias("t0"),
+        F.unix_timestamp(F.lead("ts", 1).over(w)).alias("t1"),
+    )
+    seg = seq.filter(F.col("t1").isNotNull()).select(
+        "user_id", "value", (F.col("t1") - F.col("t0")).alias("dur")
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum("dur").alias("total_sec"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(12,2)") * F.col("dur")).cast(
+                    "double"
+                )
+                / F.nullif(F.sum("dur"), F.lit(0)),
+                4,
+            ).alias("twap_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_EWMA_ORACLE = (
+    PANEL_CTE
+    + """
+, lagged AS (
+  SELECT country, stock, ds, qty,
+         LAG(qty, 1) OVER w AS l1, LAG(qty, 2) OVER w AS l2,
+         LAG(qty, 3) OVER w AS l3, LAG(qty, 4) OVER w AS l4,
+         LAG(qty, 5) OVER w AS l5, LAG(qty, 6) OVER w AS l6
+  FROM panel
+  WINDOW w AS (PARTITION BY country, stock ORDER BY ds)
+)
+SELECT country, stock, ds, qty,
+       CASE WHEN {den} > 0 THEN ROUND(CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE), 4) END AS ewma_qty
+FROM lagged
+ORDER BY country, stock, ds
+""".format(
+        num=" + ".join(
+            f"COALESCE(CAST(l{i} AS DECIMAL(20,6)) * CAST({0.5 ** i:.6f} AS DECIMAL(8,6)), CAST(0 AS DECIMAL(8,6)))"
+            for i in range(1, 7)
+        ),
+        den=" + ".join(
+            f"CASE WHEN l{i} IS NOT NULL THEN CAST({0.5 ** i:.6f} AS DECIMAL(8,6)) ELSE CAST(0 AS DECIMAL(8,6)) END"
+            for i in range(1, 7)
+        ),
+    )
+)
+
+
+@register("ewma_baseline", _EWMA_ORACLE)
+def q_ewma_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving-average baseline forecast
+    (operators/windows.py::ewma_baseline): trailing geometric-decay
+    mean over the previous 6 days per (country, stock) series,
+    excluding today — the decay-weighted sibling of ma_baseline (W8).
+    Dyadic weights (0.5^i) keep every product exact in decimal, so the
+    baseline is bit-identical across engines; one exchange+sort shared
+    across the lag family."""
+    from sales_forecast_pyspark_spark.operators.windows import ewma_baseline
+
+    panel = daily_panel(spark, sf_dir).select("country", "stock", "ds", "qty")
+    return ewma_baseline(panel, PANEL_KEYS, "ds", "qty", window=6).orderBy(
+        "country", "stock", "ds"
+    )
+
+
+@register(
+    "bigram_surprisal",
+    """
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i + 1] AS b
+  FROM (SELECT doc_id, toks, unnest(range(1, length(toks))) AS i
+        FROM tok WHERE length(toks) >= 2)
+),
+uni AS (
+  SELECT t, COUNT(*) AS c1
+  FROM (SELECT unnest(toks) AS t FROM tok) GROUP BY 1
+),
+v AS (SELECT COUNT(*) AS vsize FROM uni),
+c2 AS (SELECT b, COUNT(*) AS c2 FROM bg GROUP BY 1),
+s AS (
+  SELECT bg.doc_id,
+         ROUND(ln(CAST(uni.c1 + v.vsize AS DOUBLE) / CAST(c2.c2 + 1 AS DOUBLE)), 7) AS s
+  FROM bg JOIN uni ON bg.w1 = uni.t JOIN c2 ON bg.b = c2.b CROSS JOIN v
+)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       ROUND(CAST(SUM(CAST(s AS DECIMAL(30,7))) AS DOUBLE) / COUNT(*), 4) AS avg_surprisal
+FROM s GROUP BY 1 ORDER BY doc_id
+""",
+)
+def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean bigram surprisal per document (llmdata/text.py::
+    bigram_surprisal): −mean ln p(w2|w1) with add-one smoothing — the
+    second-order LM quality score that separates word salad (common
+    tokens, improbable SEQUENCES) from merely-common vocabulary, which
+    the unigram tier cannot. Bigrams are built in-row from the token
+    array (no positional self-join); corpus counts are two hash
+    aggregates + hash joins."""
+    from sales_forecast_pyspark_spark.llmdata.text import bigram_surprisal
+
+    docs = read_table(spark, sf_dir, "documents")
+    return bigram_surprisal(docs, "doc_id", "text")
+
+
+@register(
+    "mutual_information",
+    """
+WITH e AS (SELECT event_type AS x, CAST(dayofweek(ts) + 1 AS INT) AS y FROM events),
+xy AS (SELECT x, y, COUNT(*) AS nxy FROM e GROUP BY 1, 2),
+mx AS (SELECT x, CAST(SUM(nxy) AS BIGINT) AS nx FROM xy GROUP BY 1),
+my AS (SELECT y, CAST(SUM(nxy) AS BIGINT) AS ny FROM xy GROUP BY 1),
+n AS (SELECT CAST(SUM(nxy) AS BIGINT) AS nn FROM xy),
+t AS (
+  SELECT xy.nxy,
+         ROUND(ln((CAST(xy.nxy AS DOUBLE) * CAST(nn AS DOUBLE))
+                  / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))), 7) AS term
+  FROM xy JOIN mx USING (x) JOIN my USING (y) CROSS JOIN n
+)
+SELECT CAST(SUM(nxy) AS BIGINT) AS n_events,
+       COUNT(*) AS n_cells,
+       ROUND(CAST(SUM(CAST(term AS DECIMAL(30,7)) * nxy) AS DOUBLE)
+             / CAST(SUM(nxy) AS BIGINT), 4) AS mi_nats
+FROM t
+""",
+)
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event_type and day-of-week
+    (operators/quality.py::categorical_mutual_information) — the
+    association/drift screen ("is behavior day-dependent?"). One
+    data-sized hash aggregate to contingency cells; marginals, total,
+    and the MI expectation all run on |X|·|Y| rows. Spark dayofweek is
+    1=Sunday..7; the oracle adds 1 to DuckDB's 0-based value (module
+    header convention)."""
+    from sales_forecast_pyspark_spark.operators.quality import (
+        categorical_mutual_information,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    return categorical_mutual_information(
+        ev, F.col("event_type"), F.dayofweek("ts").cast("int")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver check-budget ordering. The per-round correctness sweep verifies
 # registry entries in dict order and stops after a fixed budget (~50 of
 # 89 in round 4), so iteration order IS the verification schedule. The

@@ -38,6 +38,9 @@ BNLJ_DECLARED = {
     "basket_lift",  # lazy 1-row basket-total crossJoin(broadcast(...))
     "doc_keywords",  # term_tfidf's lazy 1-row corpus-count crossJoin
     "tfidf_similar_docs",  # same term_tfidf 1-row corpus-count crossJoin
+    "abc_products",  # 1-row revenue-total crossJoin(broadcast(...))
+    "bigram_surprisal",  # 1-row vocabulary-size crossJoin(broadcast(...))
+    "mutual_information",  # 1-row grand-total crossJoin(broadcast(...))
 }
 
 AUDITABLE = [n for n in QUERIES if n not in SKIP]

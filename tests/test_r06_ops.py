@@ -1,0 +1,164 @@
+"""Unit tests for the r06 operator tranche: distributed prefix sum,
+EWMA baseline, streaks, mutual information, bigram surprisal."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+def test_partitioned_cumsum_matches_single_window(spark):
+    """The two-phase distributed scan must produce EXACTLY the values of
+    the textbook single-reducer window, for any partition count."""
+    from sales_forecast_pyspark_spark.operators.prefix import partitioned_cumsum
+
+    rows = [(i, float((i * 37) % 100) + 0.25) for i in range(1, 501)]
+    df = spark.createDataFrame(rows, "k int, v double").repartition(7)
+
+    expected = {
+        r["k"]: r["cum"]
+        for r in df.withColumn(
+            "cum",
+            F.sum(F.col("v").cast("decimal(30,6)")).over(
+                Window.orderBy(F.col("v").desc(), F.col("k").asc()).rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        ).collect()
+    }
+
+    for nparts in (1, 3, 16):
+        got = {
+            r["k"]: r["cum"]
+            for r in partitioned_cumsum(
+                df,
+                [F.col("v").desc(), F.col("k").asc()],
+                F.col("v"),
+                "cum",
+                num_partitions=nparts,
+            ).collect()
+        }
+        assert got == expected, f"nparts={nparts}"
+
+
+def test_partitioned_cumsum_no_single_partition_data_window(spark):
+    """The plan must not contain an un-partitioned window over the DATA:
+    every data-sized Window node carries the partition-id key (the only
+    global window runs over per-partition totals)."""
+    from sales_forecast_pyspark_spark.operators.prefix import partitioned_cumsum
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).cast("double").alias("v")
+    )
+    out = partitioned_cumsum(
+        df, [F.col("v").asc(), F.col("k").asc()], F.col("v"), "cum",
+        num_partitions=8,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    windows = re.findall(r"Window \[.*?windowspecdefinition\(([^)]*)\)", plan)
+    assert windows, plan
+    # exactly one window (the offsets one) may omit _cs_pid from its spec
+    unkeyed = [w for w in windows if "_cs_pid" not in w]
+    assert len(unkeyed) <= 1, plan
+
+
+def test_ewma_baseline_hand_computed(spark):
+    from sales_forecast_pyspark_spark.operators.windows import ewma_baseline
+
+    rows = [("a", 1, 1, 10.0), ("a", 1, 2, 20.0), ("a", 1, 3, 40.0)]
+    df = spark.createDataFrame(rows, "country string, stock int, ds int, qty double")
+    out = {
+        r["ds"]: r["ewma_qty"]
+        for r in ewma_baseline(df, ["country", "stock"], "ds", "qty").collect()
+    }
+    assert out[1] is None  # no history
+    assert out[2] == 10.0  # only lag1: 10*0.5 / 0.5
+    # lags: l1=20 (w .5), l2=10 (w .25) -> (10 + 2.5) / 0.75 = 16.6667
+    assert out[3] == 16.6667
+
+
+def test_user_streaks_islands(spark):
+    from sales_forecast_pyspark_spark.plans.queries import QUERIES  # noqa: F401
+
+    rows = [
+        (1, "2024-01-01"), (1, "2024-01-02"), (1, "2024-01-03"),
+        (1, "2024-01-05"),
+        (2, "2024-01-10"),
+    ]
+    d = spark.createDataFrame(rows, "user_id int, day string").select(
+        "user_id", F.col("day").cast("date").alias("day")
+    )
+    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("day"))
+    g = d.withColumn("anchor", F.date_sub(F.col("day"), rn))
+    s = g.groupBy("user_id", "anchor").agg(F.count(F.lit(1)).alias("len"))
+    out = {
+        r["user_id"]: (r["n_active_days"], r["longest_streak"], r["n_streaks"])
+        for r in s.groupBy("user_id")
+        .agg(
+            F.sum("len").alias("n_active_days"),
+            F.max("len").alias("longest_streak"),
+            F.count(F.lit(1)).alias("n_streaks"),
+        )
+        .collect()
+    }
+    assert out[1] == (4, 3, 2)
+    assert out[2] == (1, 1, 1)
+
+
+def test_mutual_information_independent_and_dependent(spark):
+    from sales_forecast_pyspark_spark.operators.quality import (
+        categorical_mutual_information,
+    )
+
+    # independent: x uniform over 2, y uniform over 2, all combos equal
+    rows = [(x, y) for x in ("a", "b") for y in (0, 1) for _ in range(25)]
+    df = spark.createDataFrame(rows, "x string, y int")
+    mi = categorical_mutual_information(df, "x", "y").first()
+    assert mi["n_events"] == 100 and mi["n_cells"] == 4
+    assert mi["mi_nats"] == 0.0
+
+    # perfectly dependent: y == f(x) with 2 classes -> MI = ln 2
+    rows = [("a", 0)] * 50 + [("b", 1)] * 50
+    df = spark.createDataFrame(rows, "x string, y int")
+    mi = categorical_mutual_information(df, "x", "y").first()
+    assert abs(mi["mi_nats"] - round(math.log(2), 4)) <= 1e-4
+
+
+def test_bigram_surprisal_separates_word_salad(spark):
+    """Both docs use only corpus-common TOKENS; the shuffled one uses
+    rare SEQUENCES and must score strictly higher on the bigram tier."""
+    from sales_forecast_pyspark_spark.llmdata.text import bigram_surprisal
+
+    common = "the cat sat on the mat " * 10
+    salad = "mat the on cat the sat " + "the cat sat on the mat " * 9
+    docs = spark.createDataFrame(
+        [(1, common), (2, salad)], "doc_id int, text string"
+    )
+    out = {r["doc_id"]: r["avg_surprisal"] for r in bigram_surprisal(docs).collect()}
+    assert out[2] > out[1]
+
+
+def test_abc_products_classes_partition_revenue(spark):
+    from sales_forecast_pyspark_spark.plans.queries import QUERIES
+    from tests.conftest import SF_SMALL
+
+    rows = QUERIES["abc_products"].builder(spark, SF_SMALL).collect()
+    assert rows, "empty ABC output"
+    # cum_share non-decreasing in output order and ends at 1.0
+    shares = [r["cum_share"] for r in rows]
+    assert all(a <= b for a, b in zip(shares, shares[1:]))
+    assert abs(shares[-1] - 1.0) < 1e-9
+    # class boundaries respect the declared cuts, in order A..B..C
+    classes = [r["abc_class"] for r in rows]
+    assert sorted(classes) == list(classes)  # A* then B* then C*
+    for r in rows:
+        if r["abc_class"] == "A":
+            assert r["cum_share"] <= 0.8
+        elif r["abc_class"] == "B":
+            assert 0.8 < r["cum_share"] <= 0.95
+        else:
+            assert r["cum_share"] > 0.95
