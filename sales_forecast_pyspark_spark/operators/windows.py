@@ -210,7 +210,11 @@ def ewma_baseline(
     with every other feature on the same keys. Weights are DYADIC
     (0.5^i is exact in decimal at scale ``window``), values multiply in
     decimal, and the single double division happens once at the end —
-    bit-identical across engines and partitionings."""
+    bit-identical across engines and partitionings. The quotient is
+    deliberately NOT rounded (the ``stable_avg`` rule): a terminating
+    quotient can land exactly on a rounding boundary where double-round
+    algorithms disagree; identical exact operands → identical unrounded
+    double everywhere."""
     w = _window(keys, order_col)
     num_terms = []
     den_terms = []
@@ -229,9 +233,7 @@ def ewma_baseline(
         )
     num = sum(num_terms[1:], num_terms[0])
     den = sum(den_terms[1:], den_terms[0])
-    ewma = F.when(
-        den > 0, F.round(num.cast("double") / den.cast("double"), 4)
-    )
+    ewma = F.when(den > 0, num.cast("double") / den.cast("double"))
     return df.select("*", ewma.alias(out_col))
 
 

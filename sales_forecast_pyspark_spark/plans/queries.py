@@ -3599,8 +3599,8 @@ seg AS (SELECT user_id, value, t1 - t0 AS dur FROM seq WHERE t1 IS NOT NULL)
 SELECT user_id,
        COUNT(*) AS n_segments,
        CAST(SUM(dur) AS BIGINT) AS total_sec,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2)) * dur) AS DOUBLE)
-             / NULLIF(CAST(SUM(dur) AS BIGINT), 0), 4) AS twap_value
+       CAST(SUM(CAST(value AS DECIMAL(12,2)) * dur) AS DOUBLE)
+             / NULLIF(CAST(SUM(dur) AS BIGINT), 0) AS twap_value
 FROM seg GROUP BY 1 ORDER BY user_id
 """,
 )
@@ -3610,7 +3610,8 @@ def q_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     next event; the open-ended last segment is excluded). One lead()
     window + one aggregate, both keyed by user. Durations are integer
     seconds (floored epochs in both engines); value×duration multiplies
-    in exact decimal, one final double division rounded to 4."""
+    in exact decimal, one final double division left UNROUNDED (the
+    stable_avg rule — identical exact operands, identical double)."""
     ev = read_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
@@ -3627,12 +3628,11 @@ def q_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_segments"),
             F.sum("dur").alias("total_sec"),
-            F.round(
+            (
                 F.sum(F.col("value").cast("decimal(12,2)") * F.col("dur")).cast(
                     "double"
                 )
-                / F.nullif(F.sum("dur"), F.lit(0)),
-                4,
+                / F.nullif(F.sum("dur"), F.lit(0))
             ).alias("twap_value"),
         )
         .orderBy("user_id")
@@ -3651,7 +3651,7 @@ _EWMA_ORACLE = (
   WINDOW w AS (PARTITION BY country, stock ORDER BY ds)
 )
 SELECT country, stock, ds, qty,
-       CASE WHEN {den} > 0 THEN ROUND(CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE), 4) END AS ewma_qty
+       CASE WHEN {den} > 0 THEN CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE) END AS ewma_qty
 FROM lagged
 ORDER BY country, stock, ds
 """.format(

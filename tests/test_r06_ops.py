@@ -77,8 +77,8 @@ def test_ewma_baseline_hand_computed(spark):
     }
     assert out[1] is None  # no history
     assert out[2] == 10.0  # only lag1: 10*0.5 / 0.5
-    # lags: l1=20 (w .5), l2=10 (w .25) -> (10 + 2.5) / 0.75 = 16.6667
-    assert out[3] == 16.6667
+    # lags: l1=20 (w .5), l2=10 (w .25) -> (10 + 2.5) / 0.75 = 50/3
+    assert abs(out[3] - 50.0 / 3.0) < 1e-12
 
 
 def test_user_streaks_islands(spark):
