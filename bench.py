@@ -99,6 +99,10 @@ BENCH_QUERIES = [
     "ewma_baseline",
     "bigram_surprisal",
     "mutual_information",
+    "source_quality_report",
+    "surprisal_filter_sweep",
+    "cusum_changepoints",
+    "seasonal_naive_mase",
 ]
 
 

