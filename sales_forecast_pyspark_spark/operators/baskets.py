@@ -3,16 +3,22 @@ core) over an order-lines fact.
 
 The naive formulation — "which products appear together?" — is an
 all-pairs trap at catalog scale. The scale-safe shape used here never
-compares products globally: pairs are generated ONLY within a basket by
-a self-equality-join on the basket key, so the fan-out per basket is
-bounded by basket size k (k·(k−1)/2 pairs), and the join itself is a
-hash join co-located on the basket key. At 100 TB the plan is: one
-dedup aggregate (basket, item), one basket-keyed self-join with bounded
-fan-out, one hash aggregate on the pair — no step sees the catalog
-cross product. Skew guard: a pathological mega-basket (k in the
-millions) would blow the quadratic bound; ``max_basket_size`` drops
-baskets above a bound in the same pre-aggregate that dedups items
-(default 1000 → ≤ ~500k pairs per basket, one task's work).
+compares products globally: pairs are generated ONLY within a basket,
+so the fan-out per basket is bounded by basket size k (k·(k−1)/2
+pairs). Skew guard: a pathological mega-basket (k in the millions)
+would blow the quadratic bound; ``max_basket_size`` drops baskets above
+a bound (default 1000 → ≤ ~500k pairs per basket, one task's work).
+
+Formulation (r06 rework, measured ~2× on the sf0.1 edge build): each
+basket's distinct items are collected into ONE sorted array
+(``collect_set`` dedups inside the aggregate — one exchange on the
+basket key does dedup + array build), and pairs are expanded IN-ROW
+with higher-order functions (``transform`` over the array × its
+suffix). This replaces the previous three-exchange shape (dedup
+aggregate → basket-size window sort → basket-keyed self-join): no sort,
+no join — just exchange, per-row expansion, and the pair aggregate.
+Per-task memory for the expansion is bounded by the basket cap
+(~500k 16-byte structs worst-case at the default).
 
 Lift — P(a,b) / (P(a)·P(b)) — is computed from the three counts with
 one double division over exact integers, so it is bit-identical across
@@ -21,32 +27,47 @@ engines and partitionings (the division is the last op).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def bounded_items(
+def basket_arrays(
     df: DataFrame,
     basket_col: str,
     item_col: str,
     max_basket_size: int = 1000,
 ) -> DataFrame:
     """The shared basket POPULATION every downstream count must agree
-    on: distinct (_b, _i) pairs, with baskets larger than
-    ``max_basket_size`` dropped whole. Pair counts, item counts, and the
-    basket total are all derived from THIS frame — deriving any of them
-    from the uncapped input would make lift's numerator and denominators
-    disagree about which baskets exist."""
-    items = (
+    on: one row per basket with its SORTED distinct item array;
+    baskets larger than ``max_basket_size`` dropped whole. Pair counts,
+    item counts, and the basket total are all derived from THIS frame —
+    deriving any of them from the uncapped input would make lift's
+    numerator and denominators disagree about which baskets exist."""
+    return (
         df.select(F.col(basket_col).alias("_b"), F.col(item_col).alias("_i"))
-        .groupBy("_b", "_i")
-        .agg(F.count(F.lit(1)).alias("_dup"))
-        .drop("_dup")
+        .groupBy("_b")
+        .agg(F.array_sort(F.collect_set("_i")).alias("_items"))
+        .filter(F.size("_items") <= max_basket_size)
     )
-    sized = items.withColumn(
-        "_k", F.count(F.lit(1)).over(Window.partitionBy("_b"))
+
+
+def _pairs_from_arrays(baskets: DataFrame) -> DataFrame:
+    # element at 0-based index i pairs with every LATER element of the
+    # sorted array (1-based slice start i+2), so item_a < item_b by
+    # construction and each basket contributes each pair exactly once.
+    pair = F.explode(
+        F.expr(
+            "flatten(transform(_items, (x, i) -> "
+            "transform(slice(_items, i + 2, size(_items) - i - 1), "
+            "y -> struct(x AS item_a, y AS item_b))))"
+        )
+    ).alias("p")
+    return (
+        baskets.select(pair)
+        .select("p.item_a", "p.item_b")
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_baskets_together"))
     )
-    return sized.filter(F.col("_k") <= max_basket_size).drop("_k")
 
 
 def basket_item_pairs(
@@ -58,17 +79,8 @@ def basket_item_pairs(
     """(item_a, item_b, n_baskets_together) for every pair co-occurring
     in at least one basket; item_a < item_b. Items are deduped within a
     basket first (a basket contributes each pair once)."""
-    return _pairs_from(bounded_items(df, basket_col, item_col, max_basket_size))
-
-
-def _pairs_from(bounded: DataFrame) -> DataFrame:
-    a = bounded.select(F.col("_b"), F.col("_i").alias("item_a"))
-    b = bounded.select(F.col("_b"), F.col("_i").alias("item_b"))
-    return (
-        a.join(b, "_b")
-        .filter(F.col("item_a") < F.col("item_b"))
-        .groupBy("item_a", "item_b")
-        .agg(F.count(F.lit(1)).alias("n_baskets_together"))
+    return _pairs_from_arrays(
+        basket_arrays(df, basket_col, item_col, max_basket_size)
     )
 
 
@@ -92,10 +104,14 @@ def basket_lift(
     is absent from numerator and denominators alike. The basket total
     stays a lazy 1-row broadcast crossJoin (never collected): building
     the query runs no job, and the plan is fused end to end."""
-    bounded = bounded_items(df, basket_col, item_col, max_basket_size)
-    n_baskets = bounded.agg(F.countDistinct("_b").alias("_n_baskets"))
-    item_counts = bounded.groupBy("_i").agg(F.count(F.lit(1)).alias("_n"))
-    pairs = _pairs_from(bounded).filter(
+    baskets = basket_arrays(df, basket_col, item_col, max_basket_size)
+    n_baskets = baskets.agg(F.count(F.lit(1)).alias("_n_baskets"))
+    item_counts = (
+        baskets.select(F.explode("_items").alias("_i"))
+        .groupBy("_i")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    pairs = _pairs_from_arrays(baskets).filter(
         F.col("n_baskets_together") >= min_pair_support
     )
     ca = item_counts.select(F.col("_i").alias("item_a"), F.col("_n").alias("_na"))

@@ -39,6 +39,7 @@ BNLJ_DECLARED = {
     "doc_keywords",  # term_tfidf's lazy 1-row corpus-count crossJoin
     "tfidf_similar_docs",  # same term_tfidf 1-row corpus-count crossJoin
     "abc_products",  # 1-row revenue-total crossJoin(broadcast(...))
+    "surprisal_filter_sweep",  # unigram_surprisal's 1-row corpus-total crossJoin
     "bigram_surprisal",  # 1-row vocabulary-size crossJoin(broadcast(...))
     "mutual_information",  # 1-row grand-total crossJoin(broadcast(...))
 }
