@@ -3889,17 +3889,16 @@ def q_surprisal_filter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cusum_changepoints",
     PANEL_CTE
     + """
-, st AS (
-  SELECT country, stock, COUNT(*) AS n, SUM(CAST(qty AS DECIMAL(30,2))) AS s
-  FROM panel GROUP BY 1, 2
-),
-c AS (
-  SELECT p.country, p.stock, st.n,
-         st.n * SUM(CAST(p.qty AS DECIMAL(30,2)))
-                  OVER (PARTITION BY p.country, p.stock ORDER BY p.ds)
-           - ROW_NUMBER() OVER (PARTITION BY p.country, p.stock ORDER BY p.ds) * st.s
+, c AS (
+  SELECT country, stock,
+         COUNT(*) OVER (PARTITION BY country, stock) AS n,
+         COUNT(*) OVER (PARTITION BY country, stock)
+           * SUM(CAST(qty AS DECIMAL(30,2)))
+               OVER (PARTITION BY country, stock ORDER BY ds)
+           - ROW_NUMBER() OVER (PARTITION BY country, stock ORDER BY ds)
+           * SUM(CAST(qty AS DECIMAL(30,2))) OVER (PARTITION BY country, stock)
            AS cs
-  FROM panel p JOIN st USING (country, stock)
+  FROM panel
 )
 SELECT country, stock,
        CAST(MAX(n) AS BIGINT) AS n_days,
@@ -3919,23 +3918,26 @@ def q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     lossy double. Multiply through by n instead:
     n·CUSUM_t = n·prefix_t − t·S, ALL exact decimals (prefix_t = running
     qty sum, S = series total), and divide by n ONCE at the end — an
-    unrounded quotient of engine-identical operands. One series-keyed
-    window + two series-keyed aggregates; nothing global."""
+    unrounded quotient of engine-identical operands. n and S come from
+    FULL-frame window aggregates over the same (series, ds) spec as the
+    running sum, so the whole statistic is ONE exchange + sort + a
+    single WindowExec — no per-series stats join (the r06 first cut
+    paid a groupBy + shuffle join for them; measured ~25% of the
+    query)."""
     panel = daily_panel(spark, sf_dir).select("country", "stock", "ds", "qty")
-    st = panel.groupBy("country", "stock").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("qty").cast("decimal(30,2)")).alias("s"),
-    )
     w = Window.partitionBy("country", "stock").orderBy("ds")
-    prefix = F.sum(F.col("qty").cast("decimal(30,2)")).over(
-        w.rowsBetween(Window.unboundedPreceding, 0)
-    )
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    dec = F.col("qty").cast("decimal(30,2)")
+    n = F.count(F.lit(1)).over(full)
+    s = F.sum(dec).over(full)
+    prefix = F.sum(dec).over(run)
     rn = F.row_number().over(w)
-    c = panel.join(st, ["country", "stock"]).select(
+    c = panel.select(
         "country",
         "stock",
-        "n",
-        (F.col("n") * prefix - rn * F.col("s")).alias("cs"),
+        n.alias("n"),
+        (n * prefix - rn * s).alias("cs"),
     )
     return (
         c.groupBy("country", "stock")
