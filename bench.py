@@ -103,6 +103,10 @@ BENCH_QUERIES = [
     "surprisal_filter_sweep",
     "cusum_changepoints",
     "seasonal_naive_mase",
+    "interarrival_stats",
+    "order_cycle_time",
+    "value_histogram",
+    "weekday_seasonality",
 ]
 
 

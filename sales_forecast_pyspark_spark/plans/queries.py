@@ -4019,6 +4019,218 @@ def q_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "interarrival_stats",
+    """
+WITH seq AS (
+  SELECT event_type,
+         CAST(floor(epoch(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
+           - CAST(floor(epoch(ts)) AS BIGINT) AS gap
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_gaps,
+       CAST(SUM(gap) AS BIGINT) AS total_gap_sec,
+       CAST(SUM(gap) AS DOUBLE) / COUNT(*) AS mean_gap_sec,
+       quantile_cont(gap, 0.5) AS p50_gap,
+       quantile_cont(gap, 0.9) AS p90_gap
+FROM seq WHERE gap IS NOT NULL
+GROUP BY 1 ORDER BY 1
+""",
+)
+def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event waiting-time distribution per event type — the
+    hazard/engagement diagnostic ("how long until this user acts
+    again?") behind session-gap tuning and churn features. One lead()
+    window keyed by user for the gaps (integer seconds, floored epochs
+    in both engines), one hash aggregate per type with interpolated
+    exact percentiles (Spark ``percentile`` == DuckDB ``quantile_cont``
+    bit-for-bit, the event_value_profile precedent)."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        (
+            F.unix_timestamp(F.lead("ts", 1).over(w)) - F.unix_timestamp("ts")
+        ).alias("gap"),
+    )
+    n = F.count(F.lit(1))
+    return (
+        seq.filter(F.col("gap").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            n.alias("n_gaps"),
+            F.sum("gap").alias("total_gap_sec"),
+            (F.sum("gap").cast("double") / n).alias("mean_gap_sec"),
+            *quantile_exprs("gap", [0.5, 0.9], prefix="p"),
+        )
+        .withColumnRenamed("p50", "p50_gap")
+        .withColumnRenamed("p90", "p90_gap")
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "order_cycle_time",
+    """
+SELECT o_orderpriority,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS BIGINT)) AS BIGINT) AS total_delay_days,
+       CAST(SUM(CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS BIGINT)) AS DOUBLE)
+         / COUNT(*) AS mean_delay_days,
+       CAST(MIN(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS INT) AS min_delay_days,
+       CAST(MAX(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS INT) AS max_delay_days
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY 1
+""",
+)
+def q_order_cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship cycle time by order priority — the fulfillment SLA
+    rollup, and the repo's representative FACT-FACT equi-join (lineitem
+    ⋈ orders on the order key): both sides scale with SF, so the
+    planner gets a genuine sort-merge/shuffle-join decision (dimension
+    joins elsewhere broadcast). At 100 TB this is the join bucketing is
+    for (`write_bucketed` on l_orderkey/o_orderkey → zero exchanges).
+    Day deltas are exact integers; the mean is an unrounded quotient."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    delay = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    n = F.count(F.lit(1))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            n.alias("n_lines"),
+            F.sum(delay.cast("long")).alias("total_delay_days"),
+            (F.sum(delay.cast("long")).cast("double") / n).alias("mean_delay_days"),
+            F.min(delay).alias("min_delay_days"),
+            F.max(delay).alias("max_delay_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "value_histogram",
+    """
+SELECT event_type,
+       CAST(FLOOR(value / 10) AS INT) AS bin,
+       CAST(FLOOR(value / 10) * 10 AS DOUBLE) AS bin_lo,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(30,6))), 2) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2, 3 ORDER BY 1, 2
+""",
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type (bin width 10): the
+    distribution primitive behind dashboards and drift monitors, as ONE
+    hash aggregate — bins are computed row-side (identical double
+    floor-divide in both engines), never via a sort or per-group
+    buffering, so the plan is the same map-side-combined aggregate at
+    any scale."""
+    ev = read_table(spark, sf_dir, "events")
+    bin_ = F.floor(F.col("value") / 10).cast("int")
+    return (
+        ev.groupBy(
+            "event_type",
+            bin_.alias("bin"),
+            (bin_ * 10).cast("double").alias("bin_lo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money_sum(F.col("value")).alias("total_value"),
+        )
+        .orderBy("event_type", "bin")
+    )
+
+
+_WD_SEASONALITY_ORACLE = (
+    PANEL_CTE
+    + """
+, wd AS (
+  SELECT country, stock, CAST(dayofweek(ds) + 1 AS INT) AS dow, qty FROM panel
+),
+piv AS (
+  SELECT country, stock,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(qty AS DECIMAL(15,2))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(qty AS DECIMAL(15,2)) * CAST(qty AS DECIMAL(15,2))) AS DOUBLE) AS q2,
+         {cols}
+  FROM wd GROUP BY 1, 2
+)
+SELECT country, stock, CAST(n AS BIGINT) AS n_days,
+       CASE WHEN n * q2 - s * s > 0
+            THEN (n * ({terms}) - s * s) / (n * q2 - s * s) END AS seasonal_strength
+FROM piv ORDER BY country, stock
+""".format(
+        cols=",\n         ".join(
+            f"CAST(SUM(CASE WHEN dow = {i} THEN CAST(qty AS DECIMAL(15,2)) END) AS DOUBLE) AS s{i},\n"
+            f"         COUNT(CASE WHEN dow = {i} THEN 1 END) AS n{i}"
+            for i in range(1, 8)
+        ),
+        terms=" + ".join(
+            f"CASE WHEN n{i} > 0 THEN s{i} * s{i} / n{i} ELSE 0 END"
+            for i in range(1, 8)
+        ),
+    )
+)
+
+
+@register("weekday_seasonality", _WD_SEASONALITY_ORACLE)
+def q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday-seasonality strength per series: the share of qty
+    variance explained by day-of-week means,
+    (Σ_w S_w²/n_w − S²/n) / (Σ q² − S²/n) ∈ [0,1] — the diagnostic
+    that says whether same-weekday lags (W3) carry signal for a series.
+    One hash aggregate computes all sufficient statistics (total,
+    sum-of-squares, and the 7 weekday sums/counts as conditional
+    aggregates — no second pass, no join).
+
+    Determinism: sums are exact decimals cast to (identical) doubles;
+    the seven S_w²/n_w terms are combined by an EXPLICIT left-to-right
+    ``+`` chain, not a SUM aggregate, so floating addition order is
+    fixed by the expression tree and identical in both engines; the
+    final division is a single unrounded quotient."""
+    panel = daily_panel(spark, sf_dir).select("country", "stock", "ds", "qty")
+    wd = panel.select(
+        "country", "stock", F.dayofweek("ds").cast("int").alias("dow"), "qty"
+    )
+    qdec = F.col("qty").cast("decimal(15,2)")
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qdec).cast("double").alias("s"),
+        F.sum(qdec * qdec).cast("double").alias("q2"),
+    ]
+    for i in range(1, 8):
+        aggs.append(
+            F.sum(F.when(F.col("dow") == i, qdec)).cast("double").alias(f"s{i}")
+        )
+        aggs.append(
+            F.count(F.when(F.col("dow") == i, F.lit(1))).alias(f"n{i}")
+        )
+    piv = wd.groupBy("country", "stock").agg(*aggs)
+    terms = None
+    for i in range(1, 8):
+        t = F.when(
+            F.col(f"n{i}") > 0,
+            F.col(f"s{i}") * F.col(f"s{i}") / F.col(f"n{i}"),
+        ).otherwise(F.lit(0.0))
+        terms = t if terms is None else terms + t
+    denom = F.col("n") * F.col("q2") - F.col("s") * F.col("s")
+    return piv.select(
+        "country",
+        "stock",
+        F.col("n").cast("long").alias("n_days"),
+        F.when(
+            denom > 0,
+            (F.col("n") * terms - F.col("s") * F.col("s")) / denom,
+        ).alias("seasonal_strength"),
+    ).orderBy("country", "stock")
+
+
 # ---------------------------------------------------------------------------
 # Driver check-budget ordering. The per-round correctness sweep verifies
 # registry entries in dict order and stops after a fixed budget (~50 of

@@ -262,3 +262,30 @@ def test_source_quality_report_counts_planted_dups(spark):
     }
     assert out["a"] == (3, 2, 2.0 / 3.0)
     assert out["b"] == (1, 0, 1.0)
+
+
+def test_weekday_seasonality_bounds_and_extremes(spark):
+    """Pure weekday pattern -> strength ~1; constant series -> NULL
+    (zero variance); noise-free flat-with-trendless series bounded in
+    [0, 1]."""
+    from sales_forecast_pyspark_spark.plans.queries import QUERIES
+    from tests.conftest import SF_SMALL
+
+    rows = QUERIES["weekday_seasonality"].builder(spark, SF_SMALL).collect()
+    assert rows
+    vals = [r["seasonal_strength"] for r in rows if r["seasonal_strength"] is not None]
+    assert vals, "all-null strength"
+    assert all(-1e-9 <= v <= 1 + 1e-9 for v in vals)
+
+
+def test_value_histogram_bins_partition_counts(spark):
+    from sales_forecast_pyspark_spark.plans.queries import QUERIES
+    from tests.conftest import SF_SMALL
+    from sales_forecast_pyspark_spark.sources.readers import read_table
+
+    rows = QUERIES["value_histogram"].builder(spark, SF_SMALL).collect()
+    total = sum(r["n"] for r in rows)
+    n_events = read_table(spark, SF_SMALL, "events").count()
+    assert total == n_events  # every event lands in exactly one bin
+    for r in rows:
+        assert r["bin_lo"] == r["bin"] * 10.0
