@@ -107,6 +107,8 @@ BENCH_QUERIES = [
     "order_cycle_time",
     "value_histogram",
     "weekday_seasonality",
+    "top_session_paths",
+    "ltv_cohort_curves",
 ]
 
 

@@ -4231,6 +4231,136 @@ def q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("country", "stock")
 
 
+@register(
+    "top_session_paths",
+    """
+WITH g AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk
+  FROM events
+),
+s AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess
+  FROM g
+),
+p AS (
+  SELECT user_id, sess,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM s GROUP BY 1, 2
+)
+SELECT path, COUNT(*) AS n_sessions
+FROM p GROUP BY 1
+ORDER BY n_sessions DESC, path
+LIMIT 20
+""",
+)
+def q_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common within-session event-type paths (30-minute gap
+    sessions): the funnel-mining primitive behind "what do users
+    actually do?" dashboards. Gaps-and-islands sessionization (one
+    user-keyed window family), then each session's path is serialized
+    INSIDE the aggregate (sort_array over (ts, event_id, type) structs
+    → array_join), so path order is pinned regardless of partitioning —
+    the tie-break lesson from key_skew_profile applied at birth. Path
+    cardinality is bounded by distinct behavior shapes, so the final
+    count-and-top-20 is a small aggregate."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ok = (
+        F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    ) <= 1800
+    g = ev.withColumn("brk", F.when(gap_ok, 0).otherwise(1))
+    s = g.withColumn(
+        "sess",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    p = (
+        s.groupBy("user_id", "sess")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        p.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )
+
+
+@register(
+    "ltv_cohort_curves",
+    """
+WITH p AS (
+  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk, value
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (SELECT user_id, MIN(wk) AS cohort FROM p GROUP BY 1),
+r AS (
+  SELECT c.cohort,
+         CAST(date_diff('day', c.cohort, p.wk) / 7 AS INT) AS age,
+         p.value
+  FROM p JOIN c USING (user_id)
+),
+g AS (
+  SELECT cohort, age, COUNT(*) AS n_purchases,
+         SUM(CAST(value AS DECIMAL(30,6))) AS rev
+  FROM r GROUP BY 1, 2
+)
+SELECT cohort, age, n_purchases,
+       CAST(ROUND(rev, 2) AS DOUBLE) AS revenue,
+       CAST(ROUND(SUM(rev) OVER (PARTITION BY cohort ORDER BY age), 2) AS DOUBLE) AS cum_revenue
+FROM g ORDER BY cohort, age
+""",
+)
+def q_ltv_cohort_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: users grouped by first-purchase WEEK
+    (Monday-truncated in both engines), revenue accumulated by
+    weeks-since-cohort — the lifetime-value view the weekly retention
+    matrix doesn't give. Purchase rollup to (cohort, age) grain first
+    (data-sized aggregate), THEN the cumulative sum runs on the
+    cohort-grain frame (weeks × cohorts rows — tiny), in exact decimal
+    with a single decimal ROUND before the double cast."""
+    ev = read_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.date_trunc("week", "ts").cast("date").alias("wk"),
+        "value",
+    )
+    c = p.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    r = p.join(c, "user_id").select(
+        "cohort",
+        (F.datediff(F.col("wk"), F.col("cohort")) / 7).cast("int").alias("age"),
+        "value",
+    )
+    g = r.groupBy("cohort", "age").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.col("value").cast("decimal(30,6)")).alias("rev"),
+    )
+    cum = Window.partitionBy("cohort").orderBy("age").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return g.select(
+        "cohort",
+        "age",
+        "n_purchases",
+        F.round(F.col("rev"), 2).cast("double").alias("revenue"),
+        F.round(F.sum("rev").over(cum), 2).cast("double").alias("cum_revenue"),
+    ).orderBy("cohort", "age")
+
+
 # ---------------------------------------------------------------------------
 # Driver check-budget ordering. The per-round correctness sweep verifies
 # registry entries in dict order and stops after a fixed budget (~50 of

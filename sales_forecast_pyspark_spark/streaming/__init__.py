@@ -9,6 +9,7 @@ from sales_forecast_pyspark_spark.streaming.stream_ops import (
     sessionize_stream,
     stream_events,
     stream_join_near_errors,
+    stream_join_unanswered_errors,
     stream_lineitem,
     windowed_event_totals,
 )
@@ -22,6 +23,7 @@ __all__ = [
     "sessionize_stream",
     "stream_events",
     "stream_join_near_errors",
+    "stream_join_unanswered_errors",
     "stream_lineitem",
     "windowed_event_totals",
 ]

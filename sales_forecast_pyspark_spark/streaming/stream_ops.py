@@ -192,6 +192,43 @@ def stream_join_near_errors(
     )
 
 
+def stream_join_unanswered_errors(
+    events: DataFrame, horizon: str = "5 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join — the state machine the inner join
+    never exercises: an error with NO follow-up activity inside
+    ``horizon`` must still be emitted (null match side), but only once
+    the watermark PROVES no match can arrive. Spark buffers the left
+    row until max-event-time − watermark passes the end of its match
+    window, then emits the null-padded row and drops the state — so
+    "unanswered" results are exactly as late as the watermark, never
+    wrong. The join condition's time bounds are what make both the
+    outer-emission decision and state expiry possible; errors younger
+    than (stream end − watermark − horizon) at drain time stay buffered
+    and are NOT emitted (asserted in tests — the batch comparison
+    restricts to the closable set). Append mode only."""
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("err_user"),
+            F.col("ts").alias("err_ts"),
+        )
+        .withWatermark("err_ts", watermark)
+    )
+    follows = events.select("event_id", "user_id", "ts", "value").withWatermark(
+        "ts", watermark
+    )
+    cond = (
+        (F.col("err_user") == F.col("user_id"))
+        & (F.col("ts") >= F.col("err_ts"))
+        & (F.col("ts") <= F.col("err_ts") + F.expr(f"INTERVAL {horizon}"))
+    )
+    return errors.join(follows, cond, "left_outer").select(
+        "error_id", F.col("err_user").alias("user"), "event_id", "value"
+    )
+
+
 def enrich_stream_with_dim(
     events: DataFrame,
     dim: DataFrame,

@@ -379,3 +379,63 @@ def test_observe_quality_reports_per_batch_metrics(spark, tmp_path):
     assert sum(b["n_null_v"] for b in batches) == 2
     # each batch individually audited, not just the total
     assert sorted((b["n_rows"], b["n_null_v"]) for b in batches) == [(1, 1), (3, 1)]
+
+
+def test_stream_left_outer_join_emits_unanswered_errors(spark):
+    """LEFT OUTER stream-stream join: matched pairs equal the batch
+    left join, and errors with NO follow-up in the horizon surface as
+    null-padded rows — but only for errors the watermark could CLOSE
+    (older than stream end − watermark − horizon); younger unmatched
+    errors stay buffered at drain and must be absent."""
+    from pyspark.sql import functions as F
+
+    from sales_forecast_pyspark_spark.sources.readers import read_table
+    from sales_forecast_pyspark_spark.streaming import (
+        stream_join_unanswered_errors,
+    )
+
+    got = run_available_now(
+        stream_join_unanswered_errors(stream_events(spark, SF_SMALL)),
+        "stream_louter_test",
+        output_mode="append",
+    )
+
+    ev = read_table(spark, SF_SMALL, "events")
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("user"),
+        F.col("ts").alias("err_ts"),
+    )
+    follows = ev.select("event_id", "user_id", "ts", "value")
+    cond = (
+        (F.col("user") == F.col("user_id"))
+        & (F.col("ts") >= F.col("err_ts"))
+        & (F.col("ts") <= F.col("err_ts") + F.expr("INTERVAL 5 MINUTES"))
+    )
+    batch = errors.join(follows, cond, "left_outer").select(
+        "error_id", "user", "event_id", "value", "err_ts"
+    )
+
+    # matched rows are watermark-independent: exact pair equality
+    got_matched = sorted(
+        (r["error_id"], r["event_id"]) for r in got.collect() if r["event_id"] is not None
+    )
+    batch_matched = sorted(
+        (r["error_id"], r["event_id"]) for r in batch.collect() if r["event_id"] is not None
+    )
+    assert got_matched == batch_matched and got_matched
+
+    # null rows: exactly the CLOSABLE unanswered errors
+    import datetime
+
+    closable_cut = max_ts - datetime.timedelta(hours=2, minutes=5)
+    expect_null = sorted(
+        r["error_id"]
+        for r in batch.collect()
+        if r["event_id"] is None and r["err_ts"] <= closable_cut
+    )
+    got_null = sorted(r["error_id"] for r in got.collect() if r["event_id"] is None)
+    # every closable unanswered error must be emitted; nothing matched may be
+    assert set(expect_null) <= set(got_null)
+    assert not (set(got_null) & {e for e, _ in batch_matched})
