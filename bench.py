@@ -109,6 +109,9 @@ BENCH_QUERIES = [
     "weekday_seasonality",
     "top_session_paths",
     "ltv_cohort_curves",
+    "rolling_active_users",
+    "next_error_asof",
+    "stl_decompose_lite",
 ]
 
 

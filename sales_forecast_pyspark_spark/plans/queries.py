@@ -4361,6 +4361,186 @@ def q_ltv_cohort_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cohort", "age")
 
 
+@register(
+    "rolling_active_users",
+    """
+WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+days AS (SELECT DISTINCT day FROM ud),
+wau AS (
+  SELECT d.day AS day, COUNT(DISTINCT u.user_id) AS wau
+  FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+  GROUP BY 1
+),
+dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY 1)
+SELECT dau.day AS day, dau.dau, wau.wau,
+       CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
+FROM dau JOIN wau USING (day) ORDER BY day
+""",
+)
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day. Windowed DISTINCT
+    is the operation neither engine's window frames support (distinct
+    state can't merge across frame slides); the scale-safe formulation
+    dedups to (user, day) grain, then each user-day row contributes to
+    the 7 target days it is visible from via a BOUNDED sequence-explode
+    (fan-out exactly 7), and a plain distinct aggregate per target day
+    finishes — shuffle-bounded, no range self-join on the fact, no
+    per-day rescans. The oracle computes the same thing with the range
+    join DuckDB can afford at test SF. stickiness = DAU/WAU, an
+    unrounded quotient of exact counts."""
+    ev = read_table(spark, sf_dir, "events")
+    ud = ev.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    contrib = ud.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day_t"),
+        "user_id",
+    )
+    wau = contrib.groupBy("day_t").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    return (
+        dau.join(wau, dau.day == wau.day_t)
+        .select(
+            "day",
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "next_error_asof",
+    """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+err AS (SELECT user_id, ts AS err_ts FROM events WHERE event_type = 'error'),
+m AS (
+  SELECT p.event_id, p.user_id, p.ts, MIN(err.err_ts) AS next_err_ts
+  FROM p LEFT JOIN err
+    ON err.user_id = p.user_id AND err.err_ts >= p.ts
+  GROUP BY 1, 2, 3
+)
+SELECT event_id, user_id,
+       CASE WHEN next_err_ts IS NOT NULL
+             AND next_err_ts <= ts + INTERVAL 1 DAY
+            THEN CAST(floor(epoch(next_err_ts)) - floor(epoch(ts)) AS BIGINT)
+       END AS sec_to_error
+FROM m ORDER BY event_id
+""",
+)
+def q_next_error_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (operators/asof.py, direction='forward'):
+    seconds from each purchase to the same user's NEXT error within one
+    day — the time-to-failure / post-purchase-incident enrichment. Same
+    union-then-window shape as the backward as-of (one shuffle + sort
+    per key, O(1) running state), just descending time; the oracle is
+    the MIN-over-range formulation DuckDB can afford at test SF."""
+    from sales_forecast_pyspark_spark.operators.asof import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    err = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("err_ts")
+    )
+    out = asof_join(
+        p,
+        err,
+        on="user_id",
+        left_time="ts",
+        right_time="err_ts",
+        value_cols=[],
+        direction="forward",
+        tolerance=F.expr("INTERVAL 1 DAY"),
+        matched_time_col="next_err_ts",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        (
+            F.unix_timestamp("next_err_ts") - F.unix_timestamp("ts")
+        ).alias("sec_to_error"),
+    ).orderBy("event_id")
+
+
+@register(
+    "stl_decompose_lite",
+    PANEL_CTE
+    + """
+, t AS (
+  SELECT country, stock, ds, qty,
+         AVG(qty) OVER (PARTITION BY country, stock ORDER BY ds
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend,
+         CAST(dayofweek(ds) + 1 AS INT) AS dow
+  FROM panel
+),
+d AS (
+  SELECT country, stock, ds, qty, trend, dow,
+         CAST(ROUND(qty - trend, 7) AS DECIMAL(30,7)) AS det
+  FROM t
+),
+s AS (
+  SELECT country, stock, ds, qty, trend, det,
+         CAST(SUM(det) OVER (PARTITION BY country, stock, dow) AS DOUBLE)
+           / COUNT(*) OVER (PARTITION BY country, stock, dow) AS seasonal
+  FROM d
+)
+SELECT country, stock, ds, qty, trend, seasonal,
+       CAST(det AS DOUBLE) - seasonal AS residual
+FROM s ORDER BY country, stock, ds
+""",
+)
+def q_stl_decompose_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-style seasonal decomposition (lite): qty = trend + weekday
+    seasonal + residual per series. Trend is a centered 7-row moving
+    average (exact: qty is integer-valued, so the frame sum is
+    order-free); the detrended series is rounded at 7 and decimal-
+    summed per (series, weekday) so the seasonal means are partition-
+    order-independent (an UNORDERED full-partition AVG over raw doubles
+    would be summation-order-dependent — the one place this query
+    could silently diverge); residual closes the identity. Two window
+    families (series-ordered, series×weekday), both key-partitioned."""
+    panel = daily_panel(spark, sf_dir).select("country", "stock", "ds", "qty")
+    w7 = (
+        Window.partitionBy("country", "stock")
+        .orderBy("ds")
+        .rowsBetween(-3, 3)
+    )
+    t = panel.select(
+        "country",
+        "stock",
+        "ds",
+        "qty",
+        F.avg("qty").over(w7).alias("trend"),
+        F.dayofweek("ds").cast("int").alias("dow"),
+    )
+    d = t.withColumn(
+        "det", F.round(F.col("qty") - F.col("trend"), 7).cast("decimal(30,7)")
+    )
+    wd = Window.partitionBy("country", "stock", "dow")
+    s = d.withColumn(
+        "seasonal",
+        F.sum("det").over(wd).cast("double") / F.count(F.lit(1)).over(wd),
+    )
+    return s.select(
+        "country",
+        "stock",
+        "ds",
+        "qty",
+        "trend",
+        "seasonal",
+        (F.col("det").cast("double") - F.col("seasonal")).alias("residual"),
+    ).orderBy("country", "stock", "ds")
+
+
 # ---------------------------------------------------------------------------
 # Driver check-budget ordering. The per-round correctness sweep verifies
 # registry entries in dict order and stops after a fixed budget (~50 of
