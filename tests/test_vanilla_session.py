@@ -28,7 +28,11 @@ con = duckdb.connect(); register_duck_views(con, SF_SMALL)
 # one query per failure class: nanos scan + tz-sensitive timestamps,
 # date-cast panel rollup, a windowed timestamp aggregate, and the
 # as-of join's rendered-timestamp output
-for name in ('daily_rollup', 'events_window', 'sessionization', 'asof_last_purchase'):
+# r06 additions: a ts->date cast aggregate (user_streaks) and a
+# floored-epoch arithmetic query (time_weighted_value) — both new
+# members of the tz-sensitive class.
+for name in ('daily_rollup', 'events_window', 'sessionization', 'asof_last_purchase',
+             'user_streaks', 'time_weighted_value'):
     q = QUERIES[name]
     ok, msg = compare_query(q.builder(spark, SF_SMALL), con, q.oracle)
     assert ok, f'{name}: {msg[:200]}'
