@@ -112,6 +112,18 @@ BENCH_QUERIES = [
     "rolling_active_users",
     "next_error_asof",
     "stl_decompose_lite",
+    # r06 star-schema decision-support tier (TPC-H query shapes)
+    "shipping_priority",
+    "late_order_priorities",
+    "regional_supplier_volume",
+    "discount_uplift_scan",
+    "returned_revenue_top",
+    "customer_order_histogram",
+    "promo_revenue_share",
+    "top_supplier_period",
+    "small_order_part_revenue",
+    "big_ticket_orders",
+    "dormant_rich_customers",
 ]
 
 

@@ -4542,6 +4542,548 @@ def q_stl_decompose_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Star-schema decision-support tier (r06): the canonical TPC-H query
+# SHAPES (Q3/Q4/Q5/Q6/Q10/Q13/Q14/Q15/Q17/Q18/Q22) re-expressed on the
+# driver's star schema. Each one exists for a distinct PLAN shape the
+# registry didn't yet exercise: non-equi left-semi join (late orders),
+# multi-dim snowflake join with a cross-dimension equality filter
+# (regional supplier volume), pure scan-filter-agg pushdown (discount
+# uplift), outer-join count histogram (order histogram), conditional
+# aggregation share (promo share), scalar-max broadcast filter (top
+# supplier), aggregate-then-rejoin threshold filter (small-order parts,
+# big-ticket orders), and anti-join against a date-filtered subset under
+# a scalar-average gate (dormant rich customers). All money arithmetic
+# uses the exact-decimal helpers; quotients of identically-derived
+# doubles are left unrounded (cross-engine-identical IEEE ops).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "shipping_priority",
+    """
+SELECT l_orderkey,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE) AS revenue,
+       CAST(o_orderdate AS DATE) AS orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customers x unshipped orders,
+    top-10 by in-flight revenue. Both date filters and the segment
+    filter push into the scans (lineitem prunes to post-cutoff ship
+    dates BEFORE the join); the customer side joins on c_custkey after
+    the filter so the shuffle ships the filtered minority. Top-k is a
+    total order (revenue DESC, orderkey ASC) through TakeOrderedAndProject
+    — no global sort materialization."""
+    cutoff = "1998-06-01"
+    cust = (
+        read_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > F.lit(cutoff).cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(money_sum(disc_price).alias("revenue"))
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "late_order_priorities",
+    """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS late_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def q_late_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders with at least one line shipped more than
+    60 days after order date, counted by priority. The EXISTS compiles
+    to a LEFT-SEMI shuffled hash join whose extra non-equi predicate
+    (l_shipdate > o_orderdate + 60d) is evaluated as a join condition —
+    the semi join ships (orderkey, orderdate) and lineitem's
+    (orderkey, shipdate) only, never widens, and dedups by construction
+    (no DISTINCT pass over matches). At 100 TB both sides partition on
+    orderkey; AQE handles the residual skew."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("late_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "regional_supplier_volume",
+    """
+SELECT n_name AS nation,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+ORDER BY revenue DESC, nation
+""",
+)
+def q_regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: local-supplier revenue per nation in one region.
+    Snowflake join with a CROSS-dimension equality (c_nationkey =
+    s_nationkey) applied as a post-join filter. nation+region and
+    supplier are broadcast (bounded dims); the only shuffles are
+    fact-side: orders⋈customer on custkey, then ⋈lineitem on orderkey.
+    The region filter prunes nation rows BEFORE the broadcast, so
+    non-ASIA suppliers drop at the build side."""
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_nations = nation.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    supp = (
+        read_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(money_sum(disc_price).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("nation"))
+    )
+
+
+@register(
+    "discount_uplift_scan",
+    """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,6))), 2) AS DOUBLE) AS uplift,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q_discount_uplift_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue that would be reclaimed by dropping a
+    discount band — the canonical scan-filter-aggregate. ALL four
+    predicates (date range, discount band, quantity cap) push to the
+    parquet scan as PushedFilters over row-group min/max stats; the agg
+    is a single partial+final over 3 columns. The plan IS the I/O: at
+    100 TB this reads only (shipdate, discount, quantity, extendedprice)
+    column chunks whose stats overlap the band."""
+    li = read_table(spark, sf_dir, "lineitem")
+    filtered = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return filtered.agg(
+        money_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("uplift"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "returned_revenue_top",
+    """
+SELECT c_custkey, c_name, n_name AS nation,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE) AS returned_rev
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY returned_rev DESC, c_custkey
+LIMIT 20
+""",
+)
+def q_returned_revenue_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue. The
+    returnflag filter pushes to the lineitem scan (dictionary-encoded
+    column -> row-group skipping); nation broadcasts; the two fact
+    shuffles are orderkey then custkey. Top-k is TakeOrderedAndProject
+    on (returned_rev DESC, custkey ASC) — total order, no global sort."""
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(money_sum(disc_price).alias("returned_rev"))
+        .orderBy(F.col("returned_rev").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "customer_order_histogram",
+    """
+WITH per_cust AS (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY 1
+)
+SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM per_cust
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def q_customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of orders-per-customer INCLUDING
+    zero-order customers — the outer-join-then-double-aggregate. The
+    left outer join keeps orderless customers (COUNT(o_orderkey) skips
+    their NULLs -> bucket 0); first agg shuffles on custkey, the
+    histogram re-agg is tiny (|distinct counts| rows). Q13's classic
+    skew risk (one mega-customer) is bounded here because the first agg
+    emits one row per customer regardless of order count."""
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("n_orders")
+    )
+
+
+@register(
+    "promo_revenue_share",
+    """
+SELECT CAST(year(l_shipdate) AS INT) AS year, CAST(month(l_shipdate) AS INT) AS month,
+       CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))
+                 ELSE CAST(0 AS DECIMAL(30,6)) END), 2) AS DOUBLE) AS promo_rev,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE) AS total_rev,
+       CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))
+                 ELSE CAST(0 AS DECIMAL(30,6)) END), 2) AS DOUBLE)
+         / NULLIF(CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE), 0.0)
+         AS promo_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: monthly share of revenue from PROMO-type parts —
+    conditional aggregation over a fact⋈dim join. part broadcasts (or
+    shuffles on partkey at 100 TB — AQE picks); the CASE folds the
+    promo/total split into ONE pass so the fact table is read once.
+    The share divides the two exactly-rounded money doubles and is
+    deliberately unrounded: both engines divide identical doubles, and
+    the NULLIF guards empty months."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dec6 = "decimal(30,6)"
+    promo_amt = F.when(F.col("p_type") == "PROMO", disc_price.cast(dec6)).otherwise(
+        F.lit(0).cast(dec6)
+    )
+    promo_rev = F.round(F.sum(promo_amt), 2).cast("double")
+    total_rev = F.round(F.sum(disc_price.cast(dec6)), 2).cast("double")
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.year("l_shipdate").cast("int").alias("year"),
+            F.month("l_shipdate").cast("int").alias("month"),
+        )
+        .agg(
+            promo_rev.alias("promo_rev"),
+            total_rev.alias("total_rev"),
+            (promo_rev / F.nullif(total_rev, F.lit(0.0))).alias("promo_share"),
+        )
+        .orderBy("year", "month")
+    )
+
+
+@register(
+    "top_supplier_period",
+    """
+WITH srev AS (
+  SELECT l_suppkey AS sk,
+         CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_rev
+FROM srev JOIN supplier ON s_suppkey = sk
+WHERE total_rev = (SELECT MAX(total_rev) FROM srev)
+ORDER BY s_suppkey
+""",
+)
+def q_top_supplier_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with maximum half-year revenue. The
+    scalar subquery becomes a 1-row MAX frame crossJoin(broadcast(...))
+    against the per-supplier rollup — the same bounded-BNLJ idiom as
+    doc_surprisal's corpus total (declared in test_plan_invariants).
+    Ties keep ALL maximal suppliers in both engines (double equality on
+    identically-derived rounded money). The revenue rollup shuffles once
+    on suppkey; supplier joins after the max filter, so only winners
+    ship."""
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+        )
+        .select("l_suppkey", "l_extendedprice", "l_discount")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    srev = li.groupBy(F.col("l_suppkey").alias("sk")).agg(
+        money_sum(disc_price).alias("total_rev")
+    )
+    mx = srev.agg(F.max("total_rev").alias("_max_rev"))
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        srev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("_max_rev"))
+        .join(supp, F.col("s_suppkey") == F.col("sk"))
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "small_order_part_revenue",
+    """
+WITH pa AS (
+  SELECT l_partkey AS pk,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sq,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / 7.0 AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_small
+FROM lineitem JOIN pa ON l_partkey = pk
+WHERE l_quantity < 0.2 * (sq / n)
+""",
+)
+def q_small_order_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue locked in below-average-quantity order
+    lines — the aggregate-then-rejoin threshold filter. The per-part
+    (sum_qty, count) rollup shuffles once on partkey and joins back to
+    the fact on the same key (co-partitioned: AQE reuses the exchange).
+    The 0.2*avg threshold is computed in DOUBLE on both engines from an
+    exact decimal sum and an integer count — identical IEEE ops on
+    identical inputs, so the row set matches bit-for-bit. avg_yearly is
+    an unrounded quotient of an exact decimal sum (/7.0 scan-year
+    normalizer, per the TPC-H definition)."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(30,6)")).cast("double").alias("sq"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        li.join(pa, F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") < 0.2 * (F.col("sq") / F.col("n")))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(30,6)")).cast("double") / 7.0).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+@register(
+    "big_ticket_orders",
+    """
+WITH big AS (
+  SELECT l_orderkey AS ok, CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+  FROM lineitem GROUP BY 1
+  HAVING SUM(CAST(l_quantity AS DECIMAL(30,6))) > 250
+)
+SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+       CAST(ROUND(CAST(o_totalprice AS DECIMAL(30,6)), 2) AS DOUBLE) AS totalprice,
+       sum_qty
+FROM big
+JOIN orders ON o_orderkey = ok
+JOIN customer ON c_custkey = o_custkey
+ORDER BY totalprice DESC, o_orderkey
+LIMIT 100
+""",
+)
+def q_big_ticket_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders (total quantity > 250) with
+    their customers. The HAVING filter runs at the rollup BEFORE any
+    dim join, so only qualifying orderkeys (a tiny fraction) enter the
+    orders/customer joins — the selective-aggregate-first plan that
+    makes Q18 tractable at scale. Exact decimal quantity sums make the
+    threshold cut engine-identical; top-100 is a total order
+    (totalprice DESC, orderkey ASC)."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.sum(F.col("l_quantity").cast("decimal(30,6)")).alias("_sq"))
+        .filter(F.col("_sq") > 250)
+        .select("ok", F.col("_sq").cast("double").alias("sum_qty"))
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, F.col("o_orderkey") == F.col("ok"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            F.round(F.col("o_totalprice").cast("decimal(30,6)"), 2)
+            .cast("double")
+            .alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.col("totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "dormant_rich_customers",
+    """
+WITH ab AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey AS nation, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(30,6))), 2) AS DOUBLE) AS total_bal
+FROM customer CROSS JOIN ab
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01'
+  )
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def q_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with NO recent
+    orders, rolled up by nation. Three bounded pieces: a 1-row
+    average-balance frame crossJoin(broadcast(...)) gates the balance
+    filter (declared BNLJ); the NOT EXISTS is a LEFT-ANTI join against
+    the date-FILTERED orders projection (the filter pushes to the
+    orders scan, so the anti side ships only recent custkeys); the
+    final rollup groups by nationkey. The threshold double is
+    sum-decimal/count on both engines — identical division, identical
+    cut."""
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    ab = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(30,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    recent = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(ab))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            money_sum(F.col("c_acctbal")).alias("total_bal"),
+        )
+        .orderBy("nation")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver check-budget ordering. The per-round correctness sweep verifies
 # registry entries in dict order and stops after a fixed budget (~50 of
 # 89 in round 4), so iteration order IS the verification schedule. The

@@ -42,6 +42,8 @@ BNLJ_DECLARED = {
     "surprisal_filter_sweep",  # unigram_surprisal's 1-row corpus-total crossJoin
     "bigram_surprisal",  # 1-row vocabulary-size crossJoin(broadcast(...))
     "mutual_information",  # 1-row grand-total crossJoin(broadcast(...))
+    "top_supplier_period",  # 1-row MAX(total_rev) crossJoin(broadcast(...))
+    "dormant_rich_customers",  # 1-row avg-balance crossJoin(broadcast(...))
 }
 
 AUDITABLE = [n for n in QUERIES if n not in SKIP]
