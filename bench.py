@@ -124,6 +124,8 @@ BENCH_QUERIES = [
     "small_order_part_revenue",
     "big_ticket_orders",
     "dormant_rich_customers",
+    "pagerank_parts",
+    "curriculum_interleave",
 ]
 
 

@@ -103,3 +103,88 @@ def count_triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     counts = e.agg(F.count(F.lit(1)).alias("n_edges"))
     nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     return nodes.crossJoin(counts).crossJoin(tri)  # three 1-row frames
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+    contrib_scale: int = 12,
+) -> DataFrame:
+    """Fixed-iteration PageRank over the UNDIRECTED graph in ``edges``
+    (canonicalized and deduped first; each undirected edge contributes
+    both directions, so out-degree == degree).
+
+    Returns (node, degree, pagerank) after ``iterations`` synchronous
+    power-iteration steps from the uniform vector 1/N:
+
+        r'(v) = (1 - damping)/N + damping * SUM_{u->v} r(u)/deg(u)
+
+    Cross-engine determinism: the per-edge contribution r(u)/deg(u) is
+    one double division (identical IEEE op), then rounded at
+    ``contrib_scale`` and summed in DECIMAL — the inbound-neighbor sum
+    is the one place summation ORDER would otherwise leak into the
+    result. Rank values stay doubles derived by identical scalar ops,
+    so the whole chain replays bit-identically on any engine/partitioning
+    (same argument as functions/deterministic.py::weighted_sum: rank
+    doubles are non-terminating 17-digit values, so the scale-12 round
+    never lands on a representational tie).
+
+    Scale: each iteration is one hash join (edges x ranks on src — both
+    sides partitioned by the SAME key, so consecutive iterations reuse
+    the exchange) plus one aggregate on dst. No per-node state beyond
+    (rank, degree); hubs bound the agg fan-in, not a single task. The
+    iteration count is a fixed small constant here; the directed-edge
+    frame is ``cache()``d (every iteration and the degree aggregate
+    re-read it — without the cache the upstream edge construction, e.g.
+    a basket pair expansion, replays once per iteration). As with
+    count_triangles, the returned frame is lazy so the CALLER owns the
+    cache lifetime (unpersist via the same logical plan or
+    ``spark.catalog.clearCache()``). At 100 TB additionally
+    localCheckpoint() the rank frame every few iterations to truncate
+    lineage.
+    """
+    # Canonical teleport double: 1 - 0.85 in binary is NOT the double
+    # nearest decimal 0.15 (it is 0.150000000000000002...), while a SQL
+    # oracle writing CAST(0.15 AS DOUBLE) gets the canonical one —
+    # round() collapses the arithmetic artifact to the canonical value.
+    teleport = round(1.0 - damping, 12)
+    e = canonical_edges(edges, src, dst)
+    directed = (
+        e.select(F.col("x").alias("u"), F.col("y").alias("v"))
+        .unionAll(e.select(F.col("y").alias("u"), F.col("x").alias("v")))
+        .cache()
+    )
+    deg = directed.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    nn = deg.agg(F.count(F.lit(1)).alias("_n"))
+    base = deg.crossJoin(F.broadcast(nn))  # (node, degree, _n)
+    ranks = base.select(
+        "node", "degree", "_n", (F.lit(1.0) / F.col("_n")).alias("r")
+    )
+    dec = f"decimal(38,{contrib_scale})"
+    for _ in range(iterations):
+        contrib = directed.join(
+            ranks.select(
+                F.col("node").alias("u"), F.col("r"), F.col("degree").alias("_d")
+            ),
+            "u",
+        ).select(
+            F.col("v").alias("node"),
+            F.round(F.col("r") / F.col("_d"), contrib_scale).cast(dec).alias("_c"),
+        )
+        sums = contrib.groupBy("node").agg(F.sum("_c").alias("_s"))
+        ranks = base.join(sums, "node", "left").select(
+            "node",
+            "degree",
+            "_n",
+            (
+                F.lit(teleport) / F.col("_n")
+                + F.lit(damping)
+                * F.coalesce(F.col("_s"), F.lit(0)).cast("double")
+            ).alias("r"),
+        )
+    return ranks.select("node", "degree", F.col("r").alias("pagerank"))

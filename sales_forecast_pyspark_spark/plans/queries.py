@@ -5083,6 +5083,160 @@ def q_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pagerank_parts",
+    """
+WITH items0 AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+),
+items AS (
+  -- mirror the operator's max_basket_size=1000 mega-basket guard
+  SELECT b, i FROM (
+    SELECT b, i, COUNT(*) OVER (PARTITION BY b) AS k FROM items0
+  ) WHERE k <= 1000
+),
+e AS (
+  SELECT DISTINCT a.i AS x, b.i AS y
+  FROM items a JOIN items b ON a.b = b.b AND a.i < b.i
+),
+dir AS (SELECT x AS u, y AS v FROM e UNION ALL SELECT y AS u, x AS v FROM e),
+deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS degree FROM dir GROUP BY 1),
+nn AS (SELECT COUNT(*) AS n FROM deg),
+r0 AS (
+  SELECT node, degree, CAST(1 AS DOUBLE) / nn.n AS r FROM deg CROSS JOIN nn
+),
+c1 AS (
+  SELECT d.v AS node, SUM(CAST(ROUND(r.r / r.degree, 12) AS DECIMAL(38,12))) AS s
+  FROM dir d JOIN r0 r ON r.node = d.u GROUP BY 1
+),
+r1 AS (
+  SELECT g.node, g.degree,
+         CAST(0.15 AS DOUBLE) / nn.n
+           + CAST(0.85 AS DOUBLE) * CAST(COALESCE(c1.s, 0) AS DOUBLE) AS r
+  FROM deg g CROSS JOIN nn LEFT JOIN c1 ON c1.node = g.node
+),
+c2 AS (
+  SELECT d.v AS node, SUM(CAST(ROUND(r.r / r.degree, 12) AS DECIMAL(38,12))) AS s
+  FROM dir d JOIN r1 r ON r.node = d.u GROUP BY 1
+),
+r2 AS (
+  SELECT g.node, g.degree,
+         CAST(0.15 AS DOUBLE) / nn.n
+           + CAST(0.85 AS DOUBLE) * CAST(COALESCE(c2.s, 0) AS DOUBLE) AS r
+  FROM deg g CROSS JOIN nn LEFT JOIN c2 ON c2.node = g.node
+),
+c3 AS (
+  SELECT d.v AS node, SUM(CAST(ROUND(r.r / r.degree, 12) AS DECIMAL(38,12))) AS s
+  FROM dir d JOIN r2 r ON r.node = d.u GROUP BY 1
+),
+r3 AS (
+  SELECT g.node, g.degree,
+         CAST(0.15 AS DOUBLE) / nn.n
+           + CAST(0.85 AS DOUBLE) * CAST(COALESCE(c3.s, 0) AS DOUBLE) AS r
+  FROM deg g CROSS JOIN nn LEFT JOIN c3 ON c3.node = g.node
+)
+SELECT node AS part, degree, r AS pagerank
+FROM r3
+ORDER BY part
+""",
+)
+def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (operators/graph.py::pagerank) over the
+    part co-purchase graph — the iterative-algorithm family (beyond the
+    single-pass hash-min components in dedup_clusters). Edges come from
+    the same capped basket population as basket_lift; 3 synchronous
+    power-iteration steps; the unrolled-CTE oracle proves every rank
+    double bit-exact cross-engine (per-edge contributions rounded at 12
+    and decimal-summed, so inbound summation order cannot leak). Per
+    iteration: one src-keyed hash join + one dst-keyed aggregate —
+    consecutive iterations re-shuffle on the same keys, so exchanges
+    reuse; at 100 TB persist the edge frame and localCheckpoint ranks
+    every few iterations (docstring of the operator)."""
+    from sales_forecast_pyspark_spark.operators.baskets import basket_item_pairs
+    from sales_forecast_pyspark_spark.operators.graph import pagerank
+
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = basket_item_pairs(li, "l_orderkey", "l_partkey").select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+    )
+    pr = pagerank(edges, iterations=3, damping=0.85)
+    return pr.select(
+        F.col("node").alias("part"), "degree", "pagerank"
+    ).orderBy("part")
+
+
+@register(
+    "curriculum_interleave",
+    """
+WITH w AS (
+  SELECT doc_id, source,
+         CASE WHEN CAST(regexp_extract(source, '[0-9]+') AS INT) % 4 = 0 THEN 4
+              WHEN CAST(regexp_extract(source, '[0-9]+') AS INT) % 4 = 1 THEN 2
+              ELSE 1 END AS weight
+  FROM documents
+),
+seq AS (
+  SELECT doc_id, source, weight,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS BIGINT) AS src_idx
+  FROM w
+)
+SELECT CAST(ROW_NUMBER() OVER (
+         ORDER BY CAST(src_idx AS DOUBLE) / weight, source, src_idx
+       ) AS BIGINT) AS position,
+       doc_id, source, weight, src_idx,
+       CAST(src_idx AS DOUBLE) / weight AS vtime
+FROM seq
+ORDER BY position
+""",
+)
+def q_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order construction: weighted round-robin
+    interleave of sources at fixed mixing weights (stride scheduling —
+    each source's i-th doc is emitted at virtual time i/weight, so a
+    weight-4 source appears 4x as often as a weight-1 source in any
+    window of the final order). This is the domain-mixing step of an
+    LLM data pipeline (fixed-ratio source blending) made reproducible:
+    per-source order is md5(doc_id) (same dyadic trick as
+    weighted_doc_sample — engine-independent), and the global position
+    is assigned by the DISTRIBUTED prefix-sum rank
+    (operators/prefix.py::partitioned_cumsum of 1s over the total
+    (vtime, source, src_idx) order) — the oracle's bare
+    ROW_NUMBER() OVER (ORDER BY ...) is the single-reducer trap this
+    avoids. Weights here derive from the source id (demo values 4/2/1);
+    a real pipeline passes its mixing config."""
+    from sales_forecast_pyspark_spark.operators.prefix import partitioned_cumsum
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    m = F.regexp_extract("source", "[0-9]+", 0).cast("int") % 4
+    w = docs.withColumn(
+        "weight", F.when(m == 0, 4).when(m == 1, 2).otherwise(1)
+    )
+    seq_w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    seq = w.withColumn("src_idx", F.row_number().over(seq_w).cast("bigint"))
+    vt = (F.col("src_idx").cast("double") / F.col("weight")).alias("vtime")
+    staged = seq.select("doc_id", "source", "weight", "src_idx", vt)
+    ranked = partitioned_cumsum(
+        staged,
+        order_by=[F.col("vtime"), F.col("source"), F.col("src_idx")],
+        value=F.lit(1),
+        out_col="_pos",
+        scale=0,
+    )
+    return ranked.select(
+        F.col("_pos").cast("bigint").alias("position"),
+        "doc_id",
+        "source",
+        "weight",
+        "src_idx",
+        "vtime",
+    ).orderBy("position")
+
+
 # ---------------------------------------------------------------------------
 # Driver check-budget ordering. The per-round correctness sweep verifies
 # registry entries in dict order and stops after a fixed budget (~50 of

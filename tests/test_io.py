@@ -239,3 +239,31 @@ def test_csv_corrupt_record_auditing(spark, tmp_path):
     assert rejects.count() == 1
     assert "not_a_number" in rejects.first()["_rejected"]
     df.unpersist()
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
+    """Dynamic partition pruning: when the partition-column predicate
+    lives on the OTHER side of a join (filter on a dim, fact partitioned
+    by the join key's functional image), Spark must inject a runtime
+    subquery filter into the fact scan — the mechanism that makes
+    "join facts to this month's dim slice" read one partition of a
+    100 TB partitioned table instead of all of them. Static pruning
+    (test above) can't help here because the fact query has no literal
+    predicate on the partition column."""
+    fact = spark.createDataFrame(
+        [(i, i % 5, float(i)) for i in range(100)],
+        "id long, part_k int, v double",
+    )
+    path = os.path.join(str(tmp_path), "dpp_fact")
+    write_parquet(fact, path, partition_by=["part_k"])
+    dim = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(5)], "d_k int, d_name string"
+    ).filter(F.col("d_name") == "dim3")
+    joined = (
+        spark.read.parquet(path)
+        .join(F.broadcast(dim), F.col("part_k") == F.col("d_k"))
+    )
+    optimized = joined._jdf.queryExecution().optimizedPlan().toString()
+    assert "dynamicpruning" in optimized.lower(), optimized
+    rows = joined.collect()
+    assert len(rows) == 20 and all(r["part_k"] == 3 for r in rows)

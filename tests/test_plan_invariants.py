@@ -44,6 +44,7 @@ BNLJ_DECLARED = {
     "mutual_information",  # 1-row grand-total crossJoin(broadcast(...))
     "top_supplier_period",  # 1-row MAX(total_rev) crossJoin(broadcast(...))
     "dormant_rich_customers",  # 1-row avg-balance crossJoin(broadcast(...))
+    "pagerank_parts",  # 1-row node-count crossJoin(broadcast(...)) per iteration
 }
 
 AUDITABLE = [n for n in QUERIES if n not in SKIP]

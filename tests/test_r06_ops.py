@@ -289,3 +289,66 @@ def test_value_histogram_bins_partition_counts(spark):
     assert total == n_events  # every event lands in exactly one bin
     for r in rows:
         assert r["bin_lo"] == r["bin"] * 10.0
+
+
+def test_pagerank_star_graph(spark):
+    """On a 4-node star the center must dominate, leaves must tie
+    exactly, and the rank vector must stay a probability distribution
+    (sum 1 up to the contribution-rounding scale) — the hand-checkable
+    invariants of the power iteration."""
+    from sales_forecast_pyspark_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "src int, dst int"
+    )
+    rows = {r["node"]: r for r in pagerank(edges, iterations=3).collect()}
+    spark.catalog.clearCache()
+    assert rows[0]["degree"] == 3 and all(rows[k]["degree"] == 1 for k in (1, 2, 3))
+    leaves = {rows[k]["pagerank"] for k in (1, 2, 3)}
+    assert len(leaves) == 1, "leaves must tie bit-exactly"
+    assert rows[0]["pagerank"] > rows[1]["pagerank"]
+    assert abs(sum(r["pagerank"] for r in rows.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_uniform_on_symmetric_graph(spark):
+    """A single edge (two degree-1 nodes) is rank-stationary at the
+    uniform vector: every iteration must return exactly 1/2 + rounding
+    noise bounded by the decimal contribution scale."""
+    from sales_forecast_pyspark_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(7, 9)], "src int, dst int")
+    rows = pagerank(edges, iterations=4).collect()
+    spark.catalog.clearCache()
+    assert len(rows) == 2
+    for r in rows:
+        assert abs(r["pagerank"] - 0.5) < 1e-10
+
+
+def test_curriculum_interleave_is_weighted_permutation(spark):
+    """The interleave must assign each doc exactly one position
+    (a permutation of 1..n), keep every source's internal md5 order,
+    and schedule heavier sources earlier in aggregate (stride
+    scheduling: a weight-4 source's i-th doc lands at virtual time i/4,
+    so with equal source sizes its mean position must sit well below a
+    weight-1 source's)."""
+    from sales_forecast_pyspark_spark.plans.queries import QUERIES
+
+    out = QUERIES["curriculum_interleave"].builder(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    n = len(out)
+    assert sorted(r["position"] for r in out) == list(range(1, n + 1))
+    by_src: dict[str, list] = {}
+    for r in sorted(out, key=lambda r: r["position"]):
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rows in by_src.items():
+        idxs = [r["src_idx"] for r in rows]
+        assert idxs == sorted(idxs), f"{src} lost its per-source order"
+    mean_pos = {
+        src: sum(r["position"] for r in rows) / len(rows)
+        for src, rows in by_src.items()
+    }
+    heavy = [s for s, rows in by_src.items() if rows[0]["weight"] == 4]
+    light = [s for s, rows in by_src.items() if rows[0]["weight"] == 1]
+    assert heavy and light
+    assert max(mean_pos[s] for s in heavy) < min(mean_pos[s] for s in light)
