@@ -126,6 +126,10 @@ BENCH_QUERIES = [
     "dormant_rich_customers",
     "pagerank_parts",
     "curriculum_interleave",
+    "nation_trade_volume",
+    "disjunctive_part_revenue",
+    "waiting_suppliers",
+    "incremental_ingest_dedup",
 ]
 
 

@@ -5237,6 +5237,231 @@ def q_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("position")
 
 
+@register(
+    "nation_trade_volume",
+    """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS year,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE s_nationkey <> c_nationkey
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+""",
+)
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-border trade volume per (supplier nation,
+    customer nation, ship year). The nation dim joins TWICE under
+    different roles — two broadcasts of the same bounded table, resolved
+    by aliasing. The inequality (s_nationkey <> c_nationkey) is a
+    post-join filter on two already-joined fact columns — cheap, never a
+    join condition. Fact shuffles: orderkey then custkey; everything
+    else broadcasts."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = read_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("_cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_cn_key"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("year"),
+        )
+        .agg(
+            money_sum(disc_price).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("supp_nation", "cust_nation", "year")
+    )
+
+
+@register(
+    "disjunctive_part_revenue",
+    """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#20' AND p_size BETWEEN 5 AND 25 AND l_quantity BETWEEN 5 AND 40)
+   OR (p_brand = 'Brand#9' AND p_size BETWEEN 10 AND 40 AND l_quantity BETWEEN 10 AND 50)
+""",
+)
+def q_disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate spanning
+    BOTH join sides. The disjunction itself can only evaluate post-join,
+    so the scale move is to push the per-side IMPLIED filters manually —
+    part prunes to the three brands (and the size hull), lineitem to the
+    quantity hull — before the join; Catalyst does not derive implied
+    disjunction filters across tables on its own. The residual OR then
+    runs on the (much smaller) joined stream. Implied filters are
+    row-set-neutral (each is entailed by the full predicate), so the
+    oracle needs none of them."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    # implied per-side filters (entailed by the disjunction below)
+    li_pruned = li.filter((F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 50))
+    part_pruned = part.filter(
+        F.col("p_brand").isin("Brand#13", "Brand#20", "Brand#9")
+        & (F.col("p_size") >= 1)
+        & (F.col("p_size") <= 40)
+    )
+    qty, size, brand = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    disjunction = (
+        ((brand == "Brand#13") & size.between(1, 10) & qty.between(1, 20))
+        | ((brand == "Brand#20") & size.between(5, 25) & qty.between(5, 40))
+        | ((brand == "Brand#9") & size.between(10, 40) & qty.between(10, 50))
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li_pruned.join(
+            F.broadcast(part_pruned), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .filter(disjunction)
+        .agg(
+            money_sum(disc_price).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "waiting_suppliers",
+    """
+WITH sl AS (
+  SELECT l_orderkey AS ok, l_suppkey AS sk,
+         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY 1, 2
+),
+po AS (
+  SELECT ok, CAST(COUNT(*) AS BIGINT) AS n_supp, CAST(SUM(late) AS BIGINT) AS n_late
+  FROM sl GROUP BY 1
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM sl
+JOIN po USING (ok)
+JOIN supplier ON s_suppkey = sk
+WHERE late = 1 AND n_supp > 1 AND n_late = 1
+GROUP BY 1
+ORDER BY numwait DESC, s_name
+LIMIT 100
+""",
+)
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    finalized multi-supplier order. The textbook formulation is a
+    correlated EXISTS + NOT EXISTS pair (two extra passes over
+    lineitem); this is the scale-safe reformulation — one rollup to
+    per-(order, supplier) lateness, one window-free per-order summary
+    (n_supp, n_late), then the predicate late=1 AND n_supp>1 AND
+    n_late=1 reproduces both quantifiers exactly: EXISTS(other
+    supplier) == n_supp>1, NOT EXISTS(other late) == n_late=1 given
+    this row is late. Both aggregates shuffle on orderkey (AQE reuses
+    the exchange); supplier broadcasts onto the tiny filtered set."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late_flag = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sl = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk"))
+        .agg(F.max(late_flag).alias("late"))
+    )
+    po = sl.groupBy("ok").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sl.join(po, "ok")
+        .filter((F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("sk"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(100)
+    )
+
+
+@register(
+    "incremental_ingest_dedup",
+    """
+WITH seen AS (
+  SELECT DISTINCT md5(substr(text, 1, 40)) AS fp
+  FROM documents WHERE doc_id % 3 <> 0
+),
+batch AS (
+  SELECT doc_id, source, md5(substr(text, 1, 40)) AS fp
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT b.doc_id, b.source, b.fp AS fingerprint
+FROM batch b
+WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.fp = b.fp)
+ORDER BY b.doc_id
+""",
+)
+def q_incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: the steady-state form of corpus
+    deduplication — a NEW batch is screened against the accumulated
+    fingerprint table of everything already ingested (here simulated by
+    a doc_id split; a real pipeline reads the fingerprint table it
+    appended last run). The anti join ships only (fingerprint) pairs —
+    at 100 TB the seen-side is a fingerprint-bucketed table, so the
+    anti join is bucket-local, and the surviving batch plus its
+    fingerprints append back in the same pass. Fingerprint here is the
+    md5 of the 40-char head (the template/boilerplate lens — catches
+    shared-head near-dups that whole-text hashing misses; whole-text
+    md5 is `dedup_exact`'s job)."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    fp = F.md5(F.substring("text", 1, 40))
+    seen = (
+        docs.filter(F.col("doc_id") % 3 != 0)
+        .select(fp.alias("fp"))
+        .distinct()
+    )
+    batch = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", "source", fp.alias("fingerprint")
+    )
+    return (
+        batch.join(seen, batch.fingerprint == seen.fp, "left_anti")
+        .select("doc_id", "source", "fingerprint")
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver check-budget ordering. The per-round correctness sweep verifies
 # registry entries in dict order and stops after a fixed budget (~50 of
