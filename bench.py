@@ -130,6 +130,10 @@ BENCH_QUERIES = [
     "disjunctive_part_revenue",
     "waiting_suppliers",
     "incremental_ingest_dedup",
+    "cheapest_supplier_per_part",
+    "market_share_by_year",
+    "product_profit_rollup",
+    "supplier_diversity_by_part_attrs",
 ]
 
 

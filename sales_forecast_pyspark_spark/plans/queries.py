@@ -5462,6 +5462,239 @@ def q_incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cheapest_supplier_per_part",
+    """
+WITH up AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk, l_extendedprice / l_quantity AS unit_price
+  FROM lineitem WHERE l_quantity > 0
+),
+m AS (SELECT pk, MIN(unit_price) AS min_price FROM up GROUP BY 1)
+SELECT DISTINCT up.pk AS part, up.sk AS supplier, s_name,
+       up.unit_price AS unit_price
+FROM up
+JOIN m ON m.pk = up.pk AND up.unit_price = m.min_price
+JOIN supplier ON s_suppkey = up.sk
+ORDER BY part, supplier
+LIMIT 200
+""",
+)
+def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the supplier(s) achieving the minimum effective
+    unit price per part — per-group argmin via MIN-then-rejoin (two
+    partkey-keyed aggregates + one equality join back) instead of a
+    row_number window. The window form (grouped_top_k) sorts every
+    group; the min-rejoin form only aggregates — the better plan when
+    groups are huge and only extrema survive. Ties keep ALL minimal
+    suppliers in both engines (equality on identically-computed double
+    quotients). DISTINCT dedups multiple lines from the same supplier
+    at the same price."""
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    up = li.select(
+        F.col("l_partkey").alias("pk"),
+        F.col("l_suppkey").alias("sk"),
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+    m = up.groupBy(F.col("pk").alias("_mpk")).agg(
+        F.min("unit_price").alias("min_price")
+    )
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        up.join(
+            m,
+            (F.col("pk") == F.col("_mpk"))
+            & (F.col("unit_price") == F.col("min_price")),
+        )
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("sk"))
+        .select(
+            F.col("pk").alias("part"),
+            F.col("sk").alias("supplier"),
+            "s_name",
+            "unit_price",
+        )
+        .distinct()
+        .orderBy("part", "supplier")
+        .limit(200)
+    )
+
+
+@register(
+    "market_share_by_year",
+    """
+SELECT CAST(year(o_orderdate) AS INT) AS year,
+       CAST(ROUND(SUM(CASE WHEN sn.n_name = 'NATION_12'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))
+                 ELSE CAST(0 AS DECIMAL(30,6)) END), 2) AS DOUBLE) AS nation_rev,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE) AS market_rev,
+       CAST(ROUND(SUM(CASE WHEN sn.n_name = 'NATION_12'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))
+                 ELSE CAST(0 AS DECIMAL(30,6)) END), 2) AS DOUBLE)
+         / NULLIF(CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE), 0.0)
+         AS mkt_share
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation cn ON cn.n_nationkey = c_nationkey
+JOIN region ON r_regionkey = cn.n_regionkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation sn ON sn.n_nationkey = s_nationkey
+WHERE r_name = 'ASIA'
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def q_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of a regional market
+    per year. The customer-side nation+region restricts the MARKET
+    (which orders count); the supplier-side nation tags each line's
+    origin; the share folds into one conditional aggregation pass —
+    market and nation revenue from a single scan, one final unrounded
+    double division. nation joins twice under different roles (cust
+    filter vs supp tag), both broadcast."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_cust_nations = nation.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("_acn"))
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    sn = nation.select(
+        F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("_sn_name")
+    )
+    dec6 = "decimal(30,6)"
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(dec6)
+    nation_amt = F.when(F.col("_sn_name") == "NATION_12", disc_price).otherwise(
+        F.lit(0).cast(dec6)
+    )
+    nation_rev = F.round(F.sum(nation_amt), 2).cast("double")
+    market_rev = F.round(F.sum(disc_price), 2).cast("double")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(asia_cust_nations), F.col("c_nationkey") == F.col("_acn")
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("_snk"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("year"))
+        .agg(
+            nation_rev.alias("nation_rev"),
+            market_rev.alias("market_rev"),
+            (nation_rev / F.nullif(market_rev, F.lit(0.0))).alias("mkt_share"),
+        )
+        .orderBy("year")
+    )
+
+
+@register(
+    "product_profit_rollup",
+    """
+SELECT sn.n_name AS nation, CAST(year(o_orderdate) AS INT) AS year,
+       CAST(ROUND(SUM(
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))
+         - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(10,2)) * CAST(0.6 AS DECIMAL(2,1))
+       ), 2) AS DOUBLE) AS profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation sn ON sn.n_nationkey = s_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def q_product_profit_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and year for a
+    name-matched product family. The LIKE filter prunes part BEFORE its
+    broadcast; profit = discounted revenue minus a 60%%-of-retail cost
+    proxy (the schema carries no supplycost), computed entirely in
+    DECIMAL — the (12,2)x(10,2)x(2,1) product is exact, so the per-line
+    profit and its sum are bit-identical cross-engine (a double 0.6
+    multiply would land on representational ties)."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    part = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_nk"), F.col("n_name").alias("nation")
+    )
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(30,6)"
+    )
+    cost = (
+        F.col("p_retailprice").cast("decimal(12,2)")
+        * F.col("l_quantity").cast("decimal(10,2)")
+        * F.lit("0.6").cast("decimal(2,1)")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("_nk"))
+        .groupBy("nation", F.year("o_orderdate").cast("int").alias("year"))
+        .agg(F.round(F.sum(revenue - cost), 2).cast("double").alias("profit"))
+        .orderBy("nation", "year")
+    )
+
+
+@register(
+    "supplier_diversity_by_part_attrs",
+    """
+SELECT p_brand, p_type, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part
+JOIN lineitem ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+LIMIT 200
+""",
+)
+def q_supplier_diversity_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct (non-excluded) suppliers serve
+    each part-attribute bucket. The NOT IN subquery compiles to a
+    LEFT-ANTI join against the tiny filtered supplier projection (the
+    exclusion list ships only keys); COUNT(DISTINCT) runs as Spark's
+    two-phase expand-aggregate, shuffling on the (brand, type, size)
+    grain. Ordered by diversity desc with full-key tie-break — total
+    order, reproducible LIMIT."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") != "Brand#1")
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    excluded = (
+        read_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(excluded, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+        .limit(200)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver check-budget ordering. The per-round correctness sweep verifies
 # registry entries in dict order and stops after a fixed budget (~50 of
