@@ -171,6 +171,8 @@ def main() -> None:
         "near_dedup_minhash",
         "sequence_packs",
         "forecast_lr",
+        "pagerank_parts",
+        "small_order_part_revenue",
     ]
     try:
         _execute(read_table(spark, "/root/testdata/sf0.001", "lineitem"))
