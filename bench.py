@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "market_share_by_year",
     "product_profit_rollup",
     "supplier_diversity_by_part_attrs",
+    "scd2_merge_history",
 ]
 
 

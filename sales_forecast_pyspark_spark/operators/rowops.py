@@ -345,3 +345,48 @@ def funnel_counts(
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("step_idx")
+
+
+def scd2_apply_changes(
+    existing: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    version_cols: list[str],
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Incremental SCD-2 maintenance: fold a batch of new versions into
+    an existing ``scd2_intervals`` table WITHOUT rewriting untouched
+    history — the MERGE-INTO shape for dimension tables.
+
+    The result is bit-equal to rebuilding ``scd2_intervals`` over the
+    combined changelog (pinned by test), but the work is proportional to
+    the TOUCHED keys, not the table: keys absent from the batch pass
+    through via a left-anti join (they ship only their key columns to
+    the join, and at 100 TB a key-bucketed layout makes both sides of
+    the touch-split bucket-local); keys present in the batch have their
+    full timeline rebuilt — which also makes LATE-ARRIVING versions
+    correct for free, because a touched key's intervals are re-derived
+    from scratch, not appended to (the classic append-only MERGE bug
+    when a version lands out of order).
+
+    ``changes`` must carry the original changelog columns (the same
+    schema ``scd2_intervals`` was first built from); ``existing`` is a
+    prior ``scd2_intervals`` output — its derived interval columns are
+    dropped and re-derived for touched keys.
+    """
+    touched = changes.select(*keys).distinct()
+    untouched = existing.join(touched, keys, "left_anti")
+    touched_changelog = existing.join(touched, keys, "left_semi").drop(
+        valid_from_col, valid_to_col, current_col
+    )
+    rebuilt = scd2_intervals(
+        touched_changelog.unionByName(changes),
+        keys,
+        version_cols,
+        valid_from_col,
+        valid_to_col,
+        current_col,
+    )
+    return untouched.unionByName(rebuilt)

@@ -5695,6 +5695,52 @@ def q_supplier_diversity_by_part_attrs(spark: SparkSession, sf_dir: str) -> Data
     )
 
 
+@register(
+    "scd2_merge_history",
+    """
+SELECT event_id, user_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+       strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+       lead(ts) OVER w IS NULL AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+ORDER BY user_id, valid_from, event_id
+""",
+)
+def q_scd2_merge_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD-2 MERGE (operators/rowops.py::scd2_apply_changes)
+    proven equal to the one-shot rebuild: the changelog is split (3/4
+    base, 1/4 interleaved-in-time batch — overwhelmingly the
+    late-arrival path), the base is built with scd2_intervals, the
+    batch folded in incrementally, and the ORACLE is the full rebuild
+    over ALL events — so the hash-match is a cross-engine proof that
+    the merge path reproduces batch semantics, late versions included.
+    Work is proportional to touched keys: untouched history passes
+    through a left-anti join, touched keys' timelines re-derive (one
+    window over their rows only)."""
+    from sales_forecast_pyspark_spark.operators.rowops import (
+        scd2_apply_changes,
+        scd2_intervals,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    first = ev.filter(F.col("event_id") % 4 != 0)
+    batch = ev.filter(F.col("event_id") % 4 == 0)
+    base = scd2_intervals(first, ["user_id"], ["ts", "event_id"])
+    merged = scd2_apply_changes(base, batch, ["user_id"], ["ts", "event_id"])
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return merged.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("valid_from", fmt).alias("valid_from"),
+        F.date_format("valid_to", fmt).alias("valid_to"),
+        "is_current",
+    ).orderBy("user_id", "valid_from", "event_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver check-budget ordering. The per-round correctness sweep verifies
 # registry entries in dict order and stops after a fixed budget (~50 of

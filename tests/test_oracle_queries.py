@@ -44,3 +44,50 @@ def test_variant_path_matches_declared_schema(spark):
     assert both.filter(
         ~F.col("declared").eqNullSafe(F.col("variant"))
     ).count() == 0
+
+
+def test_waiting_suppliers_rewrite_matches_textbook_quantifiers(duck):
+    """The registered waiting_suppliers oracle shares the Spark side's
+    quantifier-elimination rewrite (rollup + per-order summary), so a
+    rewrite bug would pass the oracle comparison. This test pins the
+    rewrite against the TEXTBOOK correlated EXISTS / NOT EXISTS
+    formulation (TPC-H Q21's shape) in DuckDB alone."""
+    register_duck_views(duck, SF_SMALL)
+    rewrite = duck.execute(
+        """
+        WITH sl AS (
+          SELECT l_orderkey AS ok, l_suppkey AS sk,
+                 MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                          THEN 1 ELSE 0 END) AS late
+          FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+          WHERE o_orderstatus = 'F' GROUP BY 1, 2),
+        po AS (SELECT ok, COUNT(*) AS n_supp, SUM(late) AS n_late FROM sl GROUP BY 1)
+        SELECT s_name, COUNT(*) AS numwait
+        FROM sl JOIN po USING (ok) JOIN supplier ON s_suppkey = sk
+        WHERE late = 1 AND n_supp > 1 AND n_late = 1
+        GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    textbook = duck.execute(
+        """
+        WITH late_lines AS (
+          SELECT l1.l_orderkey, l1.l_suppkey
+          FROM lineitem l1 JOIN orders ON o_orderkey = l1.l_orderkey
+          WHERE o_orderstatus = 'F'
+            AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          GROUP BY 1, 2)
+        SELECT s_name, COUNT(*) AS numwait
+        FROM late_lines w JOIN supplier ON s_suppkey = w.l_suppkey
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = w.l_orderkey
+              AND l2.l_suppkey <> w.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3 JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+            WHERE l3.l_orderkey = w.l_orderkey
+              AND l3.l_suppkey <> w.l_suppkey
+              AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    assert rewrite == textbook

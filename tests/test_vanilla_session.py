@@ -31,8 +31,10 @@ con = duckdb.connect(); register_duck_views(con, SF_SMALL)
 # r06 additions: a ts->date cast aggregate (user_streaks) and a
 # floored-epoch arithmetic query (time_weighted_value) — both new
 # members of the tz-sensitive class.
+# scd2_merge_history renders microsecond timestamps via date_format —
+# the same class as user_state_history, through the incremental path
 for name in ('daily_rollup', 'events_window', 'sessionization', 'asof_last_purchase',
-             'user_streaks', 'time_weighted_value'):
+             'user_streaks', 'time_weighted_value', 'scd2_merge_history'):
     q = QUERIES[name]
     ok, msg = compare_query(q.builder(spark, SF_SMALL), con, q.oracle)
     assert ok, f'{name}: {msg[:200]}'
