@@ -486,3 +486,80 @@ def daily_panel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         revenue_expr=F.col("l_extendedprice") * (1 - F.col("l_discount")),
         price_expr=F.col("l_extendedprice") / F.nullif(F.col("l_quantity"), F.lit(0)),
     )
+
+
+def maintain_partials_stream(
+    stream_df: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    qty_col: str,
+    revenue_expr,
+    price_expr,
+):
+    """Streaming maintenance of the flagship panel's mergeable partial
+    state via ``foreachBatch`` — the production form of the incremental
+    rollup: each micro-batch folds its ``daily_rollup_partials`` into
+    the persisted state, so the published panel is always
+    merge-then-finalize bit-equal to a full batch rebuild over
+    everything ingested (decimal partials are exact and associative).
+
+    Exactly-once across restarts WITHOUT a transactional sink: the
+    state write is keyed by ``batch_id`` (``state_dir/v=<id>``), and
+    each fold reads the newest version STRICTLY OLDER than its own
+    batch_id. A replayed batch (failure between sink write and
+    checkpoint commit) overwrites its own version directory from the
+    same base — idempotent; it can never double-fold because its own
+    partial output is not in its read set. Version retention: old
+    ``v=`` dirs are superseded, keep N for time travel / prune by age
+    (a real deployment swaps this two-line layout for Delta/Iceberg
+    MERGE and gets retention + metadata pruning from the table format).
+
+    Returns the started StreamingQuery (caller awaits/stops). Use
+    ``read_latest_partials`` + ``finalize_daily_rollup`` to publish.
+    """
+    import os
+
+    from sales_forecast_pyspark_spark.operators.aggregates import (
+        daily_rollup_partials,
+        merge_daily_rollup_partials,
+    )
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = daily_rollup_partials(
+            batch_df, keys, qty_col, revenue_expr, price_expr
+        )
+        bases = []
+        if os.path.isdir(state_dir):
+            bases = [
+                int(d[2:])
+                for d in os.listdir(state_dir)
+                if d.startswith("v=") and int(d[2:]) < batch_id
+            ]
+        if bases:
+            base = spark.read.parquet(os.path.join(state_dir, f"v={max(bases)}"))
+            merged = merge_daily_rollup_partials(base, delta, keys)
+        else:
+            merged = delta
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v={batch_id}")
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_latest_partials(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The newest version of the partial state written by
+    ``maintain_partials_stream``."""
+    import os
+
+    versions = [
+        int(d[2:]) for d in os.listdir(state_dir) if d.startswith("v=")
+    ]
+    return spark.read.parquet(os.path.join(state_dir, f"v={max(versions)}"))

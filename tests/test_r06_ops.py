@@ -352,3 +352,49 @@ def test_curriculum_interleave_is_weighted_permutation(spark):
     light = [s for s, rows in by_src.items() if rows[0]["weight"] == 1]
     assert heavy and light
     assert max(mean_pos[s] for s in heavy) < min(mean_pos[s] for s in light)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_edge_lists = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_edge_lists)
+def test_pagerank_matches_numpy_power_iteration(spark, edge_list):
+    """On random small graphs the distributed PageRank must agree with a
+    straight NumPy power iteration implementing the SAME update rule
+    (teleport + damping * inbound sum of r/deg, contributions rounded at
+    scale 12). Tolerance 1e-9 absorbs only the float-vs-decimal summation
+    difference of the rounded contributions."""
+    import numpy as np
+
+    from sales_forecast_pyspark_spark.operators.graph import pagerank
+
+    canon = sorted({(min(a, b), max(a, b)) for a, b in edge_list})
+    nodes = sorted({n for e in canon for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n)
+    for a, b in canon:
+        deg[idx[a]] += 1
+        deg[idx[b]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(3):
+        contrib = np.zeros(n)
+        for a, b in canon:
+            contrib[idx[b]] += round(r[idx[a]] / deg[idx[a]], 12)
+            contrib[idx[a]] += round(r[idx[b]] / deg[idx[b]], 12)
+        r = 0.15 / n + 0.85 * contrib
+
+    edges = spark.createDataFrame(edge_list, "src int, dst int")
+    got = {row["node"]: row["pagerank"] for row in pagerank(edges, iterations=3).collect()}
+    spark.catalog.clearCache()
+    assert set(got) == set(nodes)
+    for node in nodes:
+        assert abs(got[node] - r[idx[node]]) < 1e-9, (node, got[node], r[idx[node]])

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 from datetime import datetime
 
+from pyspark.sql import functions as F
+
 from sales_forecast_pyspark_spark.plans.queries import QUERIES
 from sales_forecast_pyspark_spark.streaming import (
     run_available_now,
@@ -439,3 +441,92 @@ def test_stream_left_outer_join_emits_unanswered_errors(spark):
     # every closable unanswered error must be emitted; nothing matched may be
     assert set(expect_null) <= set(got_null)
     assert not (set(got_null) & {e for e, _ in batch_matched})
+
+
+def test_foreachbatch_partials_maintenance_exactly_once(spark, tmp_path):
+    """foreachBatch incremental panel maintenance: stream the raw rows
+    in forced micro-batches, then (1) the final partial state finalizes
+    bit-equal to a one-shot batch rebuild over everything ingested,
+    (2) a RESTART on the same checkpoint with no new input changes
+    nothing (idempotence), and (3) new files after restart fold in."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from sales_forecast_pyspark_spark.operators.aggregates import (
+        daily_rollup_partials,
+        finalize_daily_rollup,
+    )
+    from sales_forecast_pyspark_spark.sources.readers import read_table
+    from sales_forecast_pyspark_spark.streaming.stream_ops import (
+        maintain_partials_stream,
+        read_latest_partials,
+    )
+
+    li = read_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_shipdate",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    src = str(tmp_path / "in")
+    for i in range(3):  # three files -> three micro-batches
+        li.filter(F.col("l_orderkey") % 4 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+        ]
+    )
+    keys = ["l_returnflag", "ds"]
+    qty, rev = "l_quantity", F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    price = F.col("l_extendedprice")
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+
+    def start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withColumn("ds", F.to_date("l_shipdate"))
+        )
+        q = maintain_partials_stream(
+            stream, state, ckpt, keys, qty, rev, price
+        )
+        q.awaitTermination()
+
+    start()
+    versions = sorted(d for d in os.listdir(state) if d.startswith("v="))
+    assert len(versions) == 3, versions
+
+    def published():
+        return {
+            (r["l_returnflag"], str(r["ds"])): (r["qty"], r["revenue"], r["avg_price"])
+            for r in finalize_daily_rollup(
+                read_latest_partials(spark, state), keys
+            ).collect()
+        }
+
+    def batch_truth():
+        all_rows = spark.read.parquet(src).withColumn("ds", F.to_date("l_shipdate"))
+        return {
+            (r["l_returnflag"], str(r["ds"])): (r["qty"], r["revenue"], r["avg_price"])
+            for r in finalize_daily_rollup(
+                daily_rollup_partials(all_rows, keys, qty, rev, price), keys
+            ).collect()
+        }
+
+    assert published() == batch_truth()
+
+    start()  # restart, no new files: no new version, state unchanged
+    assert sorted(d for d in os.listdir(state) if d.startswith("v=")) == versions
+    assert published() == batch_truth()
+
+    li.filter(F.col("l_orderkey") % 4 == 3).coalesce(1).write.mode("append").parquet(src)
+    start()  # new file folds in
+    assert published() == batch_truth()
