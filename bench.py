@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "product_profit_rollup",
     "supplier_diversity_by_part_attrs",
     "scd2_merge_history",
+    "lineitem_drift_report",
 ]
 
 

@@ -239,3 +239,63 @@ def categorical_mutual_information(
             4,
         ).alias("mi_nats"),
     )
+
+
+def numeric_drift_report(
+    base: DataFrame,
+    current: DataFrame,
+    cols: list[str],
+) -> DataFrame:
+    """Data-contract drift screen between two snapshots of the same
+    table (yesterday's partition vs today's, pre- vs post-migration):
+    one row per monitored numeric column with null-rate and mean on
+    each side plus the mean shift. The feed-level alarm a 100 TB
+    ingest runs before publishing — cheap (ONE aggregate pass per
+    side, no joins, no shuffles beyond the final 1-row-per-side agg)
+    and deterministic (means are exact decimal sums over pre-rounded
+    values divided by counts; null rates are long-count divisions —
+    identical IEEE ops cross-engine).
+
+    Each side computes all columns' sufficient statistics in a single
+    wide aggregate (n, nulls, decimal sum per column), then unpivots
+    to (column, stats) rows via an in-row stack — so adding a monitored
+    column adds expressions, not passes.
+    """
+    def side_stats(df: DataFrame, tag: str) -> DataFrame:
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        for c in cols:
+            aggs.append(F.count(c).alias(f"_nn_{c}"))
+            aggs.append(
+                F.sum(F.round(F.col(c), 7).cast("decimal(30,7)")).alias(f"_s_{c}")
+            )
+        wide = df.agg(*aggs)
+        stack = ", ".join(
+            f"'{c}', _nn_{c}, CAST(_s_{c} AS DOUBLE)" for c in cols
+        )
+        return wide.select(
+            F.col("_n"),
+            F.expr(
+                f"stack({len(cols)}, {stack}) AS (column, _nn, _sum)"
+            ),
+        ).select(
+            "column",
+            (1.0 - F.col("_nn") / F.col("_n")).alias(f"null_rate_{tag}"),
+            (F.col("_sum") / F.nullif(F.col("_nn"), F.lit(0))).alias(
+                f"mean_{tag}"
+            ),
+        )
+
+    b = side_stats(base, "base")
+    c = side_stats(current, "cur")
+    return (
+        b.join(c, "column")
+        .select(
+            "column",
+            "null_rate_base",
+            "null_rate_cur",
+            "mean_base",
+            "mean_cur",
+            (F.col("mean_cur") - F.col("mean_base")).alias("mean_shift"),
+        )
+        .orderBy("column")
+    )

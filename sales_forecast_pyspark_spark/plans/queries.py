@@ -5741,6 +5741,61 @@ def q_scd2_merge_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "valid_from", "event_id")
 
 
+@register(
+    "lineitem_drift_report",
+    """
+WITH base AS (SELECT * FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01'),
+cur AS (SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01'),
+bs AS (
+  SELECT col AS "column", nn, s, n FROM (
+    SELECT COUNT(*) AS n,
+           COUNT(l_quantity) AS nn_q, CAST(SUM(CAST(ROUND(l_quantity,7) AS DECIMAL(30,7))) AS DOUBLE) AS s_q,
+           COUNT(l_extendedprice) AS nn_p, CAST(SUM(CAST(ROUND(l_extendedprice,7) AS DECIMAL(30,7))) AS DOUBLE) AS s_p,
+           COUNT(l_discount) AS nn_d, CAST(SUM(CAST(ROUND(l_discount,7) AS DECIMAL(30,7))) AS DOUBLE) AS s_d
+    FROM base
+  ), (VALUES ('l_quantity'), ('l_extendedprice'), ('l_discount')) v(col),
+  LATERAL (SELECT CASE col WHEN 'l_quantity' THEN nn_q WHEN 'l_extendedprice' THEN nn_p ELSE nn_d END AS nn,
+                  CASE col WHEN 'l_quantity' THEN s_q WHEN 'l_extendedprice' THEN s_p ELSE s_d END AS s)
+),
+cs AS (
+  SELECT col AS "column", nn, s, n FROM (
+    SELECT COUNT(*) AS n,
+           COUNT(l_quantity) AS nn_q, CAST(SUM(CAST(ROUND(l_quantity,7) AS DECIMAL(30,7))) AS DOUBLE) AS s_q,
+           COUNT(l_extendedprice) AS nn_p, CAST(SUM(CAST(ROUND(l_extendedprice,7) AS DECIMAL(30,7))) AS DOUBLE) AS s_p,
+           COUNT(l_discount) AS nn_d, CAST(SUM(CAST(ROUND(l_discount,7) AS DECIMAL(30,7))) AS DOUBLE) AS s_d
+    FROM cur
+  ), (VALUES ('l_quantity'), ('l_extendedprice'), ('l_discount')) v(col),
+  LATERAL (SELECT CASE col WHEN 'l_quantity' THEN nn_q WHEN 'l_extendedprice' THEN nn_p ELSE nn_d END AS nn,
+                  CASE col WHEN 'l_quantity' THEN s_q WHEN 'l_extendedprice' THEN s_p ELSE s_d END AS s)
+)
+SELECT bs."column",
+       1.0 - bs.nn / bs.n AS null_rate_base,
+       1.0 - cs.nn / cs.n AS null_rate_cur,
+       bs.s / NULLIF(bs.nn, 0) AS mean_base,
+       cs.s / NULLIF(cs.nn, 0) AS mean_cur,
+       cs.s / NULLIF(cs.nn, 0) - bs.s / NULLIF(bs.nn, 0) AS mean_shift
+FROM bs JOIN cs USING ("column")
+ORDER BY bs."column"
+""",
+)
+def q_lineitem_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot drift screen (operators/quality.py::
+    numeric_drift_report): pre-1998 vs 1998+ lineitem compared on
+    null rate and mean for three monitored numeric columns. One wide
+    sufficient-statistic aggregate per side (all columns in one pass,
+    in-row stack unpivot), broadcast-joined on column name — the
+    publish-gate data-contract check, not a diagnostic scan."""
+    from sales_forecast_pyspark_spark.operators.quality import numeric_drift_report
+
+    li = read_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    return numeric_drift_report(
+        li.filter(F.col("l_shipdate") < cutoff),
+        li.filter(F.col("l_shipdate") >= cutoff),
+        ["l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver check-budget ordering. The per-round correctness sweep verifies
 # registry entries in dict order and stops after a fixed budget (~50 of

@@ -98,3 +98,50 @@ def test_flagship_rollup_is_single_exchange(spark):
 
     plan = _plan(spark, "daily_rollup")
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """SCALING.md claims AQE skew-join handling backs the salted-join
+    remedy pair; this pins the claim mechanically: on a deliberately
+    hot-keyed sort-merge join with test-sized skew thresholds, the
+    FINAL adaptive plan must mark the skewed SMJ (``skew=true``), i.e.
+    the hot partition was split across tasks instead of melting one
+    reducer."""
+    from pyspark.sql import functions as F
+
+    overrides = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        # payload must be INCOMPRESSIBLE: skew detection reads the
+        # compressed shuffle-block sizes, and a constant-pad hot
+        # partition lz4-compresses below any realistic threshold
+        # (found the hard way — sha2 per row keeps bytes honest).
+        payload = F.sha2(F.col("id").cast("string"), 512)
+        hot = spark.range(30000).select(
+            F.lit(0).alias("k"), payload.alias("payload")
+        )
+        cold = spark.range(3000).select(
+            (F.col("id") % 31 + 1).alias("k"), payload.alias("payload")
+        )
+        fact = hot.unionAll(cold)
+        dim = spark.range(32).select(
+            F.col("id").alias("k"), F.sha2(F.col("id").cast("string"), 256).alias("d")
+        )
+        joined = fact.join(dim, "k")
+        joined.foreach(lambda r: None)  # execute; AQE finalizes THIS df's plan
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
