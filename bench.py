@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "supplier_diversity_by_part_attrs",
     "scd2_merge_history",
     "lineitem_drift_report",
+    "touch_attribution",
 ]
 
 

@@ -5796,6 +5796,45 @@ def q_lineitem_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "touch_attribution",
+    """
+WITH seq AS (
+  SELECT event_type, value,
+         epoch_us(ts) AS us,
+         last_value(CASE WHEN event_type IN ('view','click','signup')
+                         THEN event_type END IGNORE NULLS) OVER w AS touch_type,
+         last_value(CASE WHEN event_type IN ('view','click','signup')
+                         THEN epoch_us(ts) END IGNORE NULLS) OVER w AS touch_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT COALESCE(touch_type, 'none') AS channel,
+       COUNT(*) AS conversions,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(30,6))), 2) AS DOUBLE)
+         AS attributed_revenue,
+       ROUND(CAST(SUM(us - touch_us) AS DOUBLE)
+             / CAST(COUNT(us - touch_us) AS DOUBLE) / 86400e6, 4)
+         AS avg_days_to_convert
+FROM seq
+WHERE event_type = 'purchase'
+GROUP BY 1 ORDER BY 1
+""",
+)
+def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution (operators/windows.py::touch_attribution):
+    each purchase's value credited to the user's most recent prior
+    view/click/signup via one ignore-nulls last() window — single
+    exchange+sort, no conversions-to-touches self-join — then one hash
+    aggregate per channel with exact-decimal revenue and microsecond-
+    exact mean latency."""
+    from sales_forecast_pyspark_spark.operators.windows import touch_attribution
+
+    ev = read_table(spark, sf_dir, "events")
+    return touch_attribution(ev)
+
+
 # ---------------------------------------------------------------------------
 # Driver check-budget ordering. The per-round correctness sweep verifies
 # registry entries in dict order and stops after a fixed budget (~50 of

@@ -145,3 +145,44 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """At 100 TB the win of a selective dim predicate is not the dim
+    scan — it is NOT shuffling the 99% of fact rows that would die in
+    the join anyway. Spark's InjectRuntimeFilter does that by building a
+    bloom filter from the filtered dim keys and pushing might_contain()
+    below the fact side's exchange. This pins the mechanism on a
+    test-sized shuffle join (thresholds lowered; broadcast disabled so
+    the join actually shuffles): the optimized plan must contain a
+    bloom_filter_agg / might_contain pair, i.e. the fact scan is
+    runtime-pruned."""
+    from pyspark.sql import functions as F
+
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        fact = spark.range(200000).select(
+            (F.col("id") % 1000).alias("k"), F.col("id").alias("v")
+        )
+        dim = spark.range(1000).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 97).alias("attr"),
+        )
+        joined = fact.join(dim.filter(F.col("attr") == 3), "k")
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan and "might_contain" in plan, plan[:3000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
