@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "scd2_merge_history",
     "lineitem_drift_report",
     "touch_attribution",
+    "country_trend_ols",
 ]
 
 

@@ -247,3 +247,50 @@ def retention_matrix(
         .agg(F.countDistinct("_id").alias("n_active"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+def ols_trend(
+    df: DataFrame,
+    keys: Sequence[str],
+    x_col: str,
+    y_col: str,
+    out_digits: int = 6,
+) -> DataFrame:
+    """Per-group closed-form OLS line fit (y = intercept + slope*x) via
+    exact integer sufficient statistics — the 100 TB way to answer
+    "what's the trend of every series": ONE hash aggregate computing
+    (n, Σx, Σx², Σy, Σxy) per key, then slope/intercept as arithmetic
+    on the aggregate row. No per-key model fits, no second pass, no
+    driver loop over series — 10⁹ series cost the same single shuffle
+    as one.
+
+    Determinism: ``x_col`` and ``y_col`` must be exact-integer-valued
+    (day indexes, integer quantities — caller casts). All five sums are
+    exact long sums, the normal-equation numerators/denominators are
+    exact long products, and the only float op is the final
+    correctly-rounded double division — bit-identical cross-engine.
+    (Spark's built-in ``regr_slope`` is an order-dependent double
+    aggregate: same math, unstable hash.)
+    """
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    stats = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(x).alias("_sx"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+    )
+    n = F.col("n_obs")
+    den = (n * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
+    slope_num = (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double")
+    icept_num = (
+        F.col("_sy") * F.col("_sxx") - F.col("_sx") * F.col("_sxy")
+    ).cast("double")
+    den_nz = F.nullif(den, F.lit(0.0))
+    return stats.select(
+        *keys,
+        "n_obs",
+        F.round(slope_num / den_nz, out_digits).alias("slope"),
+        F.round(icept_num / den_nz, out_digits).alias("intercept"),
+    ).orderBy(*keys)

@@ -5835,6 +5835,55 @@ def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return touch_attribution(ev)
 
 
+@register(
+    "country_trend_ols",
+    PANEL_CTE
+    + """
+, series AS (
+  SELECT country,
+         date_diff('day', DATE '1992-01-01', ds) AS x,
+         CAST(SUM(CAST(qty AS BIGINT)) AS BIGINT) AS y
+  FROM panel GROUP BY country, ds
+),
+stats AS (
+  SELECT country, COUNT(*) AS n_obs,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(CAST(x AS BIGINT) * x) AS BIGINT) AS sxx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM series GROUP BY country
+)
+SELECT country, n_obs,
+       ROUND(CAST(n_obs * sxy - sx * sy AS DOUBLE)
+             / NULLIF(CAST(n_obs * sxx - sx * sx AS DOUBLE), 0), 6) AS slope,
+       ROUND(CAST(sy * sxx - sx * sxy AS DOUBLE)
+             / NULLIF(CAST(n_obs * sxx - sx * sx AS DOUBLE), 0), 6) AS intercept
+FROM stats ORDER BY country
+""",
+)
+def q_country_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-country demand-trend line (operators/aggregates.py::
+    ols_trend): the daily country series fit with closed-form OLS from
+    ONE pass of exact integer sufficient statistics — no per-series
+    MLlib fits, no driver loop; a billion series would cost the same
+    two hash aggregates. Day index is anchored at 1992-01-01; qty sums
+    are exact-integer-valued so every sum is a lossless long."""
+    from sales_forecast_pyspark_spark.operators.aggregates import ols_trend
+    from sales_forecast_pyspark_spark.plans.panel import daily_panel
+
+    series = (
+        daily_panel(spark, sf_dir)
+        .groupBy("country", "ds")
+        .agg(F.sum(F.col("qty").cast("long")).alias("y"))
+        .select(
+            "country",
+            F.datediff(F.col("ds"), F.lit("1992-01-01").cast("date")).alias("x"),
+            "y",
+        )
+    )
+    return ols_trend(series, ["country"], "x", "y")
+
+
 # ---------------------------------------------------------------------------
 # Driver check-budget ordering. The per-round correctness sweep verifies
 # registry entries in dict order and stops after a fixed budget (~50 of

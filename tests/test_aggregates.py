@@ -257,3 +257,27 @@ def test_retention_matrix_property_matches_brute_force(spark):
         for w in set(weeks):
             expect[(str(monday + timedelta(weeks=cohort)), w - cohort)] += 1
     assert got == dict(expect), (got, expect)
+
+
+def test_ols_trend_matches_numpy_lstsq(spark):
+    """Closed-form sufficient-statistic OLS == numpy least squares on a
+    deterministic multi-group fixture (slope/intercept to 6 digits),
+    including a vertical-line group (zero x-variance -> nulls, not a
+    division error)."""
+    import numpy as np
+
+    from sales_forecast_pyspark_spark.operators.aggregates import ols_trend
+
+    rng = [(g, x, (3 + 2 * g) * x + 17 - g + ((x * 7 + g) % 5) - 2)
+           for g in range(3) for x in range(40)]
+    rows = rng + [(9, 5, y) for y in (1, 2, 3)]  # degenerate: constant x
+    df = spark.createDataFrame(rows, "g long, x long, y long")
+    got = {r["g"]: r for r in ols_trend(df, ["g"], "x", "y").collect()}
+    for g in range(3):
+        pts = [(x, y) for gg, x, y in rng if gg == g]
+        A = np.array([[x, 1.0] for x, _ in pts])
+        b = np.array([y for _, y in pts], dtype=float)
+        slope, icept = np.linalg.lstsq(A, b, rcond=None)[0]
+        assert abs(got[g]["slope"] - round(slope, 6)) < 2e-6, (g, got[g])
+        assert abs(got[g]["intercept"] - round(icept, 6)) < 2e-6, (g, got[g])
+    assert got[9]["slope"] is None and got[9]["intercept"] is None
