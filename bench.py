@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "lineitem_drift_report",
     "touch_attribution",
     "country_trend_ols",
+    "rolling_wau_hll",
 ]
 
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -307,3 +307,43 @@ def hll_merge_rollups(
         .groupBy(*keys)
         .agg(F.hll_union_agg(F.col(sketch_col)).alias(sketch_col))
     )
+
+
+def hll_rolling_distinct(
+    df: DataFrame,
+    time_col: str,
+    id_col: str,
+    frame_rows: int = 6,
+    lg_k: int = 12,
+    partition_keys: Sequence[str] = (),
+) -> DataFrame:
+    """Trailing-window distinct count as a SKETCH-UNION window: one HLL
+    sketch per (keys, period), then ``hll_union_agg`` over a
+    ``frame_rows``-row trailing frame — the rolling-WAU shape.
+
+    This is the sketch tier of ``rolling_active_users``'s exact
+    explode-contribution formulation: the exact path shuffles
+    |user-days| × window rows, which at 100 TB is the dominant cost;
+    here the raw data is touched ONCE (the per-period sketch build) and
+    the window slides over one 2^lg_k-register binary per period —
+    per-day cost independent of user cardinality. The estimate is
+    deterministic (register-wise max union, order-independent), but
+    approximate → registered rows-only, with error bounds pinned in
+    tests/test_sketches.py.
+    """
+    keys = list(partition_keys)
+    day_sketch = df.groupBy(*keys, time_col).agg(
+        F.hll_sketch_agg(F.col(id_col), F.lit(lg_k)).alias("_hll")
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(time_col)
+        .rowsBetween(-frame_rows, Window.currentRow)
+    )
+    return day_sketch.select(
+        *keys,
+        time_col,
+        F.hll_sketch_estimate(F.hll_union_agg("_hll").over(w))
+        .cast("long")
+        .alias("n_distinct_est"),
+    ).orderBy(*keys, time_col)

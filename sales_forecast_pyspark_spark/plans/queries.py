@@ -5884,6 +5884,50 @@ def q_country_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ols_trend(series, ["country"], "x", "y")
 
 
+@register("rolling_wau_hll")  # rows-only: DataSketches HLL has no DuckDB twin
+def q_rolling_wau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-tier rolling WAU (operators/sketches.py::
+    hll_rolling_distinct): one HLL sketch per day, unioned over a 7-row
+    trailing window — raw events touched once, per-day slide cost
+    independent of user cardinality (the exact formulation in
+    rolling_active_users shuffles |user-days|×7 contribution rows; at
+    100 TB the sketch path wins outright). The exact WAU rides along so
+    every registered row is self-auditing; error bounds are pinned in
+    tests/test_sketches.py."""
+    from sales_forecast_pyspark_spark.operators.sketches import (
+        hll_rolling_distinct,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.select(F.col("ts").cast("date").alias("day"), "user_id")
+    est = hll_rolling_distinct(daily, "day", "user_id", frame_rows=6)
+    ud = daily.distinct()
+    exact = (
+        ud.select(
+            F.explode(
+                F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+            ).alias("day_t"),
+            "user_id",
+        )
+        .groupBy("day_t")
+        .agg(F.countDistinct("user_id").alias("wau_exact"))
+    )
+    return (
+        est.join(exact, est.day == exact.day_t)
+        .select(
+            "day",
+            F.col("n_distinct_est").alias("wau_hll"),
+            "wau_exact",
+            F.round(
+                F.abs(F.col("n_distinct_est") - F.col("wau_exact"))
+                / F.col("wau_exact"),
+                4,
+            ).alias("rel_err"),
+        )
+        .orderBy("day")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver check-budget ordering. The per-round correctness sweep verifies
 # registry entries in dict order and stops after a fixed budget (~50 of
