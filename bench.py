@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "touch_attribution",
     "country_trend_ols",
     "rolling_wau_hll",
+    "user_daily_interp",
 ]
 
 

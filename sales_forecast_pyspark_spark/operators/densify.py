@@ -89,3 +89,57 @@ def locf_fill(
             for c in cols
         ],
     )
+
+
+def interp_fill(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str,
+    date_col: str = "ds",
+    out_col: str | None = None,
+    out_digits: int = 6,
+) -> DataFrame:
+    """Linear time interpolation: gap days get
+    ``prev + (next - prev) * gap_frac`` between the nearest observed
+    values on each side — the fill for continuously varying signals
+    (prices, sensor levels) where LOCF's step function biases
+    downstream features. Observed rows pass through unchanged; edge
+    gaps (no observation on one side) stay null, preserving the audit
+    trail.
+
+    Shape: the SAME single exchange+sort as ``locf_fill`` — two
+    ignore-nulls windows over one partitioning (backward last +
+    forward first, value and date each), all four batched into one
+    select so Catalyst plans ONE WindowExec; per-row state is O(1)
+    regardless of gap length. Determinism: the gap fraction is a
+    quotient of exact day-count integers and the fill is a fixed
+    sequence of IEEE double ops, rounded once at ``out_digits`` —
+    bit-stable cross-engine (same argument as stable_avg's quotients).
+    """
+    out_col = out_col or f"{col}_interp"
+    back = (
+        Window.partitionBy(*keys)
+        .orderBy(date_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy(*keys)
+        .orderBy(date_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    v = F.col(col)
+    obs_ds = F.when(v.isNotNull(), F.col(date_col))
+    stage = df.select(
+        *df.columns,
+        F.last(v, ignorenulls=True).over(back).alias("_pv"),
+        F.last(obs_ds, ignorenulls=True).over(back).alias("_pd"),
+        F.first(v, ignorenulls=True).over(fwd).alias("_nv"),
+        F.first(obs_ds, ignorenulls=True).over(fwd).alias("_nd"),
+    )
+    frac = F.datediff(F.col(date_col), F.col("_pd")).cast("double") / F.datediff(
+        F.col("_nd"), F.col("_pd")
+    ).cast("double")
+    filled = F.when(v.isNotNull(), v).otherwise(
+        F.round(F.col("_pv") + (F.col("_nv") - F.col("_pv")) * frac, out_digits)
+    )
+    return stage.select(*df.columns, filled.alias(out_col))

@@ -5884,6 +5884,73 @@ def q_country_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ols_trend(series, ["country"], "x", "y")
 
 
+@register(
+    "user_daily_interp",
+    """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS ds,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(30,6))), 2) AS DOUBLE) AS day_value
+  FROM events GROUP BY 1, 2
+),
+cal AS (
+  SELECT user_id, CAST(unnest(generate_series(MIN(ds), MAX(ds), INTERVAL 1 DAY)) AS DATE) AS ds
+  FROM daily GROUP BY user_id
+),
+j AS (
+  SELECT c.user_id, c.ds, d.day_value
+  FROM cal c LEFT JOIN daily d USING (user_id, ds)
+),
+st AS (
+  SELECT user_id, ds, day_value,
+         last_value(day_value IGNORE NULLS) OVER wb AS pv,
+         last_value(CASE WHEN day_value IS NOT NULL THEN ds END IGNORE NULLS) OVER wb AS pd,
+         first_value(day_value IGNORE NULLS) OVER wf AS nv,
+         first_value(CASE WHEN day_value IS NOT NULL THEN ds END IGNORE NULLS) OVER wf AS nd
+  FROM j
+  WINDOW wb AS (PARTITION BY user_id ORDER BY ds
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id ORDER BY ds
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, ds, day_value,
+       CASE WHEN day_value IS NOT NULL THEN day_value
+            ELSE ROUND(pv + (nv - pv) *
+                   (CAST(date_diff('day', pd, ds) AS DOUBLE)
+                    / CAST(date_diff('day', pd, nd) AS DOUBLE)), 6)
+       END AS interp_value
+FROM st ORDER BY user_id, ds
+""",
+)
+def q_user_daily_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densify + LINEAR interpolation (operators/densify.py::
+    interp_fill): the continuous-signal twin of user_daily_locf — gap
+    days get prev + (next−prev)·gap_frac from the nearest observations
+    on each side, computed by two ignore-nulls windows batched into one
+    WindowExec over the same single exchange+sort LOCF pays. Gap
+    fractions are quotients of exact day counts, so the oracle matches
+    bit-for-bit."""
+    from sales_forecast_pyspark_spark.operators.densify import (
+        densify_series,
+        interp_fill,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.col("ts").cast("date").alias("ds")).agg(
+        money_sum(F.col("value")).alias("day_value")
+    )
+    dense = densify_series(daily, ["user_id"], "ds")
+    return (
+        interp_fill(dense, ["user_id"], "day_value")
+        .select(
+            "user_id",
+            "ds",
+            "day_value",
+            F.col("day_value_interp").alias("interp_value"),
+        )
+        .orderBy("user_id", "ds")
+    )
+
+
 @register("rolling_wau_hll")  # rows-only: DataSketches HLL has no DuckDB twin
 def q_rolling_wau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-tier rolling WAU (operators/sketches.py::

@@ -209,3 +209,39 @@ def test_weighted_mean_udaf_parity(spark):
     assert set(jvm) == set(pd_)
     for k in jvm:
         assert abs(jvm[k] - pd_[k]) < 1e-9 * max(1.0, abs(jvm[k])), k
+
+
+def test_interp_fill_hand_computed_gaps_and_edges(spark):
+    """Linear interpolation on an engineered series: interior gaps get
+    the exact linear blend (including a 3-day gap with two distinct
+    interior points), observed rows pass through, and a leading-edge
+    gap (no prior observation) stays null."""
+    from datetime import date
+
+    from pyspark.sql import functions as F
+
+    from sales_forecast_pyspark_spark.operators.densify import interp_fill
+
+    rows = [
+        ("a", date(2024, 1, 1), 10.0),
+        ("a", date(2024, 1, 2), None),
+        ("a", date(2024, 1, 5), 22.0),   # gap days 2,3,4 -> 13, 16, 19
+        ("a", date(2024, 1, 3), None),
+        ("a", date(2024, 1, 4), None),
+        ("a", date(2024, 1, 6), 1.0),
+        ("b", date(2024, 1, 1), None),   # leading gap: stays null
+        ("b", date(2024, 1, 2), 8.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ds date, v double")
+    got = {
+        (r["k"], str(r["ds"])): r["v_interp"]
+        for r in interp_fill(df, ["k"], "v").collect()
+    }
+    assert got[("a", "2024-01-01")] == 10.0
+    assert got[("a", "2024-01-02")] == 13.0
+    assert got[("a", "2024-01-03")] == 16.0
+    assert got[("a", "2024-01-04")] == 19.0
+    assert got[("a", "2024-01-05")] == 22.0
+    assert got[("a", "2024-01-06")] == 1.0
+    assert got[("b", "2024-01-01")] is None
+    assert got[("b", "2024-01-02")] == 8.0
