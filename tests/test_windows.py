@@ -245,3 +245,67 @@ def test_interp_fill_hand_computed_gaps_and_edges(spark):
     assert got[("a", "2024-01-06")] == 1.0
     assert got[("b", "2024-01-01")] is None
     assert got[("b", "2024-01-02")] == 8.0
+
+
+def test_touch_attribution_property_matches_brute_force(spark):
+    """Randomized event logs (seeded): per-channel conversion counts,
+    revenue, and latency must equal a plain-Python replay of the
+    last-touch rule, including interleaved users, purchase-before-touch
+    ('none'), back-to-back purchases sharing one touch, and same-ts
+    tie-break on event_id."""
+    import random
+    from datetime import datetime, timedelta
+
+    from sales_forecast_pyspark_spark.operators.windows import touch_attribution
+
+    rng = random.Random(46)
+    types = ["view", "click", "signup", "purchase", "error"]
+    base = datetime(2024, 3, 1)
+    rows = []
+    for eid in range(400):
+        rows.append(
+            (
+                eid,
+                base + timedelta(minutes=rng.randrange(0, 5000)),
+                rng.randrange(12),
+                rng.choice(types),
+                round(rng.uniform(1, 200), 2),
+            )
+        )
+    # same-timestamp collision: two touches + a purchase at one instant
+    t = base + timedelta(minutes=9999)
+    rows += [(900, t, 99, "click", 5.0), (901, t, 99, "view", 5.0),
+             (902, t, 99, "purchase", 7.0)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = {
+        r["channel"]: (r["conversions"], r["attributed_revenue"], r["avg_days_to_convert"])
+        for r in touch_attribution(df).collect()
+    }
+    # brute force: replay each user timeline in (ts, event_id) order
+    touches = {"view", "click", "signup"}
+    per_user = {}
+    for row in rows:
+        per_user.setdefault(row[2], []).append(row)
+    agg = {}
+    for user, evs in per_user.items():
+        last = None  # (type, ts)
+        for eid, ts, _, et, val in sorted(evs, key=lambda r: (r[1], r[0])):
+            if et in touches:
+                last = (et, ts)
+            elif et == "purchase":
+                ch = last[0] if last else "none"
+                c, rev, lat = agg.get(ch, (0, 0.0, []))
+                if last:
+                    lat = lat + [(ts - last[1]).total_seconds()]
+                agg[ch] = (c + 1, round(rev + val, 2), lat)
+    for ch, (c, rev, lats) in agg.items():
+        gc, grev, glat = got[ch]
+        assert gc == c, (ch, gc, c)
+        assert abs(grev - rev) < 1e-9, (ch, grev, rev)
+        if lats:
+            assert abs(glat - round(sum(lats) / len(lats) / 86400, 4)) < 1e-9, ch
+        else:
+            assert glat is None
+    assert set(got) == set(agg)
