@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "country_trend_ols",
     "rolling_wau_hll",
     "user_daily_interp",
+    "order_backlog_sweep",
 ]
 
 

@@ -5951,6 +5951,54 @@ def q_user_daily_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "order_backlog_sweep",
+    """
+WITH comp AS (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od,
+         MAX(CAST(l_shipdate AS DATE)) AS cd
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+delta AS (
+  SELECT od AS boundary, 1 AS d FROM comp
+  UNION ALL
+  SELECT cd, -1 FROM comp
+),
+daily AS (
+  SELECT boundary, CAST(SUM(d) AS BIGINT) AS net FROM delta GROUP BY 1
+)
+SELECT boundary, net,
+       CAST(SUM(net) OVER (ORDER BY boundary
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS open_orders
+FROM daily ORDER BY boundary
+""",
+)
+def q_order_backlog_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders-in-flight per day (operators/interval.py::
+    concurrency_profile): each order is open from o_orderdate until its
+    last line ships; the backlog series comes from a sweep line (+1/-1
+    deltas, one aggregate, distributed prefix sum) — not a day×order
+    range join, not a per-order date explode. The oracle can afford a
+    plain global window at test SF; the engine pays the two-phase
+    range-partitioned scan that holds at 100 TB."""
+    from sales_forecast_pyspark_spark.operators.interval import (
+        concurrency_profile,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    comp = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            "o_orderkey", F.col("o_orderdate").cast("date").alias("od")
+        )
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("cd"))
+    )
+    return concurrency_profile(comp, "od", "cd", out_col="open_orders")
+
+
 @register("rolling_wau_hll")  # rows-only: DataSketches HLL has no DuckDB twin
 def q_rolling_wau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-tier rolling WAU (operators/sketches.py::

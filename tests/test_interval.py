@@ -189,3 +189,34 @@ def test_scd2_apply_changes_equals_full_rebuild(spark):
     # the pass-through side (plan check: left_anti present)
     plan = merged._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan and "LeftSemi" in plan
+
+
+def test_concurrency_profile_matches_brute_force_stabbing(spark):
+    """Sweep-line open-interval counts vs literal per-boundary stabbing
+    on an engineered set: nesting, identical intervals, zero-length
+    ([d, d) contributes nothing net), and a same-day open+close pile-up."""
+    from datetime import date
+
+    from pyspark.sql import functions as F
+
+    from sales_forecast_pyspark_spark.operators.interval import (
+        concurrency_profile,
+    )
+
+    iv = [
+        (date(2024, 1, 1), date(2024, 1, 10)),
+        (date(2024, 1, 2), date(2024, 1, 4)),   # nested
+        (date(2024, 1, 2), date(2024, 1, 4)),   # duplicate
+        (date(2024, 1, 4), date(2024, 1, 4)),   # zero-length
+        (date(2024, 1, 4), date(2024, 1, 6)),   # opens the day others close
+    ]
+    df = spark.createDataFrame(iv, "s date, e date")
+    got = {
+        str(r["boundary"]): (r["net"], r["n_open"])
+        for r in concurrency_profile(df, "s", "e").collect()
+    }
+    boundaries = sorted({d for pair in iv for d in pair})
+    for b in boundaries:
+        stab = sum(1 for s, e in iv if s <= b < e)
+        assert got[str(b)][1] == stab, (b, got[str(b)], stab)
+    assert set(got) == {str(b) for b in boundaries}
