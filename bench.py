@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "rolling_wau_hll",
     "user_daily_interp",
     "order_backlog_sweep",
+    "customer_snapshot_reconcile",
 ]
 
 

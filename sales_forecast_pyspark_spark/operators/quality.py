@@ -299,3 +299,67 @@ def numeric_drift_report(
         )
         .orderBy("column")
     )
+
+
+def snapshot_reconcile(
+    base: DataFrame,
+    current: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+    delta_col: str | None = None,
+) -> DataFrame:
+    """Row-level reconciliation between two snapshots of the same keyed
+    table: one FULL OUTER join on the key, every key classified as
+    'added' (new in current), 'removed', 'changed' (any compared column
+    differs, null-safe), or 'same', summarized to one row per status
+    with the key count — plus, when ``delta_col`` names a numeric
+    compared column, its exact net delta (current − base, decimal sum).
+
+    The row-level complement of ``numeric_drift_report``: drift says
+    WHETHER the feed moved, reconcile says WHICH keys did. Shape: the
+    two snapshot aggregates shuffle on the key they already group by,
+    the full-outer join reuses that partitioning, and the status
+    summary is a 4-row aggregate — one extra exchange end-to-end, no
+    driver-side diffing. Null-safe equality (``eqNullSafe``) keeps
+    null-vs-value changes visible instead of silently 'same'.
+    """
+    from sales_forecast_pyspark_spark.functions.deterministic import dec_sum
+
+    # presence markers, not compare-column nullness: a compared column
+    # can be legitimately null on a present row
+    a = base.select(
+        *keys,
+        F.lit(1).alias("_in_a"),
+        *[F.col(c).alias(f"_a_{c}") for c in compare_cols],
+    )
+    b = current.select(
+        *keys,
+        F.lit(1).alias("_in_b"),
+        *[F.col(c).alias(f"_b_{c}") for c in compare_cols],
+    )
+    j = a.join(b, list(keys), "full_outer")
+    differs = None
+    for c in compare_cols:
+        d = ~F.col(f"_a_{c}").eqNullSafe(F.col(f"_b_{c}"))
+        differs = d if differs is None else (differs | d)
+    status = (
+        F.when(F.col("_in_a").isNull(), F.lit("added"))
+        .when(F.col("_in_b").isNull(), F.lit("removed"))
+        .when(differs, F.lit("changed"))
+        .otherwise(F.lit("same"))
+    )
+    aggs = [F.count(F.lit(1)).alias("n_keys")]
+    if delta_col is not None:
+        aggs.append(
+            dec_sum(
+                F.coalesce(F.col(f"_b_{delta_col}"), F.lit(0.0))
+                - F.coalesce(F.col(f"_a_{delta_col}"), F.lit(0.0)),
+                scale=2,
+            ).alias(f"{delta_col}_delta")
+        )
+    return (
+        j.select(status.alias("status"), *[c for c in j.columns if c not in keys])
+        .groupBy("status")
+        .agg(*aggs)
+        .orderBy("status")
+    )

@@ -5999,6 +5999,66 @@ def q_order_backlog_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return concurrency_profile(comp, "od", "cd", out_col="open_orders")
 
 
+@register(
+    "customer_snapshot_reconcile",
+    """
+WITH y95 AS (
+  SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,6))), 2) AS DOUBLE) AS revenue
+  FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1
+),
+y96 AS (
+  SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,6))), 2) AS DOUBLE) AS revenue
+  FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1
+),
+j AS (
+  SELECT CASE WHEN y95.k IS NULL THEN 'added'
+              WHEN y96.k IS NULL THEN 'removed'
+              WHEN y95.n_orders IS DISTINCT FROM y96.n_orders
+                   OR y95.revenue IS DISTINCT FROM y96.revenue THEN 'changed'
+              ELSE 'same' END AS status,
+         COALESCE(y96.revenue, 0) - COALESCE(y95.revenue, 0) AS rd
+  FROM y95 FULL OUTER JOIN y96 ON y95.k = y96.k
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(CAST(rd AS DECIMAL(30,2))) AS DOUBLE) AS revenue_delta
+FROM j GROUP BY 1 ORDER BY 1
+""",
+)
+def q_customer_snapshot_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level snapshot reconciliation (operators/quality.py::
+    snapshot_reconcile): per-customer 1995 vs 1996 order summaries
+    full-outer-joined on the customer key and classified
+    added/removed/changed/same with the exact net revenue delta — the
+    WHICH-keys complement to lineitem_drift_report's WHETHER-it-moved
+    column stats. Null-safe equality keeps null-vs-value changes
+    visible; the join reuses the snapshots' own grouping partitioning."""
+    from sales_forecast_pyspark_spark.operators.quality import (
+        snapshot_reconcile,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+
+    def year_summary(y: int) -> DataFrame:
+        return (
+            orders.filter(F.year("o_orderdate") == y)
+            .groupBy(F.col("o_custkey").alias("k"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                money_sum(F.col("o_totalprice")).alias("revenue"),
+            )
+        )
+
+    return snapshot_reconcile(
+        year_summary(1995),
+        year_summary(1996),
+        ["k"],
+        ["n_orders", "revenue"],
+        delta_col="revenue",
+    )
+
+
 @register("rolling_wau_hll")  # rows-only: DataSketches HLL has no DuckDB twin
 def q_rolling_wau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-tier rolling WAU (operators/sketches.py::

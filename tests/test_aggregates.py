@@ -281,3 +281,31 @@ def test_ols_trend_matches_numpy_lstsq(spark):
         assert abs(got[g]["slope"] - round(slope, 6)) < 2e-6, (g, got[g])
         assert abs(got[g]["intercept"] - round(icept, 6)) < 2e-6, (g, got[g])
     assert got[9]["slope"] is None and got[9]["intercept"] is None
+
+
+def test_snapshot_reconcile_classifies_all_four_statuses(spark):
+    """Engineered snapshots: one key per status class, null-vs-value
+    counts as 'changed' (null-safe equality), null-vs-null as 'same',
+    and the delta nets added minus removed exactly."""
+    from sales_forecast_pyspark_spark.operators.quality import (
+        snapshot_reconcile,
+    )
+
+    base = spark.createDataFrame(
+        [(1, 2, 10.0), (2, 1, 5.5), (3, 4, None), (5, 1, None)],
+        "k long, n long, rev double",
+    )
+    cur = spark.createDataFrame(
+        [(1, 2, 10.0), (3, 4, 7.25), (4, 9, 100.0), (5, 1, None)],
+        "k long, n long, rev double",
+    )
+    got = {
+        r["status"]: (r["n_keys"], r["rev_delta"])
+        for r in snapshot_reconcile(
+            base, cur, ["k"], ["n", "rev"], delta_col="rev"
+        ).collect()
+    }
+    assert got["same"] == (2, 0.0)          # k=1 identical, k=5 null==null
+    assert got["changed"] == (1, 7.25)      # k=3: null -> 7.25
+    assert got["added"] == (1, 100.0)       # k=4
+    assert got["removed"] == (1, -5.5)      # k=2
