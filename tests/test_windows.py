@@ -309,3 +309,40 @@ def test_touch_attribution_property_matches_brute_force(spark):
         else:
             assert glat is None
     assert set(got) == set(agg)
+
+
+def test_interp_fill_property_matches_numpy(spark):
+    """Randomized gappy series (seeded): interp_fill's interior fills
+    must match numpy.interp on day ordinals to the rounding scale, for
+    several series in one frame."""
+    import random
+
+    import numpy as np
+    from datetime import date, timedelta
+
+    from sales_forecast_pyspark_spark.operators.densify import interp_fill
+
+    rng = random.Random(77)
+    rows, expect = [], {}
+    base = date(2024, 1, 1)
+    for k in range(4):
+        n = rng.randrange(8, 25)
+        obs = sorted(rng.sample(range(n * 2), n))
+        vals = [round(rng.uniform(-50, 50), 3) for _ in obs]
+        full = range(obs[0], obs[-1] + 1)
+        interp = np.interp(list(full), obs, vals)
+        for d in full:
+            ds = base + timedelta(days=d)
+            v = vals[obs.index(d)] if d in obs else None
+            rows.append((str(k), ds, v))
+            expect[(str(k), str(ds))] = round(float(interp[d - obs[0]]), 6)
+    df = spark.createDataFrame(rows, "k string, ds date, v double")
+    got = {
+        (r["k"], str(r["ds"])): r["v_interp"]
+        for r in interp_fill(df, ["k"], "v").collect()
+    }
+    assert set(got) == set(expect)
+    for key, want in expect.items():
+        assert got[key] is not None and abs(got[key] - want) <= 1e-6, (
+            key, got[key], want,
+        )
