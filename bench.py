@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "user_daily_interp",
     "order_backlog_sweep",
     "customer_snapshot_reconcile",
+    "repeat_buyer_venn",
 ]
 
 

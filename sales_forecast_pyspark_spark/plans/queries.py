@@ -6059,6 +6059,49 @@ def q_customer_snapshot_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "repeat_buyer_venn",
+    """
+WITH y95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+seg AS (
+  SELECT 'both' AS segment, CAST(COUNT(*) AS BIGINT) AS n_keys
+  FROM (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96)
+  UNION ALL
+  SELECT 'only_1995', CAST(COUNT(*) AS BIGINT)
+  FROM (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96)
+  UNION ALL
+  SELECT 'only_1996', CAST(COUNT(*) AS BIGINT)
+  FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y95)
+)
+SELECT segment, n_keys FROM seg ORDER BY segment
+""",
+)
+def q_repeat_buyer_venn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT coverage (operators/setops.py::
+    cohort_set_summary, SURVEY §7 step 4): the 1995/1996 buyer Venn —
+    repeat buyers, churned, and newly acquired — expressed with the
+    stock set operators, which Catalyst lowers to the same
+    hash-partitioned semi/anti aggregates a hand-written join would
+    use."""
+    from sales_forecast_pyspark_spark.operators.setops import (
+        cohort_set_summary,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+
+    def buyers(y: int) -> DataFrame:
+        return (
+            orders.filter(F.year("o_orderdate") == y)
+            .select("o_custkey")
+            .distinct()
+        )
+
+    return cohort_set_summary(
+        buyers(1995), buyers(1996), tags=("both", "only_1995", "only_1996")
+    )
+
+
 @register("rolling_wau_hll")  # rows-only: DataSketches HLL has no DuckDB twin
 def q_rolling_wau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-tier rolling WAU (operators/sketches.py::

@@ -309,3 +309,19 @@ def test_snapshot_reconcile_classifies_all_four_statuses(spark):
     assert got["changed"] == (1, 7.25)      # k=3: null -> 7.25
     assert got["added"] == (1, 100.0)       # k=4
     assert got["removed"] == (1, -5.5)      # k=2
+
+
+def test_cohort_set_summary_null_keys_and_duplicates(spark):
+    """Set-op semantics pinned: INTERSECT/EXCEPT are DISTINCT and match
+    NULL keys (unlike an equi semi join), duplicates collapse."""
+    from sales_forecast_pyspark_spark.operators.setops import (
+        cohort_set_summary,
+    )
+
+    a = spark.createDataFrame([(1,), (1,), (2,), (None,)], "k int")
+    b = spark.createDataFrame([(2,), (None,), (None,), (3,)], "k int")
+    got = {
+        r["segment"]: r["n_keys"]
+        for r in cohort_set_summary(a, b).collect()
+    }
+    assert got == {"both": 2, "only_a": 1, "only_b": 1}  # NULL lands in both

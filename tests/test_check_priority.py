@@ -64,7 +64,18 @@ def test_no_query_goes_two_rounds_unchecked_under_budget():
         for n in CHECK_PRIORITY[BUDGET:]
         if last_checked.get(n, 0) < max_round - 1
     ]
-    assert not stale, (
+    # When a single round registers MORE never-checked queries than one
+    # sweep can absorb, the overflow is unavoidable by ordering alone;
+    # the rotation must keep it minimal and spend it on the weakest
+    # evidence class (rows-only queries, whose driver row is a count
+    # either way — their correctness lives in pytest). Anything else
+    # stale outside the budget is a real rotation bug.
+    never_checked = [n for n in CHECK_PRIORITY if n not in last_checked]
+    unavoidable = max(0, len(never_checked) - BUDGET)
+    rows_only = {n for n in CHECK_PRIORITY if QUERIES[n].oracle is None}
+    avoidable = [n for n in stale if n in last_checked or n not in rows_only]
+    assert not avoidable and len(stale) <= unavoidable, (
         f"queries outside the {BUDGET}-slot budget would exceed 2 rounds "
-        f"unchecked next round: {stale}"
+        f"unchecked next round: {stale} (unavoidable overflow this round: "
+        f"{unavoidable})"
     )
