@@ -186,3 +186,24 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_prefix_sum_branches_reuse_the_range_exchange(spark):
+    """partitioned_cumsum's two consumers (per-partition running sum,
+    partition totals) both read the SAME range shuffle: the final
+    adaptive plan must contain a ReusedExchange, i.e. the upstream is
+    computed once — the no-double-scan property the 100 TB sweep-line
+    and Pareto queries depend on."""
+    from pyspark.sql import functions as F
+
+    from sales_forecast_pyspark_spark.operators.prefix import (
+        partitioned_cumsum,
+    )
+
+    df = spark.range(10000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).cast("double").alias("v")
+    )
+    out = partitioned_cumsum(df, [F.col("k")], F.col("v"), "cum", num_partitions=8)
+    out.foreach(lambda r: None)  # AQE finalizes reuse at materialization
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan[:2000]
