@@ -325,3 +325,33 @@ def test_cohort_set_summary_null_keys_and_duplicates(spark):
         for r in cohort_set_summary(a, b).collect()
     }
     assert got == {"both": 2, "only_a": 1, "only_b": 1}  # NULL lands in both
+
+
+def test_numeric_drift_report_null_rates_and_mean_shift(spark):
+    """Engineered snapshots: the drift screen must report exact null
+    rates per side, exact means over the non-null values, and their
+    difference — including an all-null column on one side (mean null,
+    null_rate 1.0)."""
+    from sales_forecast_pyspark_spark.operators.quality import (
+        numeric_drift_report,
+    )
+
+    base = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, None), (3.0, 20.0), (None, 30.0)],
+        "a double, b double",
+    )
+    cur = spark.createDataFrame(
+        [(2.0, None), (4.0, None), (None, None), (None, None)],
+        "a double, b double",
+    )
+    got = {
+        r["column"]: r
+        for r in numeric_drift_report(base, cur, ["a", "b"]).collect()
+    }
+    ra, rb = got["a"], got["b"]
+    assert ra["null_rate_base"] == 0.25 and ra["null_rate_cur"] == 0.5
+    assert ra["mean_base"] == 2.0 and ra["mean_cur"] == 3.0
+    assert ra["mean_shift"] == 1.0
+    assert rb["null_rate_base"] == 0.25 and rb["null_rate_cur"] == 1.0
+    assert rb["mean_base"] == 20.0 and rb["mean_cur"] is None
+    assert rb["mean_shift"] is None
