@@ -5,6 +5,7 @@ from sales_forecast_pyspark_spark.streaming.stream_ops import (
     dedup_stream,
     enrich_stream_with_dim,
     run_available_now,
+    attribution_stream,
     running_user_totals,
     sessionize_stream,
     stream_events,
@@ -19,6 +20,7 @@ __all__ = [
     "dedup_stream",
     "enrich_stream_with_dim",
     "run_available_now",
+    "attribution_stream",
     "running_user_totals",
     "sessionize_stream",
     "stream_events",

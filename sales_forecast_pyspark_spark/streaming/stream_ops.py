@@ -563,3 +563,68 @@ def read_latest_partials(spark: SparkSession, state_dir: str) -> DataFrame:
         int(d[2:]) for d in os.listdir(state_dir) if d.startswith("v=")
     ]
     return spark.read.parquet(os.path.join(state_dir, f"v={max(versions)}"))
+
+
+def attribution_stream(
+    events: DataFrame,
+    touch_types: tuple[str, ...] = ("view", "click", "signup"),
+    conversion_type: str = "purchase",
+) -> DataFrame:
+    """Streaming last-touch attribution via ``applyInPandasWithState``:
+    per user the state is ONE tuple (last touch type, its event-time
+    micros) — O(1) per key regardless of history length — and every
+    conversion emits an attributed row (channel, value, latency) the
+    moment it arrives. The batch twin
+    (operators/windows.py::touch_attribution) needs the full timeline
+    under a window sort; the stream needs only the current touch, which
+    is why attribution is the canonical "tiny-state stateful operator"
+    on a 100 TB event firehose.
+
+    Assumes in-order delivery per user within the stream (attribution
+    state cannot retro-correct a touch that arrives after its
+    conversion); rows WITHIN a micro-batch are sorted by (ts, event_id)
+    before replay, so batch boundaries do not change results for
+    in-order sources. Equivalence with the batch operator is pinned in
+    tests/test_streaming.py."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    touch_set = set(touch_types)
+
+    def _update(key, pdfs, state: GroupState):
+        last_t, last_us = state.get if state.exists else (None, None)
+        out: list[tuple] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for row in pdf.itertuples():
+                us = int(row.ts.value) // 1000
+                if row.event_type in touch_set:
+                    last_t, last_us = row.event_type, us
+                elif row.event_type == conversion_type:
+                    out.append(
+                        (
+                            key[0],
+                            int(row.event_id),
+                            last_t if last_t is not None else "none",
+                            float(row.value),
+                            (us - last_us) if last_us is not None else None,
+                        )
+                    )
+        if last_t is not None:
+            state.update((last_t, last_us))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["user_id", "event_id", "channel", "value", "latency_us"],
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=(
+            "user_id long, event_id long, channel string, "
+            "value double, latency_us long"
+        ),
+        stateStructType="t string, us long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

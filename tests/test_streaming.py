@@ -530,3 +530,74 @@ def test_foreachbatch_partials_maintenance_exactly_once(spark, tmp_path):
     li.filter(F.col("l_orderkey") % 4 == 3).coalesce(1).write.mode("append").parquet(src)
     start()  # new file folds in
     assert published() == batch_truth()
+
+
+def test_streaming_attribution_matches_batch(spark):
+    """Per-conversion equivalence: the O(1)-state streaming last-touch
+    operator, drained over the real sf0.001 events parquet, must emit
+    exactly the per-purchase (channel, value, latency) rows the batch
+    window formulation derives — and its channel rollup must equal
+    touch_attribution's registered output."""
+    from pyspark.sql import Window
+
+    from sales_forecast_pyspark_spark.operators.windows import touch_attribution
+    from sales_forecast_pyspark_spark.sources.readers import read_table
+    from sales_forecast_pyspark_spark.streaming import (
+        attribution_stream,
+        run_available_now,
+        stream_events,
+    )
+
+    stream = attribution_stream(stream_events(spark, SF_SMALL))
+    got = run_available_now(stream, "stream_attr_test", output_mode="append")
+
+    ev = read_table(spark, SF_SMALL, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_touch = F.col("event_type").isin("view", "click", "signup")
+    batch_rows = (
+        ev.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+            F.unix_micros("ts").alias("us"),
+            F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+            .over(w)
+            .alias("t"),
+            F.last(F.when(is_touch, F.unix_micros("ts")), ignorenulls=True)
+            .over(w)
+            .alias("tus"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            F.coalesce("t", F.lit("none")).alias("channel"),
+            "value",
+            (F.col("us") - F.col("tus")).alias("latency_us"),
+        )
+    )
+    cols = ["user_id", "event_id", "channel", "value", "latency_us"]
+    assert _rows(got.select(*cols), cols) == _rows(batch_rows, cols)
+
+    # and the rollup of the stream's emissions equals the registered query
+    reg = {
+        r["channel"]: (r["conversions"], r["attributed_revenue"])
+        for r in touch_attribution(ev).collect()
+    }
+    agg = {
+        r["channel"]: (r["n"], r["rev"])
+        for r in got.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(30,6)")), 2)
+            .cast("double")
+            .alias("rev"),
+        )
+        .collect()
+    }
+    assert reg == {k: v for k, v in agg.items()}
