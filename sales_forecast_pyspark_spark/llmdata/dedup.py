@@ -50,7 +50,11 @@ def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> Dat
     empty/whitespace-only doc the same empty-string shingle — jaccard
     1.0 with every other empty doc, colliding in every MinHash band and
     pairing the empty set quadratically."""
-    return df.where(F.size(tokens_expr(text_col)) > 0).select(
+    from sales_forecast_pyspark_spark.sources.readers import spread_scan
+
+    # shingling is the CPU-heavy pre-shuffle stage: spread a
+    # fewer-splits-than-cores corpus scan first (no-op at real scale)
+    return spread_scan(df, id_col).where(F.size(tokens_expr(text_col)) > 0).select(
         F.col(id_col), F.explode(shingles_expr(text_col, n)).alias("shingle")
     )
 

@@ -100,7 +100,11 @@ def term_tfidf(
     collecting it on the driver would run an extra docs scan eagerly at
     query-BUILD time (measured ~2s of the tfidf_similar_docs wall at
     sf0.1, before any requested action)."""
-    tok = df.select(F.col(id_col).alias("doc_id"), F.explode(tokens_expr(text_col)).alias("term"))
+    from sales_forecast_pyspark_spark.sources.readers import spread_scan
+
+    tok = spread_scan(df, id_col).select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens_expr(text_col)).alias("term")
+    )
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     n_docs = df.agg(F.countDistinct(id_col).alias("_n_docs"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -138,54 +142,52 @@ def srp_signatures(
     Output: (doc_id, band, bucket) — ``bands`` rows per doc, one
     shuffle (the groupBy).
 
-    The band hashes and the quantized weight are hoisted into
-    projection columns BEFORE the groupBy: aggregate expressions are
-    not common-subexpression-eliminated across each other, so inlining
-    ``xxhash64(b, term)`` in every sum evaluates bands × bits hashes
-    per row instead of bands (measured ~2× on the signature stage)."""
+    Shape: the band dimension is EXPLODED into rows before the
+    aggregate (bands × |weights| rows keyed by (doc, band)) so the hot
+    aggregate is only ``bits`` sums wide. The earlier one-shot
+    formulation aggregated all bands × bits sums in a single
+    128-expression HashAggregate — over spark.sql.codegen.maxFields, so
+    the stage fell out of whole-stage codegen and ran interpreted
+    (measured 4–5× slower than this shape on identical data; outputs
+    bit-identical, pinned by the pair-hash tests). Total arithmetic is
+    unchanged — same bands hashes per input row, same bands × bits
+    conditional adds — only the grouping geometry moved."""
     pre = weights.select(
         "doc_id",
         F.round(F.col("w") * 1e7).cast("long").alias("_wdec"),
-        *[
-            F.xxhash64(F.lit(b), F.col("term")).alias(f"_h_{b}")
-            for b in range(bands)
-        ],
-    )
-    sums = pre.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col(f"_h_{b}"), i).bitwiseAND(F.lit(1)) == 1,
-                    F.col("_wdec"),
-                ).otherwise(-F.col("_wdec"))
-            ).alias(f"s_{b}_{i}")
-            for b in range(bands)
-            for i in range(bits)
-        ]
-    )
-    bucket = [
-        sum(
-            [
-                F.when(F.col(f"s_{b}_{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-                for i in range(bits)
-            ],
-            F.lit(0),
-        ).alias(f"bucket_{b}")
-        for b in range(bands)
-    ]
-    return sums.select("doc_id", *bucket).select(
-        "doc_id",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band"), F.col(f"bucket_{b}").alias("bucket")
+                        F.lit(b).alias("band"),
+                        F.xxhash64(F.lit(b), F.col("term")).alias("h"),
                     )
                     for b in range(bands)
                 ]
             )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+        ).alias("bh"),
+    ).select(
+        "doc_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("_h"), "_wdec"
+    )
+    sums = pre.groupBy("doc_id", "band").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1,
+                    F.col("_wdec"),
+                ).otherwise(-F.col("_wdec"))
+            ).alias(f"s_{i}")
+            for i in range(bits)
+        ]
+    )
+    bucket = sum(
+        [
+            F.when(F.col(f"s_{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            for i in range(bits)
+        ],
+        F.lit(0),
+    )
+    return sums.select("doc_id", "band", bucket.alias("bucket"))
 
 
 def tfidf_near_pairs(
