@@ -33,8 +33,12 @@ con = duckdb.connect(); register_duck_views(con, SF_SMALL)
 # members of the tz-sensitive class.
 # scd2_merge_history renders microsecond timestamps via date_format —
 # the same class as user_state_history, through the incremental path
+# late-r06 additions: touch_attribution (unix_micros latency — must be
+# tz-shift-invariant under subtraction) and user_daily_interp /
+# order_backlog_sweep (ts->date casts through densify and the sweep)
 for name in ('daily_rollup', 'events_window', 'sessionization', 'asof_last_purchase',
-             'user_streaks', 'time_weighted_value', 'scd2_merge_history'):
+             'user_streaks', 'time_weighted_value', 'scd2_merge_history',
+             'touch_attribution', 'user_daily_interp', 'order_backlog_sweep'):
     q = QUERIES[name]
     ok, msg = compare_query(q.builder(spark, SF_SMALL), con, q.oracle)
     assert ok, f'{name}: {msg[:200]}'
