@@ -61,6 +61,7 @@ from sales_forecast_pyspark_spark.sources.readers import (
     parse_invoice_date,
     read_csv,
     read_table,
+    spread_scan,
 )
 
 
@@ -1279,7 +1280,7 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonicalizer (which cannot hash list cells) checks it exactly."""
     from sales_forecast_pyspark_spark.llmdata.similarity import quantize_embeddings
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = spread_scan(read_table(spark, sf_dir, "embeddings"), "vec_id")
     out = quantize_embeddings(emb)
     return out.select(
         "vec_id",
@@ -1595,7 +1596,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is engine- and partitioning-independent."""
     from sales_forecast_pyspark_spark.llmdata import cosine_topk
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = spread_scan(read_table(spark, sf_dir, "embeddings"), "vec_id")
     return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
@@ -1622,7 +1623,7 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning-independent (see functions/deterministic.py)."""
     from sales_forecast_pyspark_spark.llmdata import group_centroids
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = spread_scan(read_table(spark, sf_dir, "embeddings"), "vec_id")
     cents = group_centroids(emb, ["label"])
     return cents.select(
         "label",
@@ -1638,7 +1639,7 @@ def q_ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity scan into equality joins; only bucket-mates are scored."""
     from sales_forecast_pyspark_spark.llmdata import lsh_similarity_join
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = spread_scan(read_table(spark, sf_dir, "embeddings"), "vec_id")
     return lsh_similarity_join(emb, distance_threshold=1.2)
 
 
@@ -2544,7 +2545,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed cells. Recall vs the exact query is asserted in tests."""
     from sales_forecast_pyspark_spark.llmdata import ivf_topk
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = spread_scan(read_table(spark, sf_dir, "embeddings"), "vec_id")
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
@@ -2558,7 +2559,7 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     order by neighbor id)."""
     from sales_forecast_pyspark_spark.llmdata.similarity import pq_topk
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = spread_scan(read_table(spark, sf_dir, "embeddings"), "vec_id")
     return pq_topk(emb, emb.limit(20), k=5)
 
 
@@ -2571,7 +2572,7 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiers. Recall >= 0.5 pinned in tests/test_similarity.py."""
     from sales_forecast_pyspark_spark.llmdata.similarity import ivfpq_topk
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = spread_scan(read_table(spark, sf_dir, "embeddings"), "vec_id")
     return ivfpq_topk(emb, emb.limit(20), k=5)
 
 
@@ -2585,7 +2586,7 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sales_forecast_pyspark_spark.llmdata import lsh_similarity_join
     from sales_forecast_pyspark_spark.functions.vectors import cosine_similarity
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = spread_scan(read_table(spark, sf_dir, "embeddings"), "vec_id")
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     pairs = lsh_similarity_join(emb, distance_threshold=1.2)
     a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
@@ -3221,7 +3222,7 @@ def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     float-ingest discipline as `embedding_centroids`), so every stat is
     order- and engine-independent. Map-side: one explode + two hash
     aggregates, no joins."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = spread_scan(read_table(spark, sf_dir, "embeddings"), "vec_id")
     ex = emb.select("vec_id", "label", F.explode("embedding").alias("val"))
     r6 = F.round(F.col("val").cast("double"), 6).cast("decimal(12,6)")
     pervec = ex.groupBy("vec_id", "label").agg(
