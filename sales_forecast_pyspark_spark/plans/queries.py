@@ -1623,7 +1623,7 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning-independent (see functions/deterministic.py)."""
     from sales_forecast_pyspark_spark.llmdata import group_centroids
 
-    emb = spread_scan(read_table(spark, sf_dir, "embeddings"), "vec_id")
+    emb = read_table(spark, sf_dir, "embeddings")
     cents = group_centroids(emb, ["label"])
     return cents.select(
         "label",
@@ -3222,7 +3222,7 @@ def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     float-ingest discipline as `embedding_centroids`), so every stat is
     order- and engine-independent. Map-side: one explode + two hash
     aggregates, no joins."""
-    emb = spread_scan(read_table(spark, sf_dir, "embeddings"), "vec_id")
+    emb = read_table(spark, sf_dir, "embeddings")
     ex = emb.select("vec_id", "label", F.explode("embedding").alias("val"))
     r6 = F.round(F.col("val").cast("double"), 6).cast("decimal(12,6)")
     pervec = ex.groupBy("vec_id", "label").agg(
