@@ -1,16 +1,38 @@
-"""Pin the derived driver-verification rotation (VERDICT r04 ask #3).
+"""Pin the derived driver-verification rotation (VERDICT r04 ask #3,
+revised r07 per VERDICT r06 asks #1/#2/#6).
 
 The committed plans/check_priority.py must match what
-scripts/gen_check_priority.py derives from the committed
-CORRECTNESS_r*.json rounds, cover the registry exactly, and guarantee
-that under the driver's ~50-slot budget no query's evidence goes more
-than 2 rounds stale.
+scripts/gen_check_priority.py derives from the CORRECTNESS_r*.json
+rounds that existed when it was committed (recorded in the generated
+module as DERIVED_FROM_ROUNDS), cover the registry exactly, and
+guarantee that under the driver's ~50-slot budget no query's evidence
+goes more than SLO_ROUNDS rounds stale.
+
+Verification economics (the r07 SLO decision, VERDICT r06 ask #1):
+the registry holds 148 queries and the driver checks ~50 per round, so
+a 2-round freshness SLO needs <= 100 registered queries and became
+arithmetically unsatisfiable in r06. The SLO is therefore 3 rounds,
+which supports up to BUDGET * SLO_ROUNDS = 150 registered queries;
+test_registry_fits_slo_capacity pins that ceiling so over-registration
+fails the suite instead of silently eroding evidence freshness.
+
+Round-boundary self-healing (VERDICT r06 ask #2): the driver lands
+CORRECTNESS_r{N}.json AFTER the builder's final r{N} commit, so the
+committed rotation is always one round behind at judge time. Tests
+that depend on the newest round therefore SKIP (loudly) when an
+on-disk round postdates DERIVED_FROM_ROUNDS — regenerating is the next
+round's first chore — while the derivation test compares against the
+committed rounds only and so stays green across the boundary. The hard
+failure is reserved for rotations stale against rounds that existed at
+commit time.
 """
 
 from __future__ import annotations
 
 import os
 import sys
+
+import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
@@ -19,6 +41,7 @@ from gen_check_priority import derive_priority, load_rounds  # noqa: E402
 
 from sales_forecast_pyspark_spark.plans.check_priority import (  # noqa: E402
     CHECK_PRIORITY,
+    DERIVED_FROM_ROUNDS,
 )
 from sales_forecast_pyspark_spark.plans.queries import (  # noqa: E402
     QUERIES,
@@ -26,6 +49,33 @@ from sales_forecast_pyspark_spark.plans.queries import (  # noqa: E402
 )
 
 BUDGET = 50  # the driver's observed per-round check budget
+SLO_ROUNDS = 3  # max evidence age in rounds (see module docstring)
+
+
+def _committed_rounds() -> dict[int, dict]:
+    """Only the rounds the committed rotation was derived from."""
+    return {
+        r: data
+        for r, data in load_rounds().items()
+        if r in set(DERIVED_FROM_ROUNDS)
+    }
+
+
+def _pending_regen() -> bool:
+    """True when the driver landed a round newer than the committed
+    derivation — the designed round-boundary state."""
+    on_disk = load_rounds()
+    return bool(on_disk) and max(on_disk) > max(DERIVED_FROM_ROUNDS)
+
+
+def _skip_if_pending_regen():
+    if _pending_regen():
+        pytest.skip(
+            "PENDING REGEN: an on-disk CORRECTNESS round postdates the "
+            "committed rotation (derived from rounds "
+            f"{DERIVED_FROM_ROUNDS}). Run scripts/gen_check_priority.py "
+            "and commit — this is round-boundary noise, not a rotation bug."
+        )
 
 
 def test_priority_covers_registry_exactly():
@@ -37,10 +87,17 @@ def test_priority_covers_registry_exactly():
 
 
 def test_priority_matches_derivation():
+    """Self-healing across round boundaries by construction: re-derive
+    from the rounds recorded in the generated module, so a driver file
+    that appears after commit cannot trip this. Registering a query
+    without regenerating still fails (the registry itself changed)."""
     oracle_backed = {n for n in REGISTRATION_ORDER if QUERIES[n].oracle is not None}
-    derived = derive_priority(list(REGISTRATION_ORDER), oracle_backed, load_rounds())
+    derived = derive_priority(
+        list(REGISTRATION_ORDER), oracle_backed, _committed_rounds()
+    )
     assert CHECK_PRIORITY == derived, (
-        "check_priority.py is stale — run scripts/gen_check_priority.py"
+        "check_priority.py is stale against its own committed rounds "
+        f"{DERIVED_FROM_ROUNDS} — run scripts/gen_check_priority.py"
     )
 
 
@@ -48,21 +105,36 @@ def test_queries_iteration_order_is_the_rotation():
     assert list(QUERIES) == list(CHECK_PRIORITY)
 
 
-def test_no_query_goes_two_rounds_unchecked_under_budget():
-    rounds = load_rounds()
+def test_registry_fits_slo_capacity():
+    """The arithmetic that makes the SLO satisfiable at all: a B-slot
+    budget re-visits a query at most every ceil(N / B) rounds, so N
+    must not exceed B * SLO_ROUNDS."""
+    assert len(REGISTRATION_ORDER) <= BUDGET * SLO_ROUNDS, (
+        f"{len(REGISTRATION_ORDER)} registered queries exceed the "
+        f"{BUDGET}-slot x {SLO_ROUNDS}-round verification capacity "
+        f"({BUDGET * SLO_ROUNDS}) — retire queries or raise the SLO "
+        "(and rewrite the docstring math) before registering more"
+    )
+
+
+def test_no_query_exceeds_slo_under_budget():
+    """After the NEXT sweep checks the first BUDGET rotation slots,
+    every query outside the budget must have evidence no older than
+    SLO_ROUNDS rounds."""
+    _skip_if_pending_regen()
+    rounds = _committed_rounds()
     max_round = max(rounds)
     last_checked = {}
     for rnd in sorted(rounds):
         for name in rounds[rnd]:
             if name in QUERIES:
                 last_checked[name] = rnd
-    # After the NEXT sweep checks the first BUDGET slots at max_round+1,
-    # every query outside the budget must have evidence no older than 2
-    # rounds (checked at max_round-1 or later).
+    # Evidence from round R is (max_round + 1) - R rounds old once the
+    # next sweep lands; the oldest admissible round is therefore
+    # max_round + 1 - SLO_ROUNDS.
+    floor = max_round + 1 - SLO_ROUNDS
     stale = [
-        n
-        for n in CHECK_PRIORITY[BUDGET:]
-        if last_checked.get(n, 0) < max_round - 1
+        n for n in CHECK_PRIORITY[BUDGET:] if last_checked.get(n, 0) < floor
     ]
     # When a single round registers MORE never-checked queries than one
     # sweep can absorb, the overflow is unavoidable by ordering alone;
@@ -75,7 +147,34 @@ def test_no_query_goes_two_rounds_unchecked_under_budget():
     rows_only = {n for n in CHECK_PRIORITY if QUERIES[n].oracle is None}
     avoidable = [n for n in stale if n in last_checked or n not in rows_only]
     assert not avoidable and len(stale) <= unavoidable, (
-        f"queries outside the {BUDGET}-slot budget would exceed 2 rounds "
-        f"unchecked next round: {stale} (unavoidable overflow this round: "
-        f"{unavoidable})"
+        f"queries outside the {BUDGET}-slot budget would exceed the "
+        f"{SLO_ROUNDS}-round freshness SLO next round: {stale} "
+        f"(unavoidable overflow this round: {unavoidable})"
+    )
+
+
+def test_every_query_has_bounded_evidence():
+    """VERDICT r06 ask #6: 'registered but never checked' must be a
+    visible, bounded state. Every registered query either has a driver
+    row within SLO_ROUNDS rounds, or has never been checked AND sits
+    inside the next sweep's budget so it gets its first row next round.
+    """
+    _skip_if_pending_regen()
+    rounds = _committed_rounds()
+    max_round = max(rounds)
+    last_checked = {}
+    for rnd in sorted(rounds):
+        for name in rounds[rnd]:
+            if name in QUERIES:
+                last_checked[name] = rnd
+    floor = max_round + 1 - SLO_ROUNDS
+    next_sweep = set(CHECK_PRIORITY[:BUDGET])
+    unbounded = [
+        n
+        for n in REGISTRATION_ORDER
+        if last_checked.get(n, 0) < floor and n not in next_sweep
+    ]
+    assert not unbounded, (
+        "queries with no driver evidence inside the SLO window and no "
+        f"slot in the next sweep: {unbounded}"
     )
