@@ -423,3 +423,58 @@ def touch_attribution(
         )
         .orderBy("channel")
     )
+
+
+def last_touch_rows(
+    events: DataFrame,
+    touch_types: Sequence[str] = ("view", "click", "signup"),
+    conversion_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Per-conversion last-touch attribution rows — the row-grain twin
+    of ``touch_attribution`` (which aggregates the same window pass to
+    channel grain) and the batch twin of the streaming operator's
+    emissions (``streaming.stream_ops.attribution_stream``): one row per
+    conversion with (user_id, event_id, channel, value, latency_us).
+    Used as the reprocessing path when late/out-of-order events make the
+    stream's O(1) per-user state unable to retro-correct an
+    already-emitted conversion (see
+    ``streaming.stream_ops.reconcile_late_attribution``).
+
+    Plan shape: identical single WindowExec to ``touch_attribution`` —
+    one exchange + per-user sort, no self-join."""
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, tiebreak_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_touch = F.col(type_col).isin(*touch_types)
+    return (
+        events.select(
+            F.col(user_col).alias("user_id"),
+            F.col(tiebreak_col).alias("event_id"),
+            F.col(type_col),
+            F.col(value_col).alias("value"),
+            F.unix_micros(F.col(ts_col)).alias("_us"),
+            F.last(F.when(is_touch, F.col(type_col)), ignorenulls=True)
+            .over(w)
+            .alias("_touch_type"),
+            F.last(
+                F.when(is_touch, F.unix_micros(F.col(ts_col))), ignorenulls=True
+            )
+            .over(w)
+            .alias("_touch_us"),
+        )
+        .filter(F.col(type_col) == conversion_type)
+        .select(
+            "user_id",
+            "event_id",
+            F.coalesce(F.col("_touch_type"), F.lit("none")).alias("channel"),
+            "value",
+            (F.col("_us") - F.col("_touch_us")).alias("latency_us"),
+        )
+    )

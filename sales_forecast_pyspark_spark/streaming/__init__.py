@@ -6,6 +6,7 @@ from sales_forecast_pyspark_spark.streaming.stream_ops import (
     enrich_stream_with_dim,
     run_available_now,
     attribution_stream,
+    reconcile_late_attribution,
     running_user_totals,
     sessionize_stream,
     stream_events,
@@ -21,6 +22,7 @@ __all__ = [
     "enrich_stream_with_dim",
     "run_available_now",
     "attribution_stream",
+    "reconcile_late_attribution",
     "running_user_totals",
     "sessionize_stream",
     "stream_events",

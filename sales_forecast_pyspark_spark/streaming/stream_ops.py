@@ -580,11 +580,19 @@ def attribution_stream(
     is why attribution is the canonical "tiny-state stateful operator"
     on a 100 TB event firehose.
 
-    Assumes in-order delivery per user within the stream (attribution
+    Assumes in-order delivery per user ACROSS micro-batches (attribution
     state cannot retro-correct a touch that arrives after its
-    conversion); rows WITHIN a micro-batch are sorted by (ts, event_id)
-    before replay, so batch boundaries do not change results for
-    in-order sources. Equivalence with the batch operator is pinned in
+    conversion; see ``reconcile_late_attribution`` for the remedy).
+    WITHIN a micro-batch no ordering is assumed: Arrow hands a group's
+    rows as multiple chunks (split at
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``, default 10k) with
+    no cross-chunk ordering guarantee, so the whole group batch is
+    materialized and sorted by (ts, event_id) ONCE before replay —
+    sorting chunks independently would let a hot user spanning chunks
+    replay a later touch before an earlier conversion. Memory is
+    bounded by one user's rows in one micro-batch, which the state
+    design already assumes. Equivalence with the batch operator —
+    including a hot user split across Arrow chunks — is pinned in
     tests/test_streaming.py."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -594,7 +602,9 @@ def attribution_stream(
     def _update(key, pdfs, state: GroupState):
         last_t, last_us = state.get if state.exists else (None, None)
         out: list[tuple] = []
-        for pdf in pdfs:
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
             pdf = pdf.sort_values(["ts", "event_id"])
             for row in pdf.itertuples():
                 us = int(row.ts.value) // 1000
@@ -627,4 +637,49 @@ def attribution_stream(
         stateStructType="t string, us long",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def reconcile_late_attribution(
+    stream_out: DataFrame,
+    events: DataFrame,
+    late_events: DataFrame,
+    touch_types: tuple[str, ...] = ("view", "click", "signup"),
+    conversion_type: str = "purchase",
+) -> DataFrame:
+    """Batch reprocessing path for ``attribution_stream``'s documented
+    out-of-order limitation: the stream's O(1) per-user state cannot
+    retro-correct a conversion once a LATER micro-batch delivers a touch
+    whose event time precedes it. When the ingest layer knows which
+    arrivals were late (file provenance, Kafka ingestion-vs-event time —
+    here an explicit ``late_events`` frame), the fix is surgical: drop
+    the stream's emissions for the affected users only and recompute
+    those users from the full event log with the batch window operator
+    (``operators.windows.last_touch_rows`` — same single-WindowExec
+    shape), leaving every unaffected user's streaming rows untouched.
+
+    At 100 TB the economics are the point: late arrivals are a tiny
+    user subset, so the recompute is a semi-join-pruned window over that
+    subset (both the events scan and the window shuffle see only
+    affected users), not a full-log replay; the affected-user frame is
+    broadcast-sized by assumption and Catalyst plans both semi/anti
+    joins as broadcasts. Demonstrated end-to-end (divergence, then
+    reconciliation) in tests/test_streaming.py."""
+    from sales_forecast_pyspark_spark.operators.windows import last_touch_rows
+
+    affected = late_events.select("user_id").distinct()
+    kept = stream_out.join(affected, "user_id", "left_anti")
+    recomputed = last_touch_rows(
+        events.join(affected, "user_id", "left_semi"),
+        touch_types=touch_types,
+        conversion_type=conversion_type,
+    )
+    return kept.unionByName(
+        recomputed.select(
+            F.col("user_id").cast("long"),
+            F.col("event_id").cast("long"),
+            "channel",
+            F.col("value").cast("double"),
+            F.col("latency_us").cast("long"),
+        )
     )

@@ -601,3 +601,171 @@ def test_streaming_attribution_matches_batch(spark):
         .collect()
     }
     assert reg == {k: v for k, v in agg.items()}
+
+
+def _write_events_file(path, rows):
+    """Write an events parquet FILE (not a Spark directory) whose row
+    order is exactly ``rows`` — pyarrow preserves order, which the
+    chunk-adversarial test below depends on."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    uids, eids, etypes, vals, tss = zip(*rows)
+    table = pa.table(
+        {
+            "user_id": pa.array(uids, pa.int64()),
+            "event_id": pa.array(eids, pa.int64()),
+            "event_type": pa.array(etypes, pa.string()),
+            "value": pa.array(vals, pa.float64()),
+            "ts": pa.array(list(tss), pa.timestamp("us")),
+        }
+    )
+    pq.write_table(table, str(path))
+
+
+def _events_stream(spark, directory):
+    from sales_forecast_pyspark_spark.sources.readers import normalize_event_ts
+
+    schema = (
+        "user_id long, event_id long, event_type string, "
+        "value double, ts timestamp"
+    )
+    return normalize_event_ts(
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(str(directory))
+    )
+
+
+def test_streaming_attribution_hot_user_spans_arrow_chunks(spark, tmp_path):
+    """A hot user whose micro-batch exceeds one Arrow chunk must replay
+    in global (ts, event_id) order, not per-chunk order.
+    applyInPandasWithState delivers a group's rows as MULTIPLE pandas
+    chunks (split at spark.sql.execution.arrow.maxRecordsPerBatch) with
+    no cross-chunk ordering guarantee; sorting each chunk independently
+    (the pre-r07 bug) replays whatever order the shuffle produced. The
+    fixture is adversarial: 120 rows for one user written to the file in
+    ts-DESCENDING order (verified preserved through scan -> shuffle ->
+    key sort, so chunk-local order is globally backwards), ONE click at
+    the earliest timestamp followed by 119 purchases, with
+    maxRecordsPerBatch=16 forcing ~8 chunks. The state dependency
+    (every purchase needs the click) then crosses every chunk boundary:
+    per-chunk replay processes the latest purchases before ever seeing
+    the click and emits channel 'none', while the correct whole-batch
+    sort attributes all 119 to the click."""
+    from datetime import timedelta
+
+    from sales_forecast_pyspark_spark.streaming import (
+        attribution_stream,
+        run_available_now,
+    )
+
+    t0 = datetime(2024, 3, 1, 8, 0, 0)
+    rows = [(1, 0, "click", 0.0, t0)]
+    for i in range(1, 120):
+        rows.append((1, i, "purchase", 10.0 + i, t0 + timedelta(minutes=i)))
+    rows.reverse()  # file order = ts descending: the click lands in the LAST chunk
+    _write_events_file(tmp_path / "events-000.parquet", rows)
+
+    conf = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(conf)
+    spark.conf.set(conf, "16")
+    try:
+        got = run_available_now(
+            attribution_stream(_events_stream(spark, tmp_path)),
+            "stream_attr_chunks",
+            output_mode="append",
+        ).collect()
+    finally:
+        spark.conf.set(conf, prev)
+
+    assert len(got) == 119
+    # every purchase attributes to the single click at t0
+    assert {r["channel"] for r in got} == {"click"}
+    assert {
+        (r["event_id"], r["latency_us"]) for r in got
+    } == {(i, i * 60_000_000) for i in range(1, 120)}
+
+
+def test_streaming_attribution_late_touch_reprocessing(spark, tmp_path):
+    """Pins attribution_stream's documented out-of-order limitation AND
+    its remedy. A touch arriving in a LATER micro-batch with an EARLIER
+    event time cannot retro-correct a conversion the stream already
+    emitted (O(1) state keeps no timeline) — the stream and the batch
+    truth genuinely diverge, which this test asserts rather than hides.
+    reconcile_late_attribution then routes the late-affected user
+    through the batch window operator and must reproduce the batch
+    truth exactly, leaving the unaffected user's streaming rows
+    untouched."""
+    from sales_forecast_pyspark_spark.operators.windows import last_touch_rows
+    from sales_forecast_pyspark_spark.streaming import (
+        attribution_stream,
+        reconcile_late_attribution,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    batch1 = [
+        (7, 1, "click", 0.0, datetime(2024, 3, 1, 10, 0, 0)),
+        (7, 2, "purchase", 50.0, datetime(2024, 3, 1, 12, 0, 0)),
+        (8, 5, "view", 0.0, datetime(2024, 3, 1, 9, 0, 0)),
+        (8, 6, "purchase", 5.0, datetime(2024, 3, 1, 9, 30, 0)),
+    ]
+    # the signup's EVENT time (11:00) precedes the already-emitted
+    # purchase (12:00): a late arrival the stream cannot retro-correct
+    batch2 = [
+        (7, 3, "signup", 0.0, datetime(2024, 3, 1, 11, 0, 0)),
+        (7, 4, "purchase", 70.0, datetime(2024, 3, 1, 13, 0, 0)),
+    ]
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    def drain():
+        # parquet sink: the one test sink that supports restarting from
+        # the same checkpoint (memory sink refuses recovery)
+        q = (
+            attribution_stream(_events_stream(spark, src))
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(sink).collect()
+
+    _write_events_file(src / "events-000.parquet", batch1)
+    drain()
+    _write_events_file(src / "events-001.parquet", batch2)
+    all_out = drain()
+
+    by_eid = {r["event_id"]: r for r in all_out}
+    assert len(by_eid) == 3
+    # the divergence: the stream attributed purchase 2 to the click,
+    # because the signup (event time 11:00) arrived after emission
+    assert by_eid[2]["channel"] == "click"
+    assert by_eid[2]["latency_us"] == 2 * 3600 * 1_000_000
+    # forward attribution after the late batch is correct
+    assert by_eid[4]["channel"] == "signup"
+    assert by_eid[6]["channel"] == "view"
+
+    all_events = spark.createDataFrame(
+        batch1 + batch2,
+        "user_id long, event_id long, event_type string, value double, ts timestamp",
+    )
+    late = all_events.filter(F.col("event_id") == 3)
+    stream_out = spark.createDataFrame(
+        [
+            (r["user_id"], r["event_id"], r["channel"], r["value"], r["latency_us"])
+            for r in all_out
+        ],
+        "user_id long, event_id long, channel string, value double, latency_us long",
+    )
+    fixed = reconcile_late_attribution(stream_out, all_events, late)
+    cols = ["user_id", "event_id", "channel", "value", "latency_us"]
+    assert _rows(fixed, cols) == _rows(last_touch_rows(all_events), cols)
+    # and the batch truth indeed retro-corrects purchase 2 to the signup
+    truth = {r["event_id"]: r for r in last_touch_rows(all_events).collect()}
+    assert truth[2]["channel"] == "signup"
+    assert truth[2]["latency_us"] == 3600 * 1_000_000
