@@ -265,23 +265,32 @@ def ols_trend(
     as one.
 
     Determinism: ``x_col`` and ``y_col`` must be exact-integer-valued
-    (day indexes, integer quantities — caller casts). All five sums are
-    exact long sums, the normal-equation numerators/denominators are
-    exact long products, and the only float op is the final
+    (day indexes, integer quantities — caller casts). All five
+    sufficient statistics and the normal-equation products are EXACT
+    DECIMAL arithmetic, and the only float op is the final
     correctly-rounded double division — bit-identical cross-engine.
     (Spark's built-in ``regr_slope`` is an order-dependent double
     aggregate: same math, unstable hash.)
+
+    Overflow: the inputs are squared/multiplied BEFORE summing as
+    decimal(20,0) (never as wrapping longs), the sums carry
+    decimal(38,0) headroom, and the cross products stay exact up to
+    10^38 — e.g. 10⁹ rows of |x|,|y| ≤ 10¹⁰ fit with room to spare,
+    where the long formulation wrapped silently past 2⁶³ ≈ 9.2·10¹⁸.
+    Past 10^38 Spark yields NULL (or errors under ANSI mode) — a loud
+    failure, never a wrapped value.
     """
-    x = F.col(x_col).cast("long")
-    y = F.col(y_col).cast("long")
+    x = F.col(x_col).cast("decimal(20,0)")
+    y = F.col(y_col).cast("decimal(20,0)")
+    big = "decimal(38,0)"
     stats = df.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n_obs"),
-        F.sum(x).alias("_sx"),
-        F.sum(x * x).alias("_sxx"),
-        F.sum(y).alias("_sy"),
-        F.sum(x * y).alias("_sxy"),
+        F.sum(x).cast(big).alias("_sx"),
+        F.sum((x * x).cast(big)).cast(big).alias("_sxx"),
+        F.sum(y).cast(big).alias("_sy"),
+        F.sum((x * y).cast(big)).cast(big).alias("_sxy"),
     )
-    n = F.col("n_obs")
+    n = F.col("n_obs").cast(big)
     den = (n * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
     slope_num = (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double")
     icept_num = (

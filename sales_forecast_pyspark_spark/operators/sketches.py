@@ -20,6 +20,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def distinct_count(
@@ -318,8 +319,19 @@ def hll_rolling_distinct(
     partition_keys: Sequence[str] = (),
 ) -> DataFrame:
     """Trailing-window distinct count as a SKETCH-UNION window: one HLL
-    sketch per (keys, period), then ``hll_union_agg`` over a
-    ``frame_rows``-row trailing frame — the rolling-WAU shape.
+    sketch per (keys, period), then ``hll_union_agg`` over a trailing
+    ``frame_rows``-PERIOD frame — the rolling-WAU shape.
+
+    The frame is a RANGE frame over a period ordinal (dates become a
+    days-since-epoch long; numeric periods are used as-is), NOT a ROWS
+    frame over present periods: when the period dimension has gaps, a
+    ROWS frame would silently widen to "the N most recent periods that
+    had data" while every exact trailing-distinct formulation
+    (``rolling_active_users``, the registered query's explode audit)
+    counts a trailing N-CALENDAR-period window — the two must measure
+    the same window or the registered rel_err conflates
+    window-semantics drift with sketch error. Output rows exist only
+    for present periods (same grain the exact path is joined on).
 
     This is the sketch tier of ``rolling_active_users``'s exact
     explode-contribution formulation: the exact path shuffles
@@ -328,17 +340,24 @@ def hll_rolling_distinct(
     the window slides over one 2^lg_k-register binary per period —
     per-day cost independent of user cardinality. The estimate is
     deterministic (register-wise max union, order-independent), but
-    approximate → registered rows-only, with error bounds pinned in
-    tests/test_sketches.py.
+    approximate → registered rows-only, with error bounds and
+    gap-calendar semantics pinned in tests/test_sketches.py.
     """
     keys = list(partition_keys)
+    dtype = df.schema[time_col].dataType
+    if isinstance(dtype, (T.DateType, T.TimestampType)):
+        ord_col = F.datediff(
+            F.col(time_col).cast("date"), F.to_date(F.lit("1970-01-01"))
+        ).cast("long")
+    else:
+        ord_col = F.col(time_col).cast("long")
     day_sketch = df.groupBy(*keys, time_col).agg(
         F.hll_sketch_agg(F.col(id_col), F.lit(lg_k)).alias("_hll")
     )
     w = (
         Window.partitionBy(*keys)
-        .orderBy(time_col)
-        .rowsBetween(-frame_rows, Window.currentRow)
+        .orderBy(ord_col.alias("_ord"))
+        .rangeBetween(-frame_rows, Window.currentRow)
     )
     return day_sketch.select(
         *keys,

@@ -6106,13 +6106,15 @@ def q_repeat_buyer_venn(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("rolling_wau_hll")  # rows-only: DataSketches HLL has no DuckDB twin
 def q_rolling_wau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-tier rolling WAU (operators/sketches.py::
-    hll_rolling_distinct): one HLL sketch per day, unioned over a 7-row
-    trailing window — raw events touched once, per-day slide cost
-    independent of user cardinality (the exact formulation in
-    rolling_active_users shuffles |user-days|×7 contribution rows; at
-    100 TB the sketch path wins outright). The exact WAU rides along so
-    every registered row is self-auditing; error bounds are pinned in
-    tests/test_sketches.py."""
+    hll_rolling_distinct): one HLL sketch per day, unioned over a
+    trailing 7-CALENDAR-DAY range frame — the same window the exact
+    explode audit below measures, so rel_err is pure sketch error, not
+    window-semantics drift on gapped days. Raw events touched once,
+    per-day slide cost independent of user cardinality (the exact
+    formulation in rolling_active_users shuffles |user-days|×7
+    contribution rows; at 100 TB the sketch path wins outright). The
+    exact WAU rides along so every registered row is self-auditing;
+    error bounds are pinned in tests/test_sketches.py."""
     from sales_forecast_pyspark_spark.operators.sketches import (
         hll_rolling_distinct,
     )

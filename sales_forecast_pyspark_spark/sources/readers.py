@@ -169,7 +169,20 @@ def spread_scan(df: DataFrame, *key_cols: str) -> DataFrame:
     least defaultParallelism splits, the frame passes through untouched
     — so the helper never DOWN-partitions a 100 TB input, and the extra
     exchange is only paid where it buys parallelism. Partition count
-    probing is plan-time file-listing work, not a job."""
+    probing is plan-time file-listing work, not a job.
+
+    At least one key column is REQUIRED: a keyless ``repartition(n)``
+    is round-robin, which assigns rows to partitions by arrival order —
+    under task retry or speculative execution the re-executed task can
+    emit a different row->partition mapping, silently breaking the
+    repo's partitioning-independence discipline. Hash partitioning on
+    declared keys is retry-deterministic."""
+    if not key_cols:
+        raise ValueError(
+            "spread_scan requires at least one key column: keyless "
+            "round-robin repartition is not deterministic under task "
+            "retry — pass a stable id column (e.g. the table's key)"
+        )
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() >= target:

@@ -283,6 +283,37 @@ def test_ols_trend_matches_numpy_lstsq(spark):
     assert got[9]["slope"] is None and got[9]["intercept"] is None
 
 
+def test_ols_trend_survives_int64_overflow_magnitudes(spark):
+    """Large-valued series whose cross products exceed 2^63: the old
+    long×long normal-equation math wrapped silently (Σxy alone here is
+    ~2.6e21); the decimal sufficient statistics must stay exact. The
+    expected line is computed with Python's unbounded ints."""
+    from sales_forecast_pyspark_spark.operators.aggregates import ols_trend
+
+    # y ~ 3x + 1e9 with deterministic jitter, x ~ 1e9: n=300 rows gives
+    # Σxy ≈ 300 · 1e9 · 3e9 ≈ 9e26 — far past the 9.2e18 long ceiling
+    pts = [
+        (10**9 + 7 * i, 3 * (10**9 + 7 * i) + 10**9 + (i % 11) - 5)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame([(1, x, y) for x, y in pts], "g long, x long, y long")
+    row = ols_trend(df, ["g"], "x", "y").collect()[0]
+
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    den = n * sxx - sx * sx
+    exp_slope = round(float(n * sxy - sx * sy) / float(den), 6)
+    exp_icept = round(float(sy * sxx - sx * sxy) / float(den), 6)
+    # doubles near 1e9 carry ~2e-7 absolute ulp noise through the final
+    # cast+round, so compare with a tolerance, not equality
+    assert abs(row["slope"] - exp_slope) < 1e-9, (row["slope"], exp_slope)
+    assert abs(row["intercept"] - exp_icept) < 1e-5, (row["intercept"], exp_icept)
+    assert abs(row["slope"] - 3.0) < 1e-3  # sanity: the planted trend
+
+
 def test_snapshot_reconcile_classifies_all_four_statuses(spark):
     """Engineered snapshots: one key per status class, null-vs-value
     counts as 'changed' (null-safe equality), null-vs-null as 'same',

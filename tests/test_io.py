@@ -267,3 +267,27 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
     assert "dynamicpruning" in optimized.lower(), optimized
     rows = joined.collect()
     assert len(rows) == 20 and all(r["part_k"] == 3 for r in rows)
+
+
+def test_spread_scan_requires_key_and_spreads_small_scans(spark):
+    """spread_scan contract: (1) keyless calls raise — a round-robin
+    repartition(n) assigns rows by arrival order, which is not
+    deterministic under task retry; (2) a single-split scan is hashed
+    out to defaultParallelism on the key; (3) an already-parallel frame
+    passes through untouched (no down-partitioning, no extra
+    exchange)."""
+    import pytest
+
+    from sales_forecast_pyspark_spark.sources.readers import spread_scan
+
+    one_split = spark.range(100).coalesce(1)
+    with pytest.raises(ValueError, match="at least one key column"):
+        spread_scan(one_split)
+
+    target = spark.sparkContext.defaultParallelism
+    spread = spread_scan(one_split, "id")
+    assert spread.rdd.getNumPartitions() == target
+    assert sorted(r["id"] for r in spread.collect()) == list(range(100))
+
+    wide = spark.range(1000).repartition(target + 7, "id")
+    assert spread_scan(wide, "id") is wide

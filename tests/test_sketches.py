@@ -292,15 +292,22 @@ def test_hll_rolling_distinct_tracks_exact_within_bounds(spark):
     estimate must sit within the lg_k=12 HLL error envelope (<< 3σ =
     ~2.5%; allow 5% slack on small test counts), and periods with
     cardinality below the sparse-mode exact threshold must match
-    exactly."""
+    exactly. The period dimension is deliberately GAPPED and the exact
+    reference is the trailing CALENDAR window [d-3, d] — a ROWS frame
+    over present periods would widen across the gaps and fail this."""
     from pyspark.sql import functions as F
 
     from sales_forecast_pyspark_spark.operators.sketches import (
         hll_rolling_distinct,
     )
 
+    # (i*7+u)%20 gives dense 0..19; stretch to a gapped calendar: every
+    # 4th day starts a 3-day gap, so most [d-3, d] windows straddle one
+    def gapped(d):
+        return d + (d // 4) * 3
+
     rows = [
-        ((i * 7 + u) % 20, (u * 13 + i) % 500)
+        (gapped((i * 7 + u) % 20), (u * 13 + i) % 500)
         for i in range(40)
         for u in range(i * 9 % 120 + 5)
     ]
@@ -312,7 +319,35 @@ def test_hll_rolling_distinct_tracks_exact_within_bounds(spark):
     by_day = {}
     for d, u in rows:
         by_day.setdefault(d, set()).add(u)
-    days = sorted(by_day)
-    for i, d in enumerate(days):
-        exact = len(set().union(*(by_day[x] for x in days[max(0, i - 3): i + 1])))
+    assert set(est) == set(by_day)
+    for d in sorted(by_day):
+        window = [by_day[x] for x in range(d - 3, d + 1) if x in by_day]
+        exact = len(set().union(*window))
         assert abs(est[d] - exact) <= max(2, 0.05 * exact), (d, est[d], exact)
+
+
+def test_hll_rolling_distinct_calendar_semantics_on_dates(spark):
+    """Date-typed periods with a gap: the estimate after the gap must
+    cover only the calendar window, not reach back across it. Counts
+    are tiny, so HLL sparse mode makes the estimates EXACT and the
+    assertion is equality, not a bound."""
+    from datetime import date
+
+    from sales_forecast_pyspark_spark.operators.sketches import (
+        hll_rolling_distinct,
+    )
+
+    rows = (
+        # 3 users on Mar 1, 2 on Mar 2, then a 5-day gap, then Mar 8
+        [(date(2024, 3, 1), u) for u in (1, 2, 3)]
+        + [(date(2024, 3, 2), u) for u in (3, 4)]
+        + [(date(2024, 3, 8), u) for u in (5,)]
+    )
+    df = spark.createDataFrame(rows, "day date, u long")
+    got = {
+        str(r["day"]): r["n_distinct_est"]
+        for r in hll_rolling_distinct(df, "day", "u", frame_rows=6).collect()
+    }
+    # Mar 8's trailing 7-calendar-day window is [Mar 2, Mar 8]: users
+    # {3, 4, 5}. A ROWS frame would have widened to Mar 1 and said 5.
+    assert got == {"2024-03-01": 3, "2024-03-02": 4, "2024-03-08": 3}
