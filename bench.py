@@ -192,6 +192,34 @@ def main() -> None:
         print(f"warmup failed: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
+
+    # Shared frontiers, built ONCE at the measured SF and persisted —
+    # exactly what a production session does (BENCH_BASELINE.md
+    # "shared-frontier accounting"). CacheManager matches cached plans
+    # by canonicalized subtree, so every query whose plan contains one
+    # of these frontiers reads the InMemoryRelation instead of
+    # rebuilding it: the daily panel feeds the whole panel family
+    # (weekday_seasonality, mom_growth, ewma_baseline, cusum_*, ...),
+    # the co-purchase pair frame feeds the graph family
+    # (copurchase_triangles, pagerank_parts). Build cost is NOT hidden:
+    # it is timed under explicit "_frontier_*" keys that count toward
+    # the total. Driver correctness sweeps never run this block, so
+    # registered query plans stay self-contained there.
+    from sales_forecast_pyspark_spark.plans.panel import daily_panel
+    from sales_forecast_pyspark_spark.plans.queries import copurchase_pairs
+
+    for label, frontier in (
+        ("_frontier_daily_panel", daily_panel(spark, sf_dir)),
+        ("_frontier_copurchase_pairs", copurchase_pairs(spark, sf_dir)),
+    ):
+        try:
+            t0 = time.perf_counter()
+            frontier.cache()
+            _execute(frontier)
+            timings[label] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # pragma: no cover - cache is optional
+            print(f"frontier build failed ({label}): {exc}", file=sys.stderr)
+
     for name in names:
         t0 = time.perf_counter()
         _execute(registry[name](spark, sf_dir))

@@ -3316,21 +3316,39 @@ SELECT (SELECT n_nodes FROM v) AS n_nodes,
 )
 def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count on the co-purchase graph (edges = part pairs
-    co-ordered in ≥2 baskets, from `basket_lift`'s pair stage) via
-    DEGREE-ORDERED orientation (operators/graph.py::count_triangles):
-    wedge fan-out per node is bounded by oriented out-degree — O(√m) —
-    so a hub product can't melt one reducer. The oracle counts the same
-    triangles with the simple id-ordered 3-way self-join (counts are
+    co-ordered in ≥2 baskets, from the shared `copurchase_pairs`
+    frontier) via DEGREE-ORDERED orientation
+    (operators/graph.py::count_triangles): wedge fan-out per node is
+    bounded by oriented out-degree — O(√m) — so a hub product can't
+    melt one reducer. The oracle counts the same triangles with the
+    simple id-ordered 3-way self-join (counts are
     orientation-invariant); the Spark plan is the one that survives a
     hub."""
-    from sales_forecast_pyspark_spark.operators.baskets import basket_item_pairs
     from sales_forecast_pyspark_spark.operators.graph import count_triangles
 
-    li = read_table(spark, sf_dir, "lineitem")
-    edges = basket_item_pairs(li, "l_orderkey", "l_partkey").filter(
+    edges = copurchase_pairs(spark, sf_dir).filter(
         F.col("n_baskets_together") >= 2
     )
     return count_triangles(edges, "item_a", "item_b")
+
+
+def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE canonical co-purchase pair frame (item_a, item_b,
+    n_baskets_together) — the single shared frontier of the graph
+    family. Both `copurchase_triangles` and `pagerank_parts` consume
+    exactly this plan, so the ~5s basket-expansion subtree (distinct →
+    collect_set → pair explode) is computed ONCE per session when a
+    caller persists it: Spark's CacheManager matches cached plans by
+    canonicalized subtree, so `copurchase_pairs(spark, sf).cache()`
+    (bench.py does this as a separately-timed shared-frontier build)
+    makes every downstream graph query read the InMemoryRelation
+    instead of re-expanding baskets. Uncached (driver correctness
+    sweeps, plan audits) each query still carries its own complete,
+    unchanged plan."""
+    from sales_forecast_pyspark_spark.operators.baskets import basket_item_pairs
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return basket_item_pairs(li, "l_orderkey", "l_partkey")
 
 
 @register(
@@ -5145,7 +5163,10 @@ def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank (operators/graph.py::pagerank) over the
     part co-purchase graph — the iterative-algorithm family (beyond the
     single-pass hash-min components in dedup_clusters). Edges come from
-    the same capped basket population as basket_lift; 3 synchronous
+    the shared `copurchase_pairs` frontier (the same capped basket
+    population as basket_lift and the exact plan `copurchase_triangles`
+    consumes, so a session that persists the frontier pays the ~5s
+    basket expansion once across the whole graph family); 3 synchronous
     power-iteration steps; the unrolled-CTE oracle proves every rank
     double bit-exact cross-engine (per-edge contributions rounded at 12
     and decimal-summed, so inbound summation order cannot leak). Per
@@ -5153,11 +5174,9 @@ def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     consecutive iterations re-shuffle on the same keys, so exchanges
     reuse; at 100 TB persist the edge frame and localCheckpoint ranks
     every few iterations (docstring of the operator)."""
-    from sales_forecast_pyspark_spark.operators.baskets import basket_item_pairs
     from sales_forecast_pyspark_spark.operators.graph import pagerank
 
-    li = read_table(spark, sf_dir, "lineitem")
-    edges = basket_item_pairs(li, "l_orderkey", "l_partkey").select(
+    edges = copurchase_pairs(spark, sf_dir).select(
         F.col("item_a").alias("src"), F.col("item_b").alias("dst")
     )
     pr = pagerank(edges, iterations=3, damping=0.85)
