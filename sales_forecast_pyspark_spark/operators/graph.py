@@ -112,6 +112,7 @@ def pagerank(
     iterations: int = 3,
     damping: float = 0.85,
     contrib_scale: int = 12,
+    checkpoint_every: int = 0,
 ) -> DataFrame:
     """Fixed-iteration PageRank over the UNDIRECTED graph in ``edges``
     (canonicalized and deduped first; each undirected edge contributes
@@ -142,9 +143,21 @@ def pagerank(
     a basket pair expansion, replays once per iteration). As with
     count_triangles, the returned frame is lazy so the CALLER owns the
     cache lifetime (unpersist via the same logical plan or
-    ``spark.catalog.clearCache()``). At 100 TB additionally
-    localCheckpoint() the rank frame every few iterations to truncate
-    lineage.
+    ``spark.catalog.clearCache()``).
+
+    Deep iteration: each step nests the previous rank plan inside a new
+    join+aggregate, so the logical plan (and Catalyst re-optimization
+    cost) grows linearly with ``iterations``. ``checkpoint_every=k`` > 0
+    eagerly ``localCheckpoint``s the rank frame every k iterations,
+    truncating lineage to the last checkpoint — plan size stays O(k)
+    regardless of depth, and the materialized ranks are the SAME rows
+    the lazy plan would produce (values are partitioning-independent by
+    the decimal-contribution construction; pinned bit-exact in
+    tests/test_r06_ops.py). localCheckpoint stores blocks on executors
+    — fast, but not failure-tolerant; for very long runs on preemptible
+    fleets use a reliable ``spark.sparkContext.setCheckpointDir`` +
+    ``checkpoint()`` variant instead. Default 0 keeps the frame fully
+    lazy (the 3-iteration registered query needs no truncation).
     """
     # Canonical teleport double: 1 - 0.85 in binary is NOT the double
     # nearest decimal 0.15 (it is 0.150000000000000002...), while a SQL
@@ -175,7 +188,7 @@ def pagerank(
         "node", "degree", "_n", (F.lit(1.0) / F.col("_n")).alias("r")
     )
     dec = f"decimal(38,{contrib_scale})"
-    for _ in range(iterations):
+    for _i in range(iterations):
         contrib = directed.join(
             ranks.select(
                 F.col("node").alias("u"), F.col("r"), F.col("degree").alias("_d")
@@ -196,4 +209,6 @@ def pagerank(
                 * F.coalesce(F.col("_s"), F.lit(0)).cast("double")
             ).alias("r"),
         )
+        if checkpoint_every > 0 and (_i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", "degree", F.col("r").alias("pagerank"))

@@ -324,6 +324,37 @@ def test_pagerank_uniform_on_symmetric_graph(spark):
         assert abs(r["pagerank"] - 0.5) < 1e-10
 
 
+def test_pagerank_checkpoint_truncates_lineage_bit_exactly(spark):
+    """Deep-iteration lineage control: checkpoint_every=2 over 6
+    iterations must (a) return bit-identical ranks to the fully lazy
+    plan — localCheckpoint materializes the SAME rows, and the decimal
+    contribution sums make values partitioning-independent — and (b)
+    bound the final plan to the iterations SINCE the last checkpoint
+    (here 6 % 2 = 0 → zero rank-update joins above a LogicalRDD scan),
+    where the lazy plan nests all 6. This is the mechanism the operator
+    docstring sells for 100-iteration runs: without it Catalyst
+    re-optimizes a linearly growing tree every action."""
+    from sales_forecast_pyspark_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 2), (2, 3), (3, 4), (4, 0)],
+        "src int, dst int",
+    )
+    lazy = pagerank(edges, iterations=6)
+    ckpt = pagerank(edges, iterations=6, checkpoint_every=2)
+    lazy_rows = sorted(map(tuple, lazy.collect()))
+    ckpt_rows = sorted(map(tuple, ckpt.collect()))
+    assert ckpt_rows == lazy_rows, "checkpointing changed values"
+
+    def n_joins(df):
+        return df._jdf.queryExecution().optimizedPlan().toString().count("Join")
+
+    assert n_joins(ckpt) == 0, "final plan should start at the checkpoint"
+    assert n_joins(lazy) >= 6, "lazy plan should nest every iteration"
+    assert "LogicalRDD" in ckpt._jdf.queryExecution().optimizedPlan().toString()
+    spark.catalog.clearCache()
+
+
 def test_curriculum_interleave_is_weighted_permutation(spark):
     """The interleave must assign each doc exactly one position
     (a permutation of 1..n), keep every source's internal md5 order,
