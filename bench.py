@@ -208,12 +208,16 @@ def main() -> None:
     from sales_forecast_pyspark_spark.plans.panel import daily_panel
     from sales_forecast_pyspark_spark.plans.queries import copurchase_pairs
 
-    for label, frontier in (
-        ("_frontier_daily_panel", daily_panel(spark, sf_dir)),
-        ("_frontier_copurchase_pairs", copurchase_pairs(spark, sf_dir)),
+    for label, build in (
+        ("_frontier_daily_panel", daily_panel),
+        ("_frontier_copurchase_pairs", copurchase_pairs),
     ):
         try:
+            # build lazily INSIDE the try: plan construction itself can
+            # raise (missing table in a stripped-down sf_dir) and the
+            # bench must degrade to the uncached path, not abort
             t0 = time.perf_counter()
+            frontier = build(spark, sf_dir)
             frontier.cache()
             _execute(frontier)
             timings[label] = round(time.perf_counter() - t0, 3)

@@ -349,8 +349,21 @@ def hll_rolling_distinct(
         ord_col = F.datediff(
             F.col(time_col).cast("date"), F.to_date(F.lit("1970-01-01"))
         ).cast("long")
-    else:
+    elif isinstance(
+        dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
         ord_col = F.col(time_col).cast("long")
+    else:
+        # Fail loudly (same discipline as spread_scan): a string period
+        # would cast to NULL and make every row a range-frame peer (the
+        # estimate silently becomes the GLOBAL distinct count); a float
+        # would truncate and merge adjacent periods.
+        raise TypeError(
+            f"hll_rolling_distinct needs a date/timestamp or integral "
+            f"period column for its calendar RANGE frame; got "
+            f"{time_col}: {dtype.simpleString()} — derive an integer "
+            "period ordinal first"
+        )
     day_sketch = df.groupBy(*keys, time_col).agg(
         F.hll_sketch_agg(F.col(id_col), F.lit(lg_k)).alias("_hll")
     )

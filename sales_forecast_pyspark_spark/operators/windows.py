@@ -388,35 +388,24 @@ def touch_attribution(
     """
     from sales_forecast_pyspark_spark.functions.deterministic import money_sum
 
-    w = (
-        Window.partitionBy(user_col)
-        .orderBy(ts_col, tiebreak_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rows = last_touch_rows(
+        events,
+        touch_types=touch_types,
+        conversion_type=conversion_type,
+        user_col=user_col,
+        ts_col=ts_col,
+        type_col=type_col,
+        value_col=value_col,
+        tiebreak_col=tiebreak_col,
     )
-    is_touch = F.col(type_col).isin(*touch_types)
-    seq = events.select(
-        F.col(type_col),
-        F.col(value_col),
-        F.unix_micros(F.col(ts_col)).alias("_us"),
-        F.last(F.when(is_touch, F.col(type_col)), ignorenulls=True)
-        .over(w)
-        .alias("_touch_type"),
-        F.last(F.when(is_touch, F.unix_micros(F.col(ts_col))), ignorenulls=True)
-        .over(w)
-        .alias("_touch_us"),
-    )
-    conv = seq.filter(F.col(type_col) == conversion_type)
-    lat_us = F.col("_us") - F.col("_touch_us")
     return (
-        conv.groupBy(
-            F.coalesce(F.col("_touch_type"), F.lit("none")).alias("channel")
-        )
+        rows.groupBy("channel")
         .agg(
             F.count(F.lit(1)).alias("conversions"),
-            money_sum(F.col(value_col)).alias("attributed_revenue"),
+            money_sum(F.col("value")).alias("attributed_revenue"),
             F.round(
-                F.sum(lat_us).cast("double")
-                / F.count(lat_us).cast("double")
+                F.sum("latency_us").cast("double")
+                / F.count("latency_us").cast("double")
                 / F.lit(86400.0e6),
                 4,
             ).alias("avg_days_to_convert"),
