@@ -1,0 +1,259 @@
+"""Empirical scale rehearsal: synthesize a k-times (default 10x) copy
+of the sf0.1 star schema locally, run the heaviest bench queries at
+both scales in ONE session, and audit that the physical plan SHAPES
+hold — the evidence VERDICT r07 item #2 asked for, since /root/testdata
+stops at sf0.1 (17 MB) and every "safe at 100 TB" claim was previously
+plan-read only.
+
+Synthesis (gen): each scaled table is a union of k key-remapped copies
+of the sf0.1 original. One uniform OFFSET (10M, above every key range)
+keeps every foreign key consistent per copy: l_orderkey+i*OFF matches
+o_orderkey+i*OFF, o_custkey+i*OFF matches c_custkey+i*OFF, and
+events.user_id+i*OFF matches the remapped customer keys that
+salted_segment_value joins. Dates are NOT shifted — per-day volume
+grows k-fold, so date-filtered queries still see k-times rows (a
+shifted calendar would let date literals silently select 1/k of the
+data and undercut the rehearsal). Dimension tables (region, nation,
+supplier, part) stay fixed: dims grow slower than facts in reality,
+and keeping them broadcast-sized is exactly the 100 TB shape.
+
+Text/vector decorrelation: document text is char-rotated per copy
+(copy i translates a-z to the alphabet rotated by i) so cross-copy
+shingles never collide — without this every doc gains k-1 exact twins
+and the dedup/similarity tiers pay a quadratic-in-k candidate blowup
+that no real corpus has. Embeddings get deterministic per-copy sign
+flips (expected cross-copy cosine ~0) for the same reason. Within-copy
+planted near-dups survive untouched, so the operators still find work.
+
+Audit (run): for each heavy query, time the full plan through the noop
+sink at sf0.1 and at the synth dir, and diff the physical join
+strategies. Flags raised:
+  - CARTESIAN: any CartesianProduct at the synth scale.
+  - BNLJ: a BroadcastNestedLoopJoin outside the declared bounded set
+    (tests/test_plan_invariants.py::BNLJ_DECLARED — 1-row summary
+    crossJoins etc.).
+  - BCAST_FLIP: MORE BroadcastHashJoins at the synth scale than at
+    sf0.1 — the "SMJ flipped to broadcasting a side that just grew
+    10x" failure mode.
+  - ROLLUP_EXCHANGE: daily_rollup growing beyond its single
+    hash-partitioning exchange.
+  - SUPERLINEAR: wall ratio > k * 1.8 (beyond linear + noise bar).
+
+Usage:
+    python scripts/scale_rehearsal.py gen   [--k 10] [--out .rehearsal/sf1x]
+    python scripts/scale_rehearsal.py run   [--out .rehearsal/sf1x] [--k 10]
+
+The data dir is gitignored; the committed artifacts are this script
+and the measured table in SCALING.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF_BASE = "/root/testdata/sf0.1"
+
+# One offset above every key range in sf0.1 (max o_orderkey 149,999;
+# max event_id 99,999) keeps all per-copy key spaces disjoint AND
+# foreign-key consistent with the same arithmetic.
+OFFSET = 10_000_000
+
+# key columns remapped per copy; dims absent from this map are copied
+# verbatim (region, nation, supplier, part).
+REMAP: dict[str, list[str]] = {
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey"],
+    "events": ["event_id", "user_id"],
+    "customer": ["c_custkey"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+VERBATIM = ["region", "nation", "supplier", "part"]
+
+# The heaviest r07 bench queries plus the scale-sensitive shapes the
+# VERDICT called out: flagship rollup, distributed prefix sum, salted
+# skew join, fact-fact SMJ, applyInPandas packing, the dedup/similarity
+# tier, the graph tier, and the ML fit.
+HEAVY = [
+    "daily_rollup",
+    "pricing_summary",
+    "weekday_seasonality",
+    "abc_products",
+    "salted_segment_value",
+    "small_order_part_revenue",
+    "sessionization",
+    "sequence_packs",
+    "bigram_surprisal",
+    "ann_lsh_pairs",
+    "near_dedup_minhash",
+    "tfidf_similar_docs",
+    "copurchase_triangles",
+    "pagerank_parts",
+    "forecast_lr",
+]
+
+_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _copy_expr(df: DataFrame, table: str, i: int) -> DataFrame:
+    """Copy i of a scaled table: keys offset, text/vectors decorrelated."""
+    out = df
+    for key in REMAP[table]:
+        dtype = dict(df.dtypes)[key]
+        out = out.withColumn(key, (F.col(key) + F.lit(i * OFFSET)).cast(dtype))
+    if table == "documents" and i > 0:
+        rot = _ALPHA[i:] + _ALPHA[:i]
+        out = out.withColumn(
+            "text", F.translate("text", _ALPHA + _ALPHA.upper(), rot + rot.upper())
+        )
+    if table == "embeddings" and i > 0:
+        # deterministic pseudo-random sign flips: expected cross-copy
+        # cosine ~0, so LSH/brute-force candidate structure stays
+        # linear in k instead of quadratic.
+        def _flip(x, j):
+            sign = F.when(
+                (F.floor(F.abs(F.sin(j * 1.7 + F.lit(i * 13.37))) * 1000) % 2)
+                == 0,
+                F.lit(-1.0),
+            ).otherwise(F.lit(1.0))
+            return (x * sign).cast("float")
+
+        out = out.withColumn("embedding", F.transform("embedding", _flip))
+    return out
+
+
+def gen(k: int, out_dir: str) -> None:
+    from sales_forecast_pyspark_spark.session import get_spark
+    from sales_forecast_pyspark_spark.sources.readers import read_table
+
+    spark = get_spark("scale-rehearsal-gen")
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(out_dir, exist_ok=True)
+    for table in VERBATIM:
+        read_table(spark, SF_BASE, table).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{table}.parquet")
+        )
+        print(f"  {table}: verbatim")
+    for table in REMAP:
+        base = read_table(spark, SF_BASE, table)
+        copies = [_copy_expr(base, table, i) for i in range(k)]
+        scaled = copies[0]
+        for c in copies[1:]:
+            scaled = scaled.unionByName(c)
+        # partition count sized for the scaled volume so downstream
+        # scans see realistic splits rather than k 1-file partitions
+        n_parts = max(8, min(64, 4 * k))
+        scaled.repartition(n_parts).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{table}.parquet")
+        )
+        n = spark.read.parquet(os.path.join(out_dir, f"{table}.parquet")).count()
+        print(f"  {table}: {n} rows ({k}x)")
+    print(f"wrote {out_dir}")
+
+
+def _join_profile(plan: str) -> dict[str, int]:
+    return {
+        "smj": plan.count("SortMergeJoin"),
+        "bhj": plan.count("BroadcastHashJoin"),
+        "shj": plan.count("ShuffledHashJoin"),
+        "bnlj": plan.count("BroadcastNestedLoopJoin"),
+        "cart": plan.count("CartesianProduct"),
+        "exch": plan.count("Exchange hashpartitioning"),
+    }
+
+
+def run(k: int, out_dir: str) -> None:
+    from sales_forecast_pyspark_spark.session import get_spark
+    from sales_forecast_pyspark_spark.plans.queries import QUERIES
+    from tests.test_plan_invariants import BNLJ_DECLARED
+
+    spark = get_spark("scale-rehearsal")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def plan_of(name: str, sf_dir: str) -> str:
+        df = QUERIES[name].builder(spark, sf_dir)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def timed(name: str, sf_dir: str) -> float:
+        t0 = time.perf_counter()
+        QUERIES[name].builder(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.perf_counter() - t0
+
+    # warmup both dirs (codegen/classloading off the clock)
+    for d in (SF_BASE, out_dir):
+        QUERIES["daily_rollup"].builder(spark, d).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    results = []
+    for name in HEAVY:
+        base_t = timed(name, SF_BASE)
+        synth_t = timed(name, out_dir)
+        flags = []
+        ratio = synth_t / max(base_t, 1e-9)
+        # ML fits run jobs at plan-build time; skip their plan diff
+        # (same policy as scripts/audit_plans.py).
+        if name not in ("forecast_lr",):
+            base_p = _join_profile(plan_of(name, SF_BASE))
+            synth_p = _join_profile(plan_of(name, out_dir))
+            if synth_p["cart"]:
+                flags.append("CARTESIAN")
+            if synth_p["bnlj"] and name not in BNLJ_DECLARED:
+                flags.append("BNLJ")
+            if synth_p["bhj"] > base_p["bhj"]:
+                flags.append(f"BCAST_FLIP({base_p['bhj']}->{synth_p['bhj']})")
+            if name == "daily_rollup" and synth_p["exch"] > 1:
+                flags.append(f"ROLLUP_EXCHANGE({synth_p['exch']})")
+            joins = (
+                f"smj {base_p['smj']}->{synth_p['smj']} "
+                f"bhj {base_p['bhj']}->{synth_p['bhj']}"
+            )
+        else:
+            joins = "(plan diff skipped: fits at build time)"
+        if ratio > k * 1.8:
+            flags.append(f"SUPERLINEAR({ratio:.1f}x)")
+        results.append(
+            {
+                "query": name,
+                "t_sf0.1": round(base_t, 2),
+                f"t_{k}x": round(synth_t, 2),
+                "ratio": round(ratio, 2),
+                "joins": joins,
+                "flags": flags,
+            }
+        )
+        print(
+            f"{name:32s} {base_t:7.2f}s -> {synth_t:7.2f}s  "
+            f"x{ratio:5.2f}  {joins}  {' '.join(flags) or 'ok'}",
+            flush=True,
+        )
+
+    flagged = [r for r in results if r["flags"]]
+    print(json.dumps({"k": k, "results": results, "flagged_count": len(flagged)}))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("cmd", choices=["gen", "run"])
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--out", default=".rehearsal/sf1x")
+    a = ap.parse_args()
+    if a.cmd == "gen":
+        gen(a.k, a.out)
+    else:
+        run(a.k, a.out)
+
+
+if __name__ == "__main__":
+    main()

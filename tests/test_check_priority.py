@@ -108,11 +108,15 @@ def test_queries_iteration_order_is_the_rotation():
 def test_registry_fits_slo_capacity():
     """The arithmetic that makes the SLO satisfiable at all: a B-slot
     budget re-visits a query at most every ceil(N / B) rounds, so N
-    must not exceed B * SLO_ROUNDS."""
+    must not exceed B * SLO_ROUNDS. When a new registration needs a
+    slot past the ceiling, apply the retirement policy in SCALING.md
+    'Verification economics > Retirement policy' (retire by evidence
+    redundancy, ranked list there), in the same commit."""
     assert len(REGISTRATION_ORDER) <= BUDGET * SLO_ROUNDS, (
         f"{len(REGISTRATION_ORDER)} registered queries exceed the "
         f"{BUDGET}-slot x {SLO_ROUNDS}-round verification capacity "
-        f"({BUDGET * SLO_ROUNDS}) — retire queries or raise the SLO "
+        f"({BUDGET * SLO_ROUNDS}) — retire per SCALING.md 'Retirement "
+        "policy' (evidence redundancy, ranked) or raise the SLO "
         "(and rewrite the docstring math) before registering more"
     )
 
