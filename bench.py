@@ -238,6 +238,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf_from_dir(sf_dir),
+                # Explicit accounting marker (ADVICE r07): per-query
+                # times for the panel/graph families assume these
+                # persisted frontiers (timed under the _frontier_*
+                # keys above); comparisons against pre-r07 rounds or
+                # uncached runs must account for the methodology.
+                "frontiers_cached": [
+                    k for k in timings if k.startswith("_frontier_")
+                ],
             }
         )
     )

@@ -63,6 +63,58 @@ def cosine_topk(
     )
 
 
+def topk_recall_audit(
+    approx: DataFrame,
+    exact: DataFrame,
+    min_recall: float = 0.5,
+) -> DataFrame:
+    """Append per-query recall-vs-exact audit columns to an approximate
+    top-k result, making an ANN driver row SELF-VALIDATING: a row that
+    runs is a row that proves recall, not just "ran, N rows" (VERDICT
+    r07 #4 — the pattern rolling_wau_hll and value_quantiles_kll
+    already use for their sketch-vs-exact audits).
+
+    Both inputs are (query_id, neighbor_id, ...) top-k frames — exact
+    comes from ``cosine_topk``, the declared brute-force baseline over
+    a BOUNDED query set, so the audit adds the same bounded
+    broadcast-join shape the ann_topk query already pays, nothing
+    quadratic in the corpus. Two grains: per-query ``recall_at_k``
+    (|approx ∩ exact| / |exact| for that query — individual queries
+    legitimately vary on a structureless random corpus), and POOLED
+    ``mean_recall`` = total hits / total exact pairs across the whole
+    query set, with ``recall_ok`` applying ``min_recall`` to the
+    pooled value — the exact semantics tests/test_similarity.py pins
+    at >= 0.5. Drift in the index (a broken codebook seed, a
+    probe-count regression) flips a visible column in the driver
+    record instead of hiding behind a stable row count.
+    """
+    hits = approx.join(
+        exact.select("query_id", "neighbor_id", F.lit(1).alias("_in_exact")),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    per_q = hits.groupBy("query_id").agg(
+        F.sum(F.coalesce(F.col("_in_exact"), F.lit(0))).alias("_n_hit")
+    )
+    n_exact = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("_n_exact")
+    )
+    by_q = per_q.join(n_exact, "query_id")
+    audit = by_q.select(
+        "query_id",
+        F.round(F.col("_n_hit") / F.col("_n_exact"), 6).alias("recall_at_k"),
+    )
+    pooled = by_q.agg(
+        F.round(F.sum("_n_hit") / F.sum("_n_exact"), 6).alias("mean_recall")
+    )
+    return (
+        approx.join(F.broadcast(audit), "query_id")
+        .crossJoin(F.broadcast(pooled))
+        .withColumn("recall_ok", F.col("mean_recall") >= F.lit(min_recall))
+        .orderBy("query_id", "rank")
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     queries: DataFrame,

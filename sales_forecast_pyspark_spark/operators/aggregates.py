@@ -275,20 +275,36 @@ def ols_trend(
     Overflow: the inputs are squared/multiplied BEFORE summing as
     decimal(20,0) (never as wrapping longs), the sums carry
     decimal(38,0) headroom, and the cross products stay exact up to
-    10^38 — e.g. 10⁹ rows of |x|,|y| ≤ 10¹⁰ fit with room to spare,
-    where the long formulation wrapped silently past 2⁶³ ≈ 9.2·10¹⁸.
-    Past 10^38 Spark yields NULL (or errors under ANSI mode) — a loud
-    failure, never a wrapped value.
+    10^38 — long-typed inputs always fit (max per-row product
+    ~8.5·10³⁷), and the docstring envelope of 10⁹ rows with
+    |x|,|y| ≤ 10¹⁰ lands just INSIDE the boundary (n·Σxy reaches
+    ~10³⁸ exactly — no headroom to spare past that). Past the input
+    cast range (|v| ≥ 10²⁰, reachable only via wide decimal columns)
+    or a per-row product > 10³⁸, Spark yields NULL in non-ANSI mode —
+    and because F.sum would silently SKIP such a row while n_obs
+    still counts it, the aggregate carries an exactness audit: any
+    group that lost a cast or product gets NULL slope/intercept (or
+    the job errors under ANSI mode) — a loud failure, never a wrapped
+    or silently-partial value.
     """
     x = F.col(x_col).cast("decimal(20,0)")
     y = F.col(y_col).cast("decimal(20,0)")
     big = "decimal(38,0)"
+    xx = (x * x).cast(big)
+    xy = (x * y).cast(big)
     stats = df.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n_obs"),
         F.sum(x).cast(big).alias("_sx"),
-        F.sum((x * x).cast(big)).cast(big).alias("_sxx"),
+        F.sum(xx).cast(big).alias("_sxx"),
         F.sum(y).cast(big).alias("_sy"),
-        F.sum((x * y).cast(big)).cast(big).alias("_sxy"),
+        F.sum(xy).cast(big).alias("_sxy"),
+        # exactness audit: input pairs present vs rows whose decimal
+        # casts/products survived — a gap means F.sum dropped a row
+        # and the closed form would be silently wrong for the group.
+        F.count(
+            F.when(F.col(x_col).isNotNull() & F.col(y_col).isNotNull(), 1)
+        ).alias("_n_pairs"),
+        F.count(F.when(xx.isNotNull() & xy.isNotNull(), 1)).alias("_n_exact"),
     )
     n = F.col("n_obs").cast(big)
     den = (n * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
@@ -297,9 +313,12 @@ def ols_trend(
         F.col("_sy") * F.col("_sxx") - F.col("_sx") * F.col("_sxy")
     ).cast("double")
     den_nz = F.nullif(den, F.lit(0.0))
+    exact = F.col("_n_exact") == F.col("_n_pairs")
     return stats.select(
         *keys,
         "n_obs",
-        F.round(slope_num / den_nz, out_digits).alias("slope"),
-        F.round(icept_num / den_nz, out_digits).alias("intercept"),
+        F.when(exact, F.round(slope_num / den_nz, out_digits)).alias("slope"),
+        F.when(exact, F.round(icept_num / den_nz, out_digits)).alias(
+            "intercept"
+        ),
     ).orderBy(*keys)

@@ -158,6 +158,17 @@ def pagerank(
     fleets use a reliable ``spark.sparkContext.setCheckpointDir`` +
     ``checkpoint()`` variant instead. Default 0 keeps the frame fully
     lazy (the 3-iteration registered query needs no truncation).
+
+    Storage hygiene (ADVICE r07): once checkpoint i+k materializes,
+    checkpoint i's blocks are dead weight — left alone they linger
+    until the JVM ContextCleaner happens to GC the unreferenced RDD,
+    so a 100-iteration run could hold several full rank snapshots at
+    peak. Each superseded checkpoint's RDD is therefore explicitly
+    unpersisted right after its successor materializes (best-effort:
+    falls back to ContextCleaner timing if the internal LogicalRDD
+    accessor ever changes shape). Note localCheckpoint also severs any
+    future reliable-checkpoint recovery for the frame — executor loss
+    fails the job; that is the preemptible-fleet caveat above.
     """
     # Canonical teleport double: 1 - 0.85 in binary is NOT the double
     # nearest decimal 0.15 (it is 0.150000000000000002...), while a SQL
@@ -188,6 +199,7 @@ def pagerank(
         "node", "degree", "_n", (F.lit(1.0) / F.col("_n")).alias("r")
     )
     dec = f"decimal(38,{contrib_scale})"
+    prev_ckpt: DataFrame | None = None
     for _i in range(iterations):
         contrib = directed.join(
             ranks.select(
@@ -211,4 +223,22 @@ def pagerank(
         )
         if checkpoint_every > 0 and (_i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
+            if prev_ckpt is not None:
+                _free_local_checkpoint(prev_ckpt)
+            prev_ckpt = ranks
     return ranks.select("node", "degree", F.col("r").alias("pagerank"))
+
+
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Unpersist the executor blocks behind a superseded
+    ``localCheckpoint`` frame. A checkpointed Dataset's analyzed plan
+    is a ``LogicalRDD`` wrapping the materialized internal RDD; its
+    successor checkpoint no longer depends on those blocks, so they
+    can be dropped immediately instead of waiting for the JVM
+    ContextCleaner to notice the RDD is unreferenced. Best-effort by
+    design: on any internal-API drift the blocks simply revert to
+    GC-timed cleanup (correctness is unaffected either way)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # pragma: no cover - py4j shape drift
+        pass

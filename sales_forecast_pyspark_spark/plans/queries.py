@@ -2538,15 +2538,42 @@ def q_lr_coefficients_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "rank int, feature string, coefficient double")
 
 
+@register("model_quality_audit")  # rows-only: model metrics are not SQL-expressible
+def q_model_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-auditing model-quality row (VERDICT r07 #5): runs the
+    reference-parity LR pipeline over the FROZEN golden fixture
+    (forecast/golden.py — sf_dir deliberately unused: golden
+    comparison needs a frozen input) and emits one row of MAE/RMSE/R²
+    + KPI-spine numbers with per-metric tolerance flags vs the pinned
+    goldens (BASELINE.md model table parity mode). Model-quality drift
+    now flips a boolean in a driver record, not only in pytest.
+    Registration slot 149/150 under the SLO capacity — accounted
+    against SCALING.md 'Retirement policy'."""
+    from sales_forecast_pyspark_spark.forecast.golden import (
+        model_quality_audit,
+    )
+
+    return model_quality_audit(spark)
+
+
 @register("ann_ivf_topk")  # rows-only: KMeans cells are not SQL-expressible
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-5 for the same query set as ann_topk: seeded
     KMeans cells, 4-of-16 cell probes, exact cosine ranking inside the
-    probed cells. Recall vs the exact query is asserted in tests."""
+    probed cells. Self-validating driver row (VERDICT r07 #4): each
+    row carries recall_at_k / recall_ok vs the in-query brute-force
+    truth over the same bounded query set, so the driver record proves
+    recall, not just a row count; the >= 0.5 bound matches
+    tests/test_similarity.py."""
     from sales_forecast_pyspark_spark.llmdata import ivf_topk
+    from sales_forecast_pyspark_spark.llmdata.similarity import (
+        cosine_topk,
+        topk_recall_audit,
+    )
 
     emb = spread_scan(read_table(spark, sf_dir, "embeddings"), "vec_id")
-    return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    q = emb.filter(F.col("vec_id") < 10)
+    return topk_recall_audit(ivf_topk(emb, q, k=5), cosine_topk(emb, q, k=5))
 
 
 @register("ann_pq_topk")  # rows-only: KMeans codebooks are not SQL-expressible
@@ -2555,12 +2582,18 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-subspace codebooks compress vectors to 8 code bytes, ADC lookup
     tables score the compressed corpus, exact cosine re-ranks a 4x
     pruned candidate set. Recall >= 0.5 vs cosine_topk is pinned in
-    tests/test_similarity.py; deterministic (seeded codebooks, tie
-    order by neighbor id)."""
-    from sales_forecast_pyspark_spark.llmdata.similarity import pq_topk
+    tests/test_similarity.py AND carried in-row: recall_at_k/recall_ok
+    audit columns vs the in-query exact truth (VERDICT r07 #4);
+    deterministic (seeded codebooks, tie order by neighbor id)."""
+    from sales_forecast_pyspark_spark.llmdata.similarity import (
+        cosine_topk,
+        pq_topk,
+        topk_recall_audit,
+    )
 
     emb = spread_scan(read_table(spark, sf_dir, "embeddings"), "vec_id")
-    return pq_topk(emb, emb.limit(20), k=5)
+    q = emb.filter(F.col("vec_id") < 20)
+    return topk_recall_audit(pq_topk(emb, q, k=5), cosine_topk(emb, q, k=5))
 
 
 @register("ann_ivfpq_topk")  # rows-only: KMeans cells/codebooks not SQL-expressible
@@ -2569,11 +2602,18 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     restrict each query to n_probe/n_centroids of the corpus, residual
     PQ codes are ADC-scored within probed cells, exact cosine re-ranks
     the pruned set — the billion-scale composition of the IVF and PQ
-    tiers. Recall >= 0.5 pinned in tests/test_similarity.py."""
-    from sales_forecast_pyspark_spark.llmdata.similarity import ivfpq_topk
+    tiers. Recall >= 0.5 pinned in tests/test_similarity.py AND
+    carried in-row via recall_at_k/recall_ok audit columns vs the
+    in-query exact truth (VERDICT r07 #4)."""
+    from sales_forecast_pyspark_spark.llmdata.similarity import (
+        cosine_topk,
+        ivfpq_topk,
+        topk_recall_audit,
+    )
 
     emb = spread_scan(read_table(spark, sf_dir, "embeddings"), "vec_id")
-    return ivfpq_topk(emb, emb.limit(20), k=5)
+    q = emb.filter(F.col("vec_id") < 20)
+    return topk_recall_audit(ivfpq_topk(emb, q, k=5), cosine_topk(emb, q, k=5))
 
 
 @register("embedding_near_dups")  # rows-only: LSH hyperplanes are not SQL-expressible
@@ -2582,7 +2622,17 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact cosine on candidates only. The synthetic embeddings are random
     (max pairwise cosine ~0.51), so the threshold is set at 0.45 to
     demonstrate the operator's output shape; production corpora use
-    0.9+."""
+    0.9+.
+
+    Self-validating driver row (VERDICT r07 #4): full exact truth is
+    quadratic in the corpus, so the audit uses the standard sampled
+    estimate — exact all-pairs truth over a BOUNDED deterministic
+    sample (vec_id < 300, broadcast-sized at any SF), counting truth
+    pairs the LSH candidates missed. Every output row carries
+    sample_truth_pairs / sample_missed_pairs / sample_recall, so an
+    LSH regression (bucket length drift, lost hash tables) flips a
+    visible column in the driver record instead of hiding behind a
+    plausible row count."""
     from sales_forecast_pyspark_spark.llmdata import lsh_similarity_join
     from sales_forecast_pyspark_spark.functions.vectors import cosine_similarity
 
@@ -2591,13 +2641,51 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = lsh_similarity_join(emb, distance_threshold=1.2)
     a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
     b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
-    return (
+    out = (
         pairs.join(a, "id_a")
         .join(b, "id_b")
         .select("id_a", "id_b", F.round(cosine_similarity("va", "vb"), 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.45)
-        .orderBy("id_a", "id_b")
     )
+    # sampled exact truth: bounded all-pairs within the sample only
+    sample = e.filter(F.col("vec_id") < 300)
+    truth = (
+        sample.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+        .crossJoin(
+            F.broadcast(
+                sample.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+            )
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity("va", "vb"), 6).alias("tcos"),
+        )
+        .filter(F.col("tcos") >= 0.45)
+    )
+    found = out.select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+    ).distinct()
+    missed = truth.join(found, ["id_a", "id_b"], "left_anti")
+    audit = (
+        truth.agg(F.count(F.lit(1)).alias("sample_truth_pairs"))
+        .crossJoin(
+            F.broadcast(
+                missed.agg(F.count(F.lit(1)).alias("sample_missed_pairs"))
+            )
+        )
+        .select(
+            "sample_truth_pairs",
+            "sample_missed_pairs",
+            F.when(F.col("sample_truth_pairs") > 0,
+                   F.round(1 - F.col("sample_missed_pairs")
+                           / F.col("sample_truth_pairs"), 6))
+            .alias("sample_recall"),
+        )
+    )
+    return out.crossJoin(F.broadcast(audit)).orderBy("id_a", "id_b")
 
 
 @register(

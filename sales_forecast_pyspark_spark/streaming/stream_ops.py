@@ -646,6 +646,7 @@ def reconcile_late_attribution(
     late_events: DataFrame,
     touch_types: tuple[str, ...] = ("view", "click", "signup"),
     conversion_type: str = "purchase",
+    max_affected_users: int = 2_000_000,
 ) -> DataFrame:
     """Batch reprocessing path for ``attribution_stream``'s documented
     out-of-order limitation: the stream's O(1) per-user state cannot
@@ -662,12 +663,31 @@ def reconcile_late_attribution(
     user subset, so the recompute is a semi-join-pruned window over that
     subset (both the events scan and the window shuffle see only
     affected users), not a full-log replay; the affected-user frame is
-    broadcast-sized by assumption and Catalyst plans both semi/anti
-    joins as broadcasts. Demonstrated end-to-end (divergence, then
-    reconciliation) in tests/test_streaming.py."""
+    broadcast into both the semi and anti joins. That broadcast is an
+    ASSUMPTION the operator now enforces (ADVICE r07): the distinct
+    affected-user count is checked (via a bounded ``limit(cap+1)``
+    action, not a full count) against ``max_affected_users`` — the
+    default 2M distinct longs is ~16 MB broadcast-side, comfortably
+    inside executor memory. A degenerate everything-was-late batch
+    fails LOUDLY with the remedy spelled out (full batch recompute via
+    ``last_touch_rows`` over the whole log — at that point pruning buys
+    nothing and a silent large-side broadcast would OOM executors)
+    instead of planning a pathological broadcast. Demonstrated
+    end-to-end (divergence, then reconciliation) in
+    tests/test_streaming.py."""
     from sales_forecast_pyspark_spark.operators.windows import last_touch_rows
 
     affected = late_events.select("user_id").distinct()
+    n_bounded = affected.limit(max_affected_users + 1).count()
+    if n_bounded > max_affected_users:
+        raise ValueError(
+            f"reconcile_late_attribution: > {max_affected_users} distinct "
+            "late users — the surgical broadcast-pruned recompute no longer "
+            "pays. Recompute the full log with operators.windows."
+            "last_touch_rows directly (or raise max_affected_users if the "
+            "cluster's broadcast budget genuinely allows it)."
+        )
+    affected = F.broadcast(affected)
     kept = stream_out.join(affected, "user_id", "left_anti")
     recomputed = last_touch_rows(
         events.join(affected, "user_id", "left_semi"),

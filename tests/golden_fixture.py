@@ -1,67 +1,19 @@
-"""Deterministic Online-Retail-shaped fixture + reference-parity pipeline
-used by the golden-number regression tests (SURVEY.md §5.2).
-
-The fixture mirrors the reference's raw table shape
-(Sales_forecast_pyspark.py:35-60: Country, StockCode, InvoiceDate,
-Quantity, UnitPrice) with dates straddling the train/test split — the
-SURVEY §7 risk case — and returns encoded as negative quantities.
-Rows are generated by fixed integer arithmetic (a Knuth multiplicative
-hash), so the fixture is bit-identical on every run with no RNG state.
-"""
+"""Re-export shim: the deterministic Online-Retail-shaped fixture and
+reference-parity pipeline moved into the package
+(``sales_forecast_pyspark_spark/forecast/golden.py``) in r08 so the
+registered ``model_quality_audit`` driver query and the golden-number
+pytest suite share ONE source of truth. Test modules keep importing
+from here."""
 
 from __future__ import annotations
 
-from datetime import date, timedelta
-
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-
-from sales_forecast_pyspark_spark.functions.calendar import with_calendar_columns
-from sales_forecast_pyspark_spark.operators.aggregates import daily_rollup
-
-COUNTRIES = ["United Kingdom", "Germany", "France"]
-STOCKS = ["85123A", "71053", "84406B", "22423"]
-START = date(2011, 8, 1)
-N_DAYS = 61  # 2011-08-01 .. 2011-09-30, straddling SPLIT
-SPLIT = "2011-09-01"  # the reference's split_date (py:366)
-
-
-def raw_retail_rows() -> list[tuple]:
-    """~1.5k invoice lines, 2 per (country, stock, day), deterministic."""
-    rows = []
-    i = 0
-    for day in range(N_DAYS):
-        d = START + timedelta(days=day)
-        for ci, c in enumerate(COUNTRIES):
-            for si, s in enumerate(STOCKS):
-                for _line in range(2):
-                    i += 1
-                    h = (i * 2654435761) % 97
-                    qty = ((h % 12) + 1) * (1 + si)
-                    if h % 19 == 0:
-                        qty = -qty  # a return (py:46: returns stay in)
-                    price = round(1.25 + ci * 0.85 + si * 0.4 + (h % 7) * 0.05, 2)
-                    rows.append((c, s, d, qty, price))
-    return rows
-
-
-def raw_retail(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
-        raw_retail_rows(),
-        "country string, stock string, ds date, quantity int, unit_price double",
-    )
-
-
-def parity_daily_sales(spark: SparkSession) -> DataFrame:
-    """The reference's daily_sales table (py:147-164) in PARITY mode:
-    plain float sums + round-2 (exact=False), calendar columns in the
-    grouping keys, LineRevenue = Quantity * UnitPrice."""
-    raw = with_calendar_columns(raw_retail(spark), "ds")
-    return daily_rollup(
-        raw,
-        keys=["country", "stock", "ds", "year", "month", "week", "day", "dow"],
-        qty_col="quantity",
-        revenue_expr=F.col("quantity") * F.col("unit_price"),
-        price_expr=F.col("unit_price"),
-        exact=False,
-    )
+from sales_forecast_pyspark_spark.forecast.golden import (  # noqa: F401
+    COUNTRIES,
+    N_DAYS,
+    SPLIT,
+    START,
+    STOCKS,
+    parity_daily_sales,
+    raw_retail,
+    raw_retail_rows,
+)

@@ -314,6 +314,43 @@ def test_ols_trend_survives_int64_overflow_magnitudes(spark):
     assert abs(row["slope"] - 3.0) < 1e-3  # sanity: the planted trend
 
 
+def test_ols_trend_nulls_group_on_per_row_product_overflow(spark):
+    """Exactness audit (ADVICE r07): a decimal input wide enough that a
+    single per-row product exceeds decimal(38,0) would be silently
+    SKIPPED by F.sum while n_obs still counts it — a silently wrong
+    slope. The audit must instead null the whole group's outputs,
+    while an in-range sibling group still computes."""
+    from decimal import Decimal
+
+    from sales_forecast_pyspark_spark.operators.aggregates import ols_trend
+
+    wide = Decimal(10) ** 19 + 7  # fits decimal(20,0); square ~1e38 overflows
+    rows = [(1, Decimal(i), Decimal(2 * i + 1)) for i in range(10)]
+    rows += [(2, Decimal(i), Decimal(3 * i)) for i in range(5)]
+    rows += [(2, wide, wide)]  # poisons only group 2
+    df = spark.createDataFrame(rows, "g long, x decimal(20,0), y decimal(20,0)")
+
+    # ANSI mode (the Spark 4 session default): the overflow errors the
+    # job at the cast — already loud, audit not needed
+    import pytest
+
+    with pytest.raises(Exception, match="NUMERIC_VALUE_OUT_OF_RANGE"):
+        ols_trend(df, ["g"], "x", "y").collect()
+
+    # non-ANSI mode: the cast yields NULL and F.sum would silently skip
+    # the row — the exactness audit must null the poisoned group's
+    # outputs while the clean group still computes
+    saved = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        got = {r["g"]: r for r in ols_trend(df, ["g"], "x", "y").collect()}
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", saved)
+    assert got[1]["slope"] == 2.0 and got[1]["intercept"] == 1.0, got[1]
+    assert got[2]["slope"] is None and got[2]["intercept"] is None, got[2]
+    assert got[2]["n_obs"] == 6  # the count still tells the truth
+
+
 def test_snapshot_reconcile_classifies_all_four_statuses(spark):
     """Engineered snapshots: one key per status class, null-vs-value
     counts as 'changed' (null-safe equality), null-vs-null as 'same',

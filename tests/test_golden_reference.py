@@ -46,10 +46,15 @@ GOLDEN_TRAIN_ROWS = 384
 GOLDEN_TEST_ROWS = 348
 GOLDEN_N_FEATURES = 66  # + 5 calendar + 2 indexed categoricals = 73
 GOLDEN_VECTOR_WIDTH = 73  # the reference's flagship width (py:1006-1059)
-GOLDEN_LR = {"mae": 3.228760292223062, "rmse": 3.90395184994677, "r2": 0.9746012662467132}
+# LR + KPI goldens live in the package since r08 (the registered
+# model_quality_audit driver row compares against the same numbers)
+from sales_forecast_pyspark_spark.forecast.golden import (  # noqa: E402
+    GOLDEN_KPI,
+    GOLDEN_LR,
+)
+
 GOLDEN_RF = {"mae": 2.5073574659026687, "rmse": 3.2058076964549698, "r2": 0.9828731263115069}
 GOLDEN_GBT = {"mae": 5.586342154949263, "rmse": 7.458318310612279, "r2": 0.9072988782670831}
-GOLDEN_KPI = {"bias": -2.86, "mae": 3.23, "mape": 0.23, "base_mae": 18.28}
 
 
 @pytest.fixture(scope="module")
@@ -157,3 +162,19 @@ def test_golden_kpi_parity(parity_run):
         assert kpi[k] == v, k
     # The full-featured model must beat the MA6 baseline (nb cell 32).
     assert kpi["mae"] < kpi["base_mae"]
+
+
+def test_model_quality_audit_row_all_flags_green(spark):
+    """The registered driver row (VERDICT r07 #5) must agree with this
+    suite: one row, every tolerance flag true, model beats baseline.
+    If a golden moves, this fails alongside test_golden_lr_metrics —
+    and the DRIVER row's booleans flip too, which is the point."""
+    from sales_forecast_pyspark_spark.forecast.golden import (
+        model_quality_audit,
+    )
+
+    rows = model_quality_audit(spark).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    for flag in ("mae_ok", "rmse_ok", "r2_ok", "kpi_ok", "beats_baseline"):
+        assert r[flag] is True, (flag, r.asDict())

@@ -21,7 +21,7 @@ SKIP = {
     "forecast_lr", "forecast_lr_full", "forecast_segmented",
     "forecast_eval_kpi", "lr_coefficients_top", "ann_ivf_topk",
     "dedup_clusters", "near_dedup_survivors", "forecast_rf",
-    "forecast_gbt", "ann_pq_topk", "ann_ivfpq_topk", "backtest_lr", "leakage_free_split",
+    "forecast_gbt", "ann_pq_topk", "ann_ivfpq_topk", "backtest_lr", "leakage_free_split", "model_quality_audit",
 }
 
 # BNLJ appears ONLY where a bounded side is deliberately broadcast:
@@ -45,6 +45,9 @@ BNLJ_DECLARED = {
     "top_supplier_period",  # 1-row MAX(total_rev) crossJoin(broadcast(...))
     "dormant_rich_customers",  # 1-row avg-balance crossJoin(broadcast(...))
     "pagerank_parts",  # 1-row node-count crossJoin(broadcast(...)) per iteration
+    # bounded-sample exact-truth audit (vec_id < 300 all-pairs, ~44 KB
+    # broadcast at any SF) + its 1-row audit crossJoin (VERDICT r07 #4)
+    "embedding_near_dups",
 }
 
 AUDITABLE = [n for n in QUERIES if n not in SKIP]

@@ -355,6 +355,28 @@ def test_pagerank_checkpoint_truncates_lineage_bit_exactly(spark):
     spark.catalog.clearCache()
 
 
+def test_pagerank_superseded_checkpoints_release_storage(spark):
+    """Storage hygiene (ADVICE r07): checkpoint_every=1 over 6
+    iterations materializes 6 rank snapshots; superseded ones must be
+    explicitly unpersisted as soon as their successor exists, not left
+    for ContextCleaner GC. After collecting, the executor store must
+    hold at most the LAST checkpoint plus the cached edge frame —
+    without the explicit free this run leaves ~6 persisted rank RDDs."""
+    from sales_forecast_pyspark_spark.operators.graph import pagerank
+
+    spark.catalog.clearCache()
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4), (4, 0)],
+        "src int, dst int",
+    )
+    out = pagerank(edges, iterations=6, checkpoint_every=1)
+    out.collect()
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    live = [i for i in infos if i.numCachedPartitions() > 0]
+    assert len(live) <= 3, [str(i) for i in live]
+    spark.catalog.clearCache()
+
+
 def test_curriculum_interleave_is_weighted_permutation(spark):
     """The interleave must assign each doc exactly one position
     (a permutation of 1..n), keep every source's internal md5 order,

@@ -297,3 +297,34 @@ def test_ivfpq_topk_recall_and_determinism(emb, spark):
         for r in ivfpq_topk(emb, queries, k=5).collect()
     }
     assert rerun == pairs
+
+
+def test_ann_driver_rows_carry_recall_audit(spark):
+    """VERDICT r07 #4: the registered ANN rows must be self-validating —
+    every row carries recall_at_k (per query), mean_recall (pooled, the
+    same total-hits/total-exact semantics the recall tests above use),
+    and recall_ok applying the >= 0.5 bound to the pooled value. Pinned
+    on the cheapest index (PQ) through the REGISTRY builder so the
+    driver-visible shape is what's tested."""
+    from sales_forecast_pyspark_spark.plans.queries import QUERIES
+
+    rows = QUERIES["ann_pq_topk"].builder(spark, SF_ORACLE).collect()
+    assert {"recall_at_k", "mean_recall", "recall_ok"} <= set(rows[0].asDict())
+    assert len({r["mean_recall"] for r in rows}) == 1, "pooled value is global"
+    assert all(r["recall_ok"] for r in rows), rows[0]
+    assert all(0.0 <= r["recall_at_k"] <= 1.0 for r in rows)
+
+
+def test_embedding_near_dups_sampled_truth_audit(spark):
+    """The near-dup driver row's audit: exact all-pairs truth over the
+    bounded vec_id<300 sample, LSH candidates must cover it (the
+    distance threshold 1.2 is generous vs the 0.45 cosine floor, so
+    missed pairs mean broken hashing, not tuning)."""
+    from sales_forecast_pyspark_spark.plans.queries import QUERIES
+
+    rows = QUERIES["embedding_near_dups"].builder(spark, SF_ORACLE).collect()
+    assert rows, "threshold 0.45 must yield pairs on the sf0.01 corpus"
+    r = rows[0]
+    assert r["sample_truth_pairs"] > 0
+    assert r["sample_missed_pairs"] == 0, r
+    assert r["sample_recall"] == 1.0

@@ -769,3 +769,19 @@ def test_streaming_attribution_late_touch_reprocessing(spark, tmp_path):
     truth = {r["event_id"]: r for r in last_touch_rows(all_events).collect()}
     assert truth[2]["channel"] == "signup"
     assert truth[2]["latency_us"] == 3600 * 1_000_000
+
+    # degenerate everything-was-late batch: the broadcast-pruned path
+    # must refuse LOUDLY (ADVICE r07 guard), not plan a large-side
+    # broadcast — and the guard's count is bounded (limit(cap+1)), so
+    # this costs one tiny action
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="distinct\\s+late users"):
+        reconcile_late_attribution(
+            stream_out, all_events, all_events, max_affected_users=1
+        )
+    # at-the-cap is still the surgical path (cap=1 here: one late user)
+    ok = reconcile_late_attribution(
+        stream_out, all_events, late, max_affected_users=1
+    )
+    assert _rows(ok, cols) == _rows(last_touch_rows(all_events), cols)
