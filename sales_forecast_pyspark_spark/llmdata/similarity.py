@@ -209,6 +209,16 @@ def lsh_similarity_join(
     bucketing is a narrow map, the join is equality on bucket keys, and
     only bucket-mates are scored.
 
+    Output-cardinality caveat (measured, SCALING.md "Second decade"):
+    on a corpus that DENSIFIES in a fixed vector space, the number of
+    true pairs within a fixed ``distance_threshold`` grows
+    quadratically with corpus size (2k vectors → 22k pairs; 20k →
+    2.25M), and any correct pair mine must emit them all — wall-clock
+    is output-bound, per-pair cost flat. Keep the threshold tight at
+    scale (near-dup regimes: cos >= 0.9) or bound output per item
+    (top-k, see ``cosine_topk``/``ivf_topk``) when the corpus grows
+    faster than its diversity.
+
     ``vector_input=True`` means ``vec_col`` already holds MLlib vectors
     (e.g. sparse TF-IDF from ``llmdata.vectorize``) — they are passed
     through untouched, keeping sparse vectors sparse instead of
