@@ -1,0 +1,63 @@
+"""Pins the scale-rehearsal generator's invariants at tiny scale
+(sf0.001, k=2): the synthesized dataset must keep every foreign key
+consistent per copy, decorrelate text/vectors across copies, and be
+deterministic — otherwise the SCALING.md rehearsal tables measure a
+broken workload. The heavy 10x/30x runs stay script-only; this test
+covers the LOGIC in seconds.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from scripts.scale_rehearsal import OFFSET, REMAP, _copy_expr
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_copy_remap_keeps_fk_consistent_and_counts(spark):
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    o2 = _copy_expr(orders, "orders", 1)
+    c2 = _copy_expr(cust, "customer", 1)
+    # copy-1 keys are disjoint from copy-0
+    assert o2.agg(F.min("o_orderkey")).first()[0] >= OFFSET
+    # FK join inside copy 1 has exactly as many matches as the original
+    base = orders.join(cust, orders.o_custkey == cust.c_custkey).count()
+    remapped = o2.join(c2, o2.o_custkey == c2.c_custkey).count()
+    assert remapped == base
+    # dtypes preserved (the cast-back in _copy_expr)
+    assert dict(o2.dtypes) == dict(orders.dtypes)
+
+
+def test_copy_decorrelates_text_and_embeddings(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    d1 = _copy_expr(docs, "documents", 1)
+    a = docs.orderBy("doc_id").select("text").first()["text"]
+    b = d1.orderBy("doc_id").select("text").first()["text"]
+    assert a != b and len(a) == len(b), "char rotation must keep length"
+    # rotation is a bijection: token-count structure preserved
+    assert a.count(" ") == b.count(" ")
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    e1 = _copy_expr(emb, "embeddings", 1)
+    va = emb.orderBy("vec_id").first()["embedding"]
+    vb = e1.orderBy("vec_id").first()["embedding"]
+    dot = sum(float(x) * float(y) for x, y in zip(va, vb))
+    na = math.sqrt(sum(float(x) ** 2 for x in va))
+    nb = math.sqrt(sum(float(y) ** 2 for y in vb))
+    assert nb > 0 and abs(na - nb) < 1e-3, "sign flips preserve the norm"
+    assert abs(dot / (na * nb)) < 0.6, "cross-copy cosine must not stay ~1"
+
+
+def test_copy_zero_is_identity_and_deterministic(spark):
+    for table in REMAP:
+        base = spark.read.parquet(f"{SF}/{table}.parquet")
+        c0 = _copy_expr(base, table, 0)
+        assert c0.exceptAll(base).count() == 0 and base.exceptAll(c0).count() == 0, table
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    x = _copy_expr(emb, "embeddings", 3).orderBy("vec_id").first()["embedding"]
+    y = _copy_expr(emb, "embeddings", 3).orderBy("vec_id").first()["embedding"]
+    assert list(x) == list(y), "same copy index must be bit-identical"
