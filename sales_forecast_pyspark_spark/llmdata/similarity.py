@@ -99,7 +99,15 @@ def topk_recall_audit(
     n_exact = exact.groupBy("query_id").agg(
         F.count(F.lit(1)).alias("_n_exact")
     )
-    by_q = per_q.join(n_exact, "query_id")
+    # Anchor on the EXACT side (code-review r08): an inner join from
+    # per_q would silently drop any query the index returned zero rows
+    # for — excluding its exact pairs from the pooled denominator and
+    # letting recall_ok stay green in exactly the broken-index regime
+    # the audit exists to catch. A query with no approx rows counts as
+    # zero hits over its full exact pair count.
+    by_q = n_exact.join(per_q, "query_id", "left").withColumn(
+        "_n_hit", F.coalesce(F.col("_n_hit"), F.lit(0))
+    )
     audit = by_q.select(
         "query_id",
         F.round(F.col("_n_hit") / F.col("_n_exact"), 6).alias("recall_at_k"),

@@ -190,6 +190,65 @@ def srp_signatures(
     return sums.select("doc_id", "band", bucket.alias("bucket"))
 
 
+def tfidf_pair_stages(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cos_threshold: float = 0.9,
+    bands: int = 8,
+    bits: int = 16,
+) -> dict[str, DataFrame]:
+    """The four structural stages of the TF-IDF near-pair pipeline as
+    separate frames — ``weights`` (normalized quantized term table),
+    ``sig`` (banded SRP buckets), ``cand`` (distinct bucket-mate
+    pairs), ``scored`` (exact-cosine-verified pairs at the threshold).
+    Single source of truth for BOTH ``tfidf_near_pairs`` (which fuses
+    and caches them) and ``scripts/profile_tfidf.py`` (which times
+    them stage-by-stage): a profiler with its own copy of these plans
+    would silently drift from what the registered query actually runs
+    (code-review r08). Caching policy belongs to the caller — these
+    frames are pure plans."""
+    weights = term_tfidf(df, text_col=text_col, id_col=id_col).withColumn(
+        "_wdec", quantized_long(F.col("w"))
+    )
+    sig = srp_signatures(weights, bands=bands, bits=bits)
+    cand = (
+        sig.alias("a")
+        .join(sig.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    doc_maps = weights.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("term", "_wdec"))).alias("m")
+    )
+    scored = (
+        cand.join(
+            doc_maps.select(F.col("doc_id").alias("doc_a"), F.col("m").alias("_ma")),
+            "doc_a",
+        )
+        .join(
+            doc_maps.select(F.col("doc_id").alias("doc_b"), F.col("m").alias("_mb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            quantized_total_round(
+                F.expr(
+                    "aggregate(map_entries(_ma), 0L, (acc, e) -> "
+                    "acc + e.value * coalesce(try_element_at(_mb, e.key), 0L))"
+                ),
+                out_digits=6,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= cos_threshold)
+    )
+    return {"weights": weights, "sig": sig, "cand": cand, "scored": scored}
+
+
 def tfidf_near_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -214,23 +273,9 @@ def tfidf_near_pairs(
     # cached frame: it would otherwise re-run per candidate-expanded row
     # (|candidates| × terms, ~20× the weights rows here) on the hot side
     # of the verify join.
-    weights = term_tfidf(df, text_col=text_col, id_col=id_col).withColumn(
-        "_wdec", quantized_long(F.col("w"))
-    )
-    weights.cache()
-    weights.count()
-    sig = srp_signatures(weights, bands=bands, bits=bits)
-    sig.cache()
-    cand = (
-        sig.alias("a")
-        .join(sig.alias("b"), ["band", "bucket"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
-    # Verify via per-doc term MAPS instead of a candidates×terms join:
+    # Stage plans come from tfidf_pair_stages (shared with the
+    # profiler); this operator owns the caching policy. The verify
+    # stage uses per-doc term MAPS instead of a candidates×terms join:
     # the join formulation expands |candidates| × (terms of doc_a) rows
     # and shuffles them into a (doc_a, doc_b) hash aggregate — the
     # largest frame in the query. Folding each doc's (term → scaled
@@ -240,32 +285,19 @@ def tfidf_near_pairs(
     # shuffle at all. The exact long total Σ (a×10^7)(b×10^7) is the
     # SAME integer the join version sums, so scores are bit-identical
     # (pinned by tests/test_similarity.py's pair hashes).
-    doc_maps = weights.groupBy("doc_id").agg(
-        F.map_from_entries(F.collect_list(F.struct("term", "_wdec"))).alias("m")
+    stages = tfidf_pair_stages(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        cos_threshold=cos_threshold,
+        bands=bands,
+        bits=bits,
     )
-    scored = (
-        cand.join(
-            doc_maps.select(F.col("doc_id").alias("doc_a"), F.col("m").alias("_ma")),
-            "doc_a",
-        )
-        .join(
-            doc_maps.select(F.col("doc_id").alias("doc_b"), F.col("m").alias("_mb")),
-            "doc_b",
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            quantized_total_round(
-                F.expr(
-                    "aggregate(map_entries(_ma), 0L, (acc, e) -> "
-                    "acc + e.value * coalesce(try_element_at(_mb, e.key), 0L))"
-                ),
-                out_digits=6,
-            ).alias("cos_sim"),
-        )
-    )
+    stages["weights"].cache()
+    stages["weights"].count()
+    stages["sig"].cache()
     return (
-        scored.filter(F.col("cos_sim") >= cos_threshold)
+        stages["scored"]
         .select(
             F.col("doc_a").alias("id_a"),
             F.col("doc_b").alias("id_b"),

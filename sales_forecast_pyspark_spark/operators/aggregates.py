@@ -283,9 +283,10 @@ def ols_trend(
     or a per-row product > 10³⁸, Spark yields NULL in non-ANSI mode —
     and because F.sum would silently SKIP such a row while n_obs
     still counts it, the aggregate carries an exactness audit: any
-    group that lost a cast or product gets NULL slope/intercept (or
-    the job errors under ANSI mode) — a loud failure, never a wrapped
-    or silently-partial value.
+    group where a counted row failed to contribute its full sufficient
+    -statistic tuple — overflow, or a NULL on either input — gets NULL
+    slope/intercept (or the job errors under ANSI mode): a loud
+    failure, never a wrapped or silently-partial value.
     """
     x = F.col(x_col).cast("decimal(20,0)")
     y = F.col(y_col).cast("decimal(20,0)")
@@ -298,12 +299,15 @@ def ols_trend(
         F.sum(xx).cast(big).alias("_sxx"),
         F.sum(y).cast(big).alias("_sy"),
         F.sum(xy).cast(big).alias("_sxy"),
-        # exactness audit: input pairs present vs rows whose decimal
-        # casts/products survived — a gap means F.sum dropped a row
-        # and the closed form would be silently wrong for the group.
-        F.count(
-            F.when(F.col(x_col).isNotNull() & F.col(y_col).isNotNull(), 1)
-        ).alias("_n_pairs"),
+        # exactness audit: every counted row must have contributed a
+        # full (x, x², y, xy) tuple to the sums — a gap (a NULL input
+        # on EITHER side, a cast past decimal(20,0), or a per-row
+        # product past decimal(38,0)) means F.sum silently dropped the
+        # row while n_obs counted it, so the closed form over n_obs
+        # would be silently wrong for the group. Gating on n_obs (not
+        # merely on complete input pairs — code-review r08) also
+        # catches one-sided nulls, where x still pollutes Σx/Σx² but
+        # y is missing from Σy/Σxy.
         F.count(F.when(xx.isNotNull() & xy.isNotNull(), 1)).alias("_n_exact"),
     )
     n = F.col("n_obs").cast(big)
@@ -313,7 +317,7 @@ def ols_trend(
         F.col("_sy") * F.col("_sxx") - F.col("_sx") * F.col("_sxy")
     ).cast("double")
     den_nz = F.nullif(den, F.lit(0.0))
-    exact = F.col("_n_exact") == F.col("_n_pairs")
+    exact = F.col("_n_exact") == F.col("n_obs")
     return stats.select(
         *keys,
         "n_obs",

@@ -2646,6 +2646,12 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(b, "id_b")
         .select("id_a", "id_b", F.round(cosine_similarity("va", "vb"), 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.45)
+        # cached because the frame feeds BOTH the final output and the
+        # audit's found/missed branch (code-review r08): without it the
+        # LSH bucketing + candidate cosine — the query's dominant cost
+        # — executes twice per action (same rationale as the documented
+        # caches inside tfidf_near_pairs)
+        .cache()
     )
     # sampled exact truth: bounded all-pairs within the sample only
     sample = e.filter(F.col("vec_id") < 300)

@@ -351,6 +351,22 @@ def test_ols_trend_nulls_group_on_per_row_product_overflow(spark):
     assert got[2]["n_obs"] == 6  # the count still tells the truth
 
 
+def test_ols_trend_nulls_group_on_one_sided_null(spark):
+    """Code-review r08: a row with x present but y NULL still pollutes
+    Σx/Σx² while missing from Σy/Σxy — the closed form over n_obs
+    would be silently wrong. The audit gates on n_obs, so the group
+    nulls out; a clean sibling group still computes."""
+    from sales_forecast_pyspark_spark.operators.aggregates import ols_trend
+
+    rows = [(1, i, 2 * i + 1) for i in range(10)]
+    rows += [(2, i, 3 * i) for i in range(5)] + [(2, 7, None)]
+    df = spark.createDataFrame(rows, "g long, x long, y long")
+    got = {r["g"]: r for r in ols_trend(df, ["g"], "x", "y").collect()}
+    assert got[1]["slope"] == 2.0 and got[1]["intercept"] == 1.0, got[1]
+    assert got[2]["slope"] is None and got[2]["intercept"] is None, got[2]
+    assert got[2]["n_obs"] == 6
+
+
 def test_snapshot_reconcile_classifies_all_four_statuses(spark):
     """Engineered snapshots: one key per status class, null-vs-value
     counts as 'changed' (null-safe equality), null-vs-null as 'same',

@@ -364,16 +364,24 @@ def test_pagerank_superseded_checkpoints_release_storage(spark):
     without the explicit free this run leaves ~6 persisted rank RDDs."""
     from sales_forecast_pyspark_spark.operators.graph import pagerank
 
+    def live_ids():
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        return {i.id() for i in infos if i.numCachedPartitions() > 0}
+
     spark.catalog.clearCache()
+    # Delta, not absolute (code-review r08): earlier tests' checkpoint
+    # blocks are freed by ContextCleaner at GC-dependent times, so an
+    # absolute count is order/timing-flaky; blocks alive both before
+    # and after cancel out of the delta.
+    before = live_ids()
     edges = spark.createDataFrame(
         [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4), (4, 0)],
         "src int, dst int",
     )
     out = pagerank(edges, iterations=6, checkpoint_every=1)
     out.collect()
-    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
-    live = [i for i in infos if i.numCachedPartitions() > 0]
-    assert len(live) <= 3, [str(i) for i in live]
+    new = live_ids() - before
+    assert len(new) <= 3, new
     spark.catalog.clearCache()
 
 

@@ -328,3 +328,24 @@ def test_embedding_near_dups_sampled_truth_audit(spark):
     assert r["sample_truth_pairs"] > 0
     assert r["sample_missed_pairs"] == 0, r
     assert r["sample_recall"] == 1.0
+
+
+def test_recall_audit_counts_queries_the_index_dropped(spark):
+    """Code-review r08 regression: a query the index returns NO rows
+    for must still contribute its exact pairs to the pooled
+    denominator — an inner join from the approx side let recall_ok
+    stay green while most queries silently returned nothing."""
+    from sales_forecast_pyspark_spark.llmdata.similarity import (
+        topk_recall_audit,
+    )
+
+    exact = spark.createDataFrame(
+        [(q, n, 1.0, r) for q in (1, 2) for r, n in enumerate((10, 11), 1)],
+        "query_id long, neighbor_id long, cos_sim double, rank int",
+    )
+    # the index found query 1 perfectly and query 2 NOT AT ALL
+    approx = exact.filter("query_id = 1")
+    rows = topk_recall_audit(approx, exact, min_recall=0.6).collect()
+    assert rows, "query 1's rows must survive"
+    assert rows[0]["mean_recall"] == 0.5  # 2 hits / 4 exact, not 2/2
+    assert rows[0]["recall_ok"] is False
