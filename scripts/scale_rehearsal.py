@@ -111,9 +111,17 @@ def _copy_expr(df: DataFrame, table: str, i: int) -> DataFrame:
         dtype = dict(df.dtypes)[key]
         out = out.withColumn(key, (F.col(key) + F.lit(i * OFFSET)).cast(dtype))
     if table == "documents" and i > 0:
-        rot = _ALPHA[i:] + _ALPHA[:i]
+        # Affine-cipher permutation of the alphabet, NOT a plain
+        # rotation: rotation by i is the identity at i % 26 == 0, so a
+        # k=30 run would leave copies 26-29 byte-identical to copy 0
+        # and quietly reintroduce the quadratic cross-copy dup blowup.
+        # a must be coprime to 26; (a, b) pairs are distinct for every
+        # i in any realistic k, and i=0 is never routed here.
+        a = [3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25][i % 11]
+        perm = "".join(_ALPHA[(a * j + i) % 26] for j in range(26))
         out = out.withColumn(
-            "text", F.translate("text", _ALPHA + _ALPHA.upper(), rot + rot.upper())
+            "text",
+            F.translate("text", _ALPHA + _ALPHA.upper(), perm + perm.upper()),
         )
     if table == "embeddings" and i > 0:
         # deterministic pseudo-random sign flips: expected cross-copy
@@ -179,16 +187,29 @@ def run(k: int, out_dir: str) -> None:
     spark = get_spark("scale-rehearsal")
     spark.sparkContext.setLogLevel("ERROR")
 
-    def plan_of(name: str, sf_dir: str) -> str:
-        df = QUERIES[name].builder(spark, sf_dir)
-        return df._jdf.queryExecution().executedPlan().toString()
+    def run_and_plan(name: str, sf_dir: str) -> tuple[float, str]:
+        """Execute the full plan AND return the plan that actually ran.
 
-    def timed(name: str, sf_dir: str) -> float:
+        AQE replans at runtime (SMJ→BHJ conversions, skew splits), so
+        reading executedPlan() from a never-executed frame audits the
+        isFinalPlan=false INITIAL plan and would miss exactly the
+        runtime join flips this harness exists to catch (code-review
+        r08). Executing through the DataFrame's own QueryExecution
+        finalizes its AdaptiveSparkPlanExec, so the string read
+        afterwards is the adaptive FINAL plan."""
         t0 = time.perf_counter()
-        QUERIES[name].builder(spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        return time.perf_counter() - t0
+        # builder() INSIDE the timer: ML queries fit their model at
+        # build time and that cost is part of the query's wall
+        df = QUERIES[name].builder(spark, sf_dir)
+        jqe = df._jdf.queryExecution()
+        jqe.executedPlan().execute().count()
+        dt = time.perf_counter() - t0
+        # the finalized AdaptiveSparkPlan prints BOTH "Final Plan" and
+        # "Initial Plan" sections — audit only the final one, or every
+        # operator double-counts
+        plan = jqe.executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]
+        return dt, plan
 
     # warmup both dirs (codegen/classloading off the clock)
     for d in (SF_BASE, out_dir):
@@ -198,15 +219,15 @@ def run(k: int, out_dir: str) -> None:
 
     results = []
     for name in HEAVY:
-        base_t = timed(name, SF_BASE)
-        synth_t = timed(name, out_dir)
+        base_t, base_plan = run_and_plan(name, SF_BASE)
+        synth_t, synth_plan = run_and_plan(name, out_dir)
         flags = []
         ratio = synth_t / max(base_t, 1e-9)
         # ML fits run jobs at plan-build time; skip their plan diff
         # (same policy as scripts/audit_plans.py).
         if name not in ("forecast_lr",):
-            base_p = _join_profile(plan_of(name, SF_BASE))
-            synth_p = _join_profile(plan_of(name, out_dir))
+            base_p = _join_profile(base_plan)
+            synth_p = _join_profile(synth_plan)
             if synth_p["cart"]:
                 flags.append("CARTESIAN")
             if synth_p["bnlj"] and name not in BNLJ_DECLARED:

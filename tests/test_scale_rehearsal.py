@@ -37,9 +37,20 @@ def test_copy_decorrelates_text_and_embeddings(spark):
     d1 = _copy_expr(docs, "documents", 1)
     a = docs.orderBy("doc_id").select("text").first()["text"]
     b = d1.orderBy("doc_id").select("text").first()["text"]
-    assert a != b and len(a) == len(b), "char rotation must keep length"
-    # rotation is a bijection: token-count structure preserved
+    assert a != b and len(a) == len(b), "char permutation must keep length"
+    # the affine permutation is a bijection: token structure preserved
     assert a.count(" ") == b.count(" ")
+    # regression (code-review r08): plain rotation was the IDENTITY at
+    # i % 26 == 0, silently duplicating copies 26-29 in a k=30 run —
+    # every copy index must decorrelate, including multiples of 26
+    for i in (26, 52):
+        ti = (
+            _copy_expr(docs, "documents", i)
+            .orderBy("doc_id")
+            .select("text")
+            .first()["text"]
+        )
+        assert ti != a, f"copy {i} must not be identical to copy 0"
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     e1 = _copy_expr(emb, "embeddings", 1)
