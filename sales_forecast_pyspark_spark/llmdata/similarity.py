@@ -87,6 +87,13 @@ def topk_recall_audit(
     at >= 0.5. Drift in the index (a broken codebook seed, a
     probe-count regression) flips a visible column in the driver
     record instead of hiding behind a stable row count.
+
+    Output rows anchor on the AUDITED QUERY SET, not on the approx
+    rows (code-review r08, second pass): if the index returns zero
+    rows for a query — or for EVERY query — that query still emits
+    one row with null neighbor columns and its red recall audit, so
+    total index dropout surfaces as visible recall_ok=false rows
+    instead of an empty, unjudgeable result.
     """
     hits = approx.join(
         exact.select("query_id", "neighbor_id", F.lit(1).alias("_in_exact")),
@@ -115,10 +122,17 @@ def topk_recall_audit(
     pooled = by_q.agg(
         F.round(F.sum("_n_hit") / F.sum("_n_exact"), 6).alias("mean_recall")
     )
+    data_cols = [c for c in approx.columns if c != "query_id"]
+    # audit (one row per audited query) is the PRESERVED side; approx
+    # (bounded: |queries| x k rows) is the broadcast right side — the
+    # left side of an outer join cannot be broadcast
     return (
-        approx.join(F.broadcast(audit), "query_id")
+        audit.join(F.broadcast(approx), "query_id", "left")
         .crossJoin(F.broadcast(pooled))
         .withColumn("recall_ok", F.col("mean_recall") >= F.lit(min_recall))
+        .select(
+            "query_id", *data_cols, "recall_at_k", "mean_recall", "recall_ok"
+        )
         .orderBy("query_id", "rank")
     )
 

@@ -2646,12 +2646,15 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(b, "id_b")
         .select("id_a", "id_b", F.round(cosine_similarity("va", "vb"), 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.45)
-        # cached because the frame feeds BOTH the final output and the
-        # audit's found/missed branch (code-review r08): without it the
-        # LSH bucketing + candidate cosine — the query's dominant cost
-        # — executes twice per action (same rationale as the documented
-        # caches inside tfidf_near_pairs)
-        .cache()
+        # NOT cached, deliberately (code-review r08, both directions
+        # weighed): the frame feeds both the output and the audit's
+        # found/missed branch, so the LSH join computes twice per
+        # action — but a builder-level cache() would pin an
+        # output-mass-sized frame for the session's lifetime with no
+        # unpersist path AND register a CacheManager entry on every
+        # plan-only build (the plan-invariant tests build all queries).
+        # The double-compute is bounded (driver runs this once per
+        # sweep at sf0.01; the query is not benched).
     )
     # sampled exact truth: bounded all-pairs within the sample only
     sample = e.filter(F.col("vec_id") < 300)

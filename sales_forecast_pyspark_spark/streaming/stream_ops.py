@@ -665,13 +665,15 @@ def reconcile_late_attribution(
     affected users), not a full-log replay; the affected-user frame is
     broadcast into both the semi and anti joins. That broadcast is an
     ASSUMPTION the operator now enforces (ADVICE r07): the distinct
-    affected-user frame is persisted once, then its count is probed
-    through ``limit(cap+1)`` (bounding the rows the guard touches —
-    the distinct's shuffle itself still runs, but it fills the cache
-    the two joins reuse instead of recomputing the distinct three
-    times) against ``max_affected_users`` — the default 2M distinct
-    longs is ~16 MB broadcast-side, comfortably inside executor
-    memory. A degenerate everything-was-late batch
+    affected-user count is checked against ``max_affected_users`` —
+    the default 2M distinct longs is ~16 MB broadcast-side,
+    comfortably inside executor memory. Cost accounting (code-review
+    r08): the guard is one extra pass over ``late_events`` (a full
+    count — a cache would avoid it but pins an un-unpersistable frame
+    per invocation on this per-batch remedy path, a session-lifetime
+    leak); the two joins share ONE broadcast build because
+    ReuseExchange dedups their identical broadcast subtrees inside
+    the single returned plan. A degenerate everything-was-late batch
     fails LOUDLY with the remedy spelled out (full batch recompute via
     ``last_touch_rows`` over the whole log — at that point pruning buys
     nothing and a silent large-side broadcast would OOM executors)
@@ -680,9 +682,9 @@ def reconcile_late_attribution(
     tests/test_streaming.py."""
     from sales_forecast_pyspark_spark.operators.windows import last_touch_rows
 
-    affected = late_events.select("user_id").distinct().cache()
-    n_bounded = affected.limit(max_affected_users + 1).count()
-    if n_bounded > max_affected_users:
+    affected = late_events.select("user_id").distinct()
+    n_affected = affected.count()
+    if n_affected > max_affected_users:
         raise ValueError(
             f"reconcile_late_attribution: > {max_affected_users} distinct "
             "late users — the surgical broadcast-pruned recompute no longer "

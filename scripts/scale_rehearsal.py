@@ -168,15 +168,63 @@ def gen(k: int, out_dir: str) -> None:
     print(f"wrote {out_dir}")
 
 
-def _join_profile(plan: str) -> dict[str, int]:
-    return {
-        "smj": plan.count("SortMergeJoin"),
-        "bhj": plan.count("BroadcastHashJoin"),
-        "shj": plan.count("ShuffledHashJoin"),
-        "bnlj": plan.count("BroadcastNestedLoopJoin"),
-        "cart": plan.count("CartesianProduct"),
-        "exch": plan.count("Exchange hashpartitioning"),
-    }
+# physical-plan node class -> profile key
+_NODE_KEYS = {
+    "SortMergeJoinExec": "smj",
+    "BroadcastHashJoinExec": "bhj",
+    "ShuffledHashJoinExec": "shj",
+    "BroadcastNestedLoopJoinExec": "bnlj",
+    "CartesianProductExec": "cart",
+}
+
+
+def _join_profile(jplan) -> dict[str, int]:
+    """Operator counts by TREE TRAVERSAL of the executed physical plan
+    (py4j), not string matching. The printed tree of a finalized
+    AdaptiveSparkPlan embeds a "== Final Plan ==" AND an "== Initial
+    Plan ==" section — recursively, once per cached InMemoryRelation's
+    own adaptive subplan — so any string-count either double/triple
+    counts operators or (if truncated at the first marker) audits only
+    a prefix of the plan (code-review r08, verified: tfidf's printed
+    plan holds 17 nested Initial markers). Traversal resolves each
+    AdaptiveSparkPlanExec to its FINAL plan, descends into query
+    stages and cached-relation fill plans, and skips reused exchanges
+    (their original is counted once)."""
+    counts = {"smj": 0, "bhj": 0, "shj": 0, "bnlj": 0, "cart": 0, "exch": 0}
+
+    def walk(node) -> None:
+        name = node.getClass().getSimpleName()
+        if name == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+            return
+        if name.endswith("QueryStageExec"):
+            walk(node.plan())
+            return
+        if name == "ReusedExchangeExec":
+            return  # the original exchange is counted where it lives
+        if name == "InMemoryTableScanExec":
+            # audit the cached relation's FILL plan too — its joins ran
+            try:
+                walk(node.relation().cachedPlan())
+            except Exception:
+                pass
+            return
+        key = _NODE_KEYS.get(name)
+        if key is not None:
+            counts[key] += 1
+        if name == "ShuffleExchangeExec":
+            try:
+                part = node.outputPartitioning().getClass().getSimpleName()
+            except Exception:
+                part = ""
+            if part == "HashPartitioning":
+                counts["exch"] += 1
+        it = node.children().iterator()
+        while it.hasNext():
+            walk(it.next())
+
+    walk(jplan)
+    return counts
 
 
 def run(k: int, out_dir: str) -> None:
@@ -187,7 +235,7 @@ def run(k: int, out_dir: str) -> None:
     spark = get_spark("scale-rehearsal")
     spark.sparkContext.setLogLevel("ERROR")
 
-    def run_and_plan(name: str, sf_dir: str) -> tuple[float, str]:
+    def run_and_plan(name: str, sf_dir: str):
         """Execute the full plan AND return the plan that actually ran.
 
         AQE replans at runtime (SMJ→BHJ conversions, skew splits), so
@@ -195,8 +243,8 @@ def run(k: int, out_dir: str) -> None:
         isFinalPlan=false INITIAL plan and would miss exactly the
         runtime join flips this harness exists to catch (code-review
         r08). Executing through the DataFrame's own QueryExecution
-        finalizes its AdaptiveSparkPlanExec, so the string read
-        afterwards is the adaptive FINAL plan."""
+        finalizes its AdaptiveSparkPlanExec; the returned jplan is
+        that same (finalized) plan object for tree-walk profiling."""
         t0 = time.perf_counter()
         # builder() INSIDE the timer: ML queries fit their model at
         # build time and that cost is part of the query's wall
@@ -204,12 +252,7 @@ def run(k: int, out_dir: str) -> None:
         jqe = df._jdf.queryExecution()
         jqe.executedPlan().execute().count()
         dt = time.perf_counter() - t0
-        # the finalized AdaptiveSparkPlan prints BOTH "Final Plan" and
-        # "Initial Plan" sections — audit only the final one, or every
-        # operator double-counts
-        plan = jqe.executedPlan().toString()
-        plan = plan.split("== Initial Plan ==")[0]
-        return dt, plan
+        return dt, jqe.executedPlan()
 
     # warmup both dirs (codegen/classloading off the clock)
     for d in (SF_BASE, out_dir):

@@ -349,3 +349,13 @@ def test_recall_audit_counts_queries_the_index_dropped(spark):
     assert rows, "query 1's rows must survive"
     assert rows[0]["mean_recall"] == 0.5  # 2 hits / 4 exact, not 2/2
     assert rows[0]["recall_ok"] is False
+    # the dropped query still emits a visible red row (null neighbor)
+    q2 = [r for r in rows if r["query_id"] == 2]
+    assert q2 and q2[0]["neighbor_id"] is None and q2[0]["recall_at_k"] == 0.0
+
+    # TOTAL dropout: an index returning nothing must still produce one
+    # red row per audited query, never an empty (unjudgeable) result
+    empty = topk_recall_audit(approx.filter("query_id = -1"), exact)
+    rows = empty.collect()
+    assert len(rows) == 2 and all(r["recall_ok"] is False for r in rows)
+    assert all(r["mean_recall"] == 0.0 for r in rows)
