@@ -312,10 +312,23 @@ def main() -> None:
     ap.add_argument("cmd", choices=["gen", "run"])
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--out", default=".rehearsal/sf1x")
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated subset of the HEAVY list (e.g. the "
+        "star-schema core at a decade where the output-quadratic "
+        "pair-mining tier would dominate wall-clock)",
+    )
     a = ap.parse_args()
     if a.cmd == "gen":
         gen(a.k, a.out)
     else:
+        if a.queries:
+            subset = [q.strip() for q in a.queries.split(",") if q.strip()]
+            unknown = [q for q in subset if q not in HEAVY]
+            if unknown:
+                raise SystemExit(f"not in HEAVY list: {unknown}")
+            HEAVY[:] = subset
         run(a.k, a.out)
 
 
