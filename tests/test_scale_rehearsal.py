@@ -72,3 +72,35 @@ def test_copy_zero_is_identity_and_deterministic(spark):
     x = _copy_expr(emb, "embeddings", 3).orderBy("vec_id").first()["embedding"]
     y = _copy_expr(emb, "embeddings", 3).orderBy("vec_id").first()["embedding"]
     assert list(x) == list(y), "same copy index must be bit-identical"
+
+
+def test_join_profile_walks_final_adaptive_plan(spark):
+    """The tree-walk profiler (code-review r08) is load-bearing for the
+    SCALING.md rehearsal verdicts: it must resolve the finalized
+    adaptive plan and count each operator exactly once, where string
+    counting of the printed tree multi-counts across the nested
+    Final/Initial sections."""
+    from pyspark.sql import functions as F
+
+    from scripts.scale_rehearsal import _join_profile
+
+    big = spark.range(20000).select(F.col("id").alias("k"), F.rand(7).alias("v"))
+    dim = spark.range(50).select(F.col("id").alias("k"), F.lit("d").alias("d"))
+    df = big.join(dim, "k").groupBy("d").agg(F.sum("v").alias("s"))
+    jqe = df._jdf.queryExecution()
+    jqe.executedPlan().execute().count()
+    prof = _join_profile(jqe.executedPlan())
+    assert prof["bhj"] == 1, prof          # exactly once, not per printed section
+    assert prof["smj"] == 0 and prof["cart"] == 0 and prof["bnlj"] == 0, prof
+    assert prof["exch"] == 1, prof         # the groupBy hash exchange
+
+    # descends into cached-relation fill plans: the join under .cache()
+    # must still be counted after the cache is materialized
+    cached = big.join(dim, "k").cache()
+    cached.count()
+    consumer = cached.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    jqe2 = consumer._jdf.queryExecution()
+    jqe2.executedPlan().execute().count()
+    prof2 = _join_profile(jqe2.executedPlan())
+    assert prof2["bhj"] == 1, prof2
+    cached.unpersist()
