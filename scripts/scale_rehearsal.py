@@ -190,7 +190,16 @@ def _join_profile(jplan) -> dict[str, int]:
     AdaptiveSparkPlanExec to its FINAL plan, descends into query
     stages and cached-relation fill plans, and skips reused exchanges
     (their original is counted once)."""
-    counts = {"smj": 0, "bhj": 0, "shj": 0, "bnlj": 0, "cart": 0, "exch": 0}
+    counts = {
+        "smj": 0, "bhj": 0, "shj": 0, "bnlj": 0, "cart": 0, "exch": 0,
+        # accessor failures during the walk — surfaced as an
+        # AUDIT_PARTIAL flag by the caller, never silently dropped
+        "skip": 0,
+    }
+    # one count per DISTINCT cache fill plan: the fill executes once
+    # however many InMemoryTableScans read it (keyed by the plan's
+    # structural hashCode — case-class semantic identity)
+    seen_fills: set[int] = set()
 
     def walk(node) -> None:
         name = node.getClass().getSimpleName()
@@ -200,14 +209,18 @@ def _join_profile(jplan) -> dict[str, int]:
         if name.endswith("QueryStageExec"):
             walk(node.plan())
             return
-        if name == "ReusedExchangeExec":
-            return  # the original exchange is counted where it lives
+        if name in ("ReusedExchangeExec", "ReusedSubqueryExec"):
+            return  # the original exchange/subquery is counted where it lives
         if name == "InMemoryTableScanExec":
             # audit the cached relation's FILL plan too — its joins ran
             try:
-                walk(node.relation().cachedPlan())
+                fill = node.relation().cachedPlan()
+                h = fill.hashCode()
+                if h not in seen_fills:
+                    seen_fills.add(h)
+                    walk(fill)
             except Exception:
-                pass
+                counts["skip"] += 1
             return
         key = _NODE_KEYS.get(name)
         if key is not None:
@@ -219,6 +232,15 @@ def _join_profile(jplan) -> dict[str, int]:
                 part = ""
             if part == "HashPartitioning":
                 counts["exch"] += 1
+        # expression-embedded plans (scalar/DPP subqueries) are NOT in
+        # children() — a CartesianProduct inside one would otherwise be
+        # invisible to the very audit meant to flag it
+        try:
+            sit = node.subqueries().iterator()
+            while sit.hasNext():
+                walk(sit.next())
+        except Exception:
+            counts["skip"] += 1
         it = node.children().iterator()
         while it.hasNext():
             walk(it.next())
@@ -273,6 +295,10 @@ def run(k: int, out_dir: str) -> None:
             synth_p = _join_profile(synth_plan)
             if synth_p["cart"]:
                 flags.append("CARTESIAN")
+            if base_p["skip"] or synth_p["skip"]:
+                flags.append(
+                    f"AUDIT_PARTIAL({base_p['skip']}+{synth_p['skip']})"
+                )
             if synth_p["bnlj"] and name not in BNLJ_DECLARED:
                 flags.append("BNLJ")
             if synth_p["bhj"] > base_p["bhj"]:
@@ -321,6 +347,8 @@ def main() -> None:
     )
     a = ap.parse_args()
     if a.cmd == "gen":
+        if a.queries:
+            raise SystemExit("--queries applies to 'run' only; gen always writes all tables")
         gen(a.k, a.out)
     else:
         if a.queries:

@@ -95,12 +95,44 @@ def test_join_profile_walks_final_adaptive_plan(spark):
     assert prof["exch"] == 1, prof         # the groupBy hash exchange
 
     # descends into cached-relation fill plans: the join under .cache()
-    # must still be counted after the cache is materialized
+    # must still be counted after the cache is materialized — and
+    # counted ONCE even when TWO branches scan the same cache (the
+    # fill executes once; third-pass review caught the double count)
     cached = big.join(dim, "k").cache()
     cached.count()
-    consumer = cached.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    one = cached.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    two = cached.groupBy("d").agg(F.sum("v").alias("s"))
+    consumer = one.join(two, "d")
     jqe2 = consumer._jdf.queryExecution()
     jqe2.executedPlan().execute().count()
     prof2 = _join_profile(jqe2.executedPlan())
-    assert prof2["bhj"] == 1, prof2
+    assert prof2["bhj"] + prof2["smj"] == 2, prof2  # fill join + top join
+    assert prof2["skip"] == 0, prof2
     cached.unpersist()
+
+
+def test_join_profile_sees_subquery_joins(spark):
+    """Joins hidden inside scalar subqueries are not in children() —
+    the walk must descend node.subqueries() or a CartesianProduct in a
+    subquery would be invisible to the audit (third-pass review,
+    verified live: the string audit saw it, the first tree-walk did
+    not)."""
+    from pyspark.sql import functions as F
+
+    from scripts.scale_rehearsal import _join_profile
+
+    big = spark.range(5000).select(F.col("id").alias("k"), F.rand(3).alias("v"))
+    dim = spark.range(20).select(F.col("id").alias("k"))
+    big.join(dim, "k").createOrReplaceTempView("_sub_joined")
+    df = spark.sql(
+        "SELECT k, v FROM _sub_joined "
+        "WHERE v > (SELECT avg(v) - 10 FROM _sub_joined)"
+    )
+    jqe = df._jdf.queryExecution()
+    jqe.executedPlan().execute().count()
+    prof = _join_profile(jqe.executedPlan())
+    # the join appears in the main plan AND inside the scalar
+    # subquery's plan: both executed, both must be counted
+    assert prof["bhj"] + prof["smj"] >= 2, prof
+    assert prof["skip"] == 0, prof
+    spark.catalog.dropTempView("_sub_joined")
