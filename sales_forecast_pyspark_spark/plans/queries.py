@@ -2604,7 +2604,12 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pruned set — the billion-scale composition of the IVF and PQ
     tiers. Recall >= 0.5 pinned in tests/test_similarity.py AND
     carried in-row via recall_at_k/recall_ok audit columns vs the
-    in-query exact truth (VERDICT r07 #4)."""
+    in-query exact truth (VERDICT r07 #4). n_probe=6 (not the operator
+    default 4) because the audited pooled recall sat at 0.55 with 4
+    probes — one bad seeded-KMeans draw from flipping recall_ok red;
+    6 probes measure 0.61 (the plateau: past that, PQ quantization
+    error is the limiter, not cell coverage) at 6/16 of the corpus
+    ADC-scored per query, still cell-restricted."""
     from sales_forecast_pyspark_spark.llmdata.similarity import (
         cosine_topk,
         ivfpq_topk,
@@ -2613,7 +2618,9 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spread_scan(read_table(spark, sf_dir, "embeddings"), "vec_id")
     q = emb.filter(F.col("vec_id") < 20)
-    return topk_recall_audit(ivfpq_topk(emb, q, k=5), cosine_topk(emb, q, k=5))
+    return topk_recall_audit(
+        ivfpq_topk(emb, q, k=5, n_probe=6), cosine_topk(emb, q, k=5)
+    )
 
 
 @register("embedding_near_dups")  # rows-only: LSH hyperplanes are not SQL-expressible
