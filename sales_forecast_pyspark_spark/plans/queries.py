@@ -1529,11 +1529,52 @@ def q_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification on bucket-mate candidates — the scale path (signature
     groupBy + equality joins; no similarity scan). Deterministic:
     xxhash64 is seed-free. Recall vs the exact query is tested in
-    tests/test_llmdata.py."""
-    from sales_forecast_pyspark_spark.llmdata import minhash_near_dedup
+    tests/test_llmdata.py.
+
+    Self-validating driver row (VERDICT r07 #4, same pattern as
+    embedding_near_dups): exact n-gram-Jaccard truth over a BOUNDED
+    sample (doc_id < 300) at jaccard >= 0.9 — deep in the banding
+    S-curve where P(miss) ≈ 2e-4 and, with seed-free xxhash64,
+    deterministic — joined against the minhash output. Every row
+    carries sample_truth_pairs / sample_missed_pairs / sample_recall,
+    so a banding or signature regression flips a visible column in
+    the driver record."""
+    from sales_forecast_pyspark_spark.llmdata import (
+        minhash_near_dedup,
+        ngram_jaccard_pairs,
+    )
 
     docs = read_table(spark, sf_dir, "documents")
-    return minhash_near_dedup(docs, "doc_id", "text", threshold=0.5)
+    out = minhash_near_dedup(docs, "doc_id", "text", threshold=0.5)
+    sample = docs.filter(F.col("doc_id") < 300)
+    truth = ngram_jaccard_pairs(
+        sample, "doc_id", "text", n=3, threshold=0.9
+    ).select("doc_a", "doc_b")
+    missed = truth.join(
+        out.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti"
+    )
+    audit = (
+        truth.agg(F.count(F.lit(1)).alias("sample_truth_pairs"))
+        .crossJoin(
+            F.broadcast(
+                missed.agg(F.count(F.lit(1)).alias("sample_missed_pairs"))
+            )
+        )
+        .select(
+            "sample_truth_pairs",
+            "sample_missed_pairs",
+            F.when(
+                F.col("sample_truth_pairs") > 0,
+                F.round(
+                    1
+                    - F.col("sample_missed_pairs")
+                    / F.col("sample_truth_pairs"),
+                    6,
+                ),
+            ).alias("sample_recall"),
+        )
+    )
+    return out.crossJoin(F.broadcast(audit)).orderBy("doc_a", "doc_b")
 
 
 @register("near_dedup_survivors")  # rows-only: composes the xxhash64 MinHash path

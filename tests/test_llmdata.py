@@ -523,3 +523,19 @@ def test_cluster_aware_split_keeps_clusters_whole(spark):
     rerun = cluster_aware_split(docs, clusters, val_pct=10)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, rerun.collect()))
     out.unpersist()
+
+
+def test_near_dedup_minhash_driver_row_carries_truth_audit(spark):
+    """VERDICT r07 #4 pattern: the registered minhash row must carry
+    the bounded-sample exact-truth audit, and on this corpus (planted
+    dups at jaccard~0.98, deep in the banding S-curve, seed-free
+    hashes) the sampled recall is deterministically 1.0."""
+    from sales_forecast_pyspark_spark.plans.queries import QUERIES
+    from tests.conftest import SF_ORACLE
+
+    rows = QUERIES["near_dedup_minhash"].builder(spark, SF_ORACLE).collect()
+    assert rows
+    r = rows[0]
+    assert r["sample_truth_pairs"] > 0
+    assert r["sample_missed_pairs"] == 0, r
+    assert r["sample_recall"] == 1.0

@@ -48,6 +48,7 @@ BNLJ_DECLARED = {
     # bounded-sample exact-truth audit (vec_id < 300 all-pairs, ~44 KB
     # broadcast at any SF) + its 1-row audit crossJoin (VERDICT r07 #4)
     "embedding_near_dups",
+    "near_dedup_minhash",  # its 1-row sampled-truth audit crossJoin
 }
 
 AUDITABLE = [n for n in QUERIES if n not in SKIP]
