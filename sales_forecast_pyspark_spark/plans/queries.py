@@ -2701,15 +2701,13 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(b, "id_b")
         .select("id_a", "id_b", F.round(cosine_similarity("va", "vb"), 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.45)
-        # NOT cached, deliberately (code-review r08, both directions
-        # weighed): the frame feeds both the output and the audit's
-        # found/missed branch, so the LSH join computes twice per
-        # action — but a builder-level cache() would pin an
-        # output-mass-sized frame for the session's lifetime with no
-        # unpersist path AND register a CacheManager entry on every
-        # plan-only build (the plan-invariant tests build all queries).
-        # The double-compute is bounded (driver runs this once per
-        # sweep at sf0.01; the query is not benched).
+        # NOT cached (code-review r08): a builder-level cache() would
+        # pin an output-mass-sized frame for the session's lifetime
+        # with no unpersist path AND register a CacheManager entry on
+        # every plan-only build (the plan-invariant tests build all
+        # queries). The audit below runs the LSH path on the bounded
+        # SAMPLE instead of re-reading this frame, so nothing computes
+        # twice over the corpus.
     )
     # sampled exact truth: bounded all-pairs within the sample only
     sample = e.filter(F.col("vec_id") < 300)
@@ -2728,11 +2726,28 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("tcos") >= 0.45)
     )
-    found = out.select(
-        F.least("id_a", "id_b").alias("id_a"),
-        F.greatest("id_a", "id_b").alias("id_b"),
-    ).distinct()
-    missed = truth.join(found, ["id_a", "id_b"], "left_anti")
+    # audit side runs the SAME LSH pipeline on the sample alone:
+    # BRP-LSH hash functions depend only on (seed, input dim,
+    # bucket_length) — fit() draws random unit vectors from the seed
+    # and never reads the vectors beyond their dimension — so a
+    # sample-run buckets a within-sample pair together iff the full
+    # run does, and the audit's cost scales with the sample instead
+    # of re-executing the corpus LSH subtree via `out`.
+    found_sample = (
+        lsh_similarity_join(
+            emb.filter(F.col("vec_id") < 300), distance_threshold=1.2
+        )
+        .join(sample.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va")), "id_a")
+        .join(sample.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity("va", "vb"), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.45)
+        .select("id_a", "id_b")
+    )
+    missed = truth.join(found_sample, ["id_a", "id_b"], "left_anti")
     audit = (
         truth.agg(F.count(F.lit(1)).alias("sample_truth_pairs"))
         .crossJoin(
