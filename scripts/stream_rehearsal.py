@@ -1,0 +1,268 @@
+"""Streaming-tier scale rehearsal: measured evidence for SCALING.md's
+"Streaming" claims, one-to-two decades above the driver's test scale.
+
+The batch tiers got measured rehearsal decades in r08
+(scripts/scale_rehearsal.py); this script extends the same discipline
+to the three production-shaped streaming paths, which until now were
+covered by pytest equivalence at sf0.001 only:
+
+1. ``windowed_totals`` — the built-in watermarked tumbling-window
+   aggregation (complete mode). The scale claim: aggregation state
+   scales with the WINDOW GRID (date-range hours x event types), not
+   with input rows — 10x events over the same date range must hold
+   state rows flat. Drained output is compared against the batch twin
+   (same expressions), so the run doubles as a batch-stream
+   equivalence check at scale.
+2. ``attribution`` — the applyInPandasWithState last-touch operator.
+   The scale claim: per-user state is ONE tuple, so state rows track
+   DISTINCT USERS (10x here, by the generator's key remap) while
+   bytes/user stay flat, and throughput (rows/s) holds as the corpus
+   grows. Output goes to the noop sink — this path measures the
+   stateful engine, not a driver collect. No cross-batch ordering is
+   assumed by the measurement: unordered part-files mean late touches
+   may mis-attribute (the documented limitation whose remedy is
+   ``reconcile_late_attribution``); emission COUNT still equals the
+   conversion count, which is asserted via observe() metrics.
+3. ``partials_fold`` — the foreachBatch incremental panel maintenance
+   (versioned decimal partials). The scale claims: per-fold cost is
+   bounded by STATE SIZE (panel grain), not log length, and the final
+   state finalizes bit-equal to a one-shot batch rebuild — asserted
+   here via an exceptAll diff at full scale, the same gate the sf0.001
+   pytest pins.
+
+Usage (generate rehearsal data first — scripts/scale_rehearsal.py gen):
+
+    python scripts/stream_rehearsal.py --dirs /root/testdata/sf0.1 .rehearsal/sf1x
+
+Prints one JSON line per (scale, path) with wall_s / input_rows /
+rows_per_s / n_batches / state rows+bytes / equivalence flags, then a
+single summary JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _stream_table(spark: SparkSession, sf_dir: str, table: str, files_per_trigger: int):
+    """File-source stream over <sf_dir>/<table>.parquet, handling both
+    layouts the repo ships: the driver testdata's single FILE (one
+    micro-batch) and the rehearsal generator's DIRECTORY of part-files
+    (``maxFilesPerTrigger`` then forces a multi-batch drain, which is
+    what makes cross-batch state carry measurable)."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(files_per_trigger))
+    if os.path.isfile(path):
+        return reader.option("pathGlobFilter", f"{table}.parquet").parquet(sf_dir)
+    return reader.parquet(path)
+
+
+def _drain(sdf: DataFrame, *, fmt: str, name: str | None = None,
+           output_mode: str = "append", ckpt: str | None = None):
+    """Run a streaming frame to completion (availableNow) and return
+    (wall_s, progress list). Progress entries carry the per-batch input
+    rows, the state-store row/byte counts, and observe() metrics."""
+    w = sdf.writeStream.outputMode(output_mode).trigger(availableNow=True)
+    if name:
+        w = w.queryName(name)
+    if ckpt:
+        w = w.option("checkpointLocation", ckpt)
+    t0 = time.time()
+    q = w.format(fmt).start()
+    q.awaitTermination()
+    wall = time.time() - t0
+    progs = [json.loads(p.json) for p in q.recentProgress]
+    return wall, progs
+
+
+def _progress_stats(progs: list[dict]) -> dict:
+    rows = sum(int(p.get("numInputRows", 0)) for p in progs)
+    batches = sum(1 for p in progs if int(p.get("numInputRows", 0)) > 0)
+    state_rows = state_bytes = 0
+    for p in reversed(progs):
+        ops = p.get("stateOperators") or []
+        if ops:
+            state_rows = sum(int(o.get("numRowsTotal", 0)) for o in ops)
+            state_bytes = sum(int(o.get("memoryUsedBytes", 0)) for o in ops)
+            break
+    return {"input_rows": rows, "n_batches": batches,
+            "state_rows": state_rows, "state_bytes": state_bytes}
+
+
+def _frames_equal(a: DataFrame, b: DataFrame) -> bool:
+    """Exact multiset equality without a driver collect (the scaled
+    frames are panel-sized): two anti-diffs must both be empty."""
+    return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def run_windowed(spark, sf_dir, files_per_trigger) -> dict:
+    from sales_forecast_pyspark_spark.sources.readers import (
+        normalize_event_ts,
+        read_table,
+    )
+    from sales_forecast_pyspark_spark.streaming.stream_ops import (
+        windowed_event_totals,
+    )
+
+    src = normalize_event_ts(
+        _stream_table(spark, sf_dir, "events", files_per_trigger)
+    )
+    name = "rehearsal_windowed"
+    wall, progs = _drain(
+        windowed_event_totals(src), fmt="memory", name=name,
+        output_mode="complete",
+    )
+    out = {"path": "windowed_totals", "wall_s": round(wall, 2)}
+    out.update(_progress_stats(progs))
+    # batch twin: identical expressions on the batch scan — complete
+    # mode retains all state, so the drained table must match exactly.
+    batch = windowed_event_totals(read_table(spark, sf_dir, "events"))
+    out["matches_batch"] = _frames_equal(spark.table(name), batch)
+    return out
+
+
+def run_attribution(spark, sf_dir, files_per_trigger) -> dict:
+    from sales_forecast_pyspark_spark.sources.readers import (
+        normalize_event_ts,
+        read_table,
+    )
+    from sales_forecast_pyspark_spark.streaming.stream_ops import (
+        attribution_stream,
+    )
+
+    src = normalize_event_ts(
+        _stream_table(spark, sf_dir, "events", files_per_trigger)
+    )
+    # observe() rides INSIDE the running query: emission count without
+    # a driver-side sink (output goes to noop).
+    audited = attribution_stream(src).observe(
+        "attr_out", F.count(F.lit(1)).alias("n_out")
+    )
+    wall, progs = _drain(audited, fmt="noop")
+    out = {"path": "attribution", "wall_s": round(wall, 2)}
+    out.update(_progress_stats(progs))
+    emitted = sum(
+        int(p.get("observedMetrics", {}).get("attr_out", {}).get("n_out", 0))
+        for p in progs
+    )
+    events = read_table(spark, sf_dir, "events")
+    out["emitted"] = emitted
+    out["conversions"] = events.filter(
+        F.col("event_type") == "purchase"
+    ).count()
+    out["distinct_users"] = events.select("user_id").distinct().count()
+    out["emits_all_conversions"] = out["emitted"] == out["conversions"]
+    return out
+
+
+def run_partials_fold(spark, sf_dir, files_per_trigger) -> dict:
+    from sales_forecast_pyspark_spark.operators.aggregates import (
+        daily_rollup_partials,
+        finalize_daily_rollup,
+    )
+    from sales_forecast_pyspark_spark.sources.readers import read_table
+    from sales_forecast_pyspark_spark.streaming.stream_ops import (
+        maintain_partials_stream,
+        read_latest_partials,
+    )
+
+    keys = ["country", "stock", "ds"]
+    qty = "l_quantity"
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    price = F.col("l_extendedprice") / F.nullif(F.col("l_quantity"), F.lit(0))
+
+    def enrich(li):
+        sup = read_table(spark, sf_dir, "supplier")
+        nat = read_table(spark, sf_dir, "nation")
+        return (
+            li.join(sup, li.l_suppkey == sup.s_suppkey)
+            .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+            .select(
+                F.col("n_name").alias("country"),
+                F.col("l_partkey").alias("stock"),
+                F.col("l_shipdate").cast("date").alias("ds"),
+                "l_quantity", "l_extendedprice", "l_discount",
+            )
+        )
+
+    tmp = tempfile.mkdtemp(prefix="stream_rehearsal_")
+    try:
+        state, ckpt = os.path.join(tmp, "state"), os.path.join(tmp, "ckpt")
+        src = _stream_table(spark, sf_dir, "lineitem", files_per_trigger)
+        t0 = time.time()
+        q = maintain_partials_stream(
+            enrich(src), state, ckpt, keys, qty, rev, price
+        )
+        q.awaitTermination()
+        wall = time.time() - t0
+        progs = [json.loads(p.json) for p in q.recentProgress]
+        out = {"path": "partials_fold", "wall_s": round(wall, 2)}
+        out.update(_progress_stats(progs))
+        published = finalize_daily_rollup(read_latest_partials(spark, state), keys)
+        out["state_rows"] = published.count()  # external state: panel grain
+        truth = finalize_daily_rollup(
+            daily_rollup_partials(
+                enrich(read_table(spark, sf_dir, "lineitem")),
+                keys, qty, rev, price,
+            ),
+            keys,
+        )
+        out["matches_batch_rebuild"] = _frames_equal(published, truth)
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+PATHS = {
+    "windowed_totals": run_windowed,
+    "attribution": run_attribution,
+    "partials_fold": run_partials_fold,
+}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dirs", nargs="+",
+                    default=["/root/testdata/sf0.1", ".rehearsal/sf1x"])
+    ap.add_argument("--paths", nargs="+", default=list(PATHS),
+                    choices=list(PATHS))
+    ap.add_argument("--files-per-trigger", type=int, default=8)
+    args = ap.parse_args()
+
+    from sales_forecast_pyspark_spark.session import get_spark
+
+    spark = get_spark("stream-rehearsal")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    summary: dict[str, dict] = {}
+    for sf_dir in args.dirs:
+        label = os.path.basename(os.path.normpath(sf_dir))
+        summary[label] = {}
+        for path in args.paths:
+            res = PATHS[path](spark, sf_dir, args.files_per_trigger)
+            res.update(
+                {"scale": label,
+                 "rows_per_s": round(res["input_rows"] / res["wall_s"])
+                 if res["wall_s"] else None}
+            )
+            print(json.dumps(res), flush=True)
+            summary[label][path] = res
+    print(json.dumps({"summary": summary}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

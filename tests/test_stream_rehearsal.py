@@ -1,0 +1,40 @@
+"""Pins the streaming-rehearsal harness (scripts/stream_rehearsal.py)
+at tiny scale: all three measured paths must drain, report sane
+metrics, and hold their equivalence gates — otherwise the SCALING.md
+streaming table measures a broken harness. The timed sf0.1 / 10x runs
+stay script-only; this covers the LOGIC in seconds.
+"""
+
+from __future__ import annotations
+
+from scripts.stream_rehearsal import (
+    run_attribution,
+    run_partials_fold,
+    run_windowed,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_windowed_path_matches_batch_and_reports_state(spark):
+    res = run_windowed(spark, SF, files_per_trigger=1)
+    assert res["matches_batch"] is True
+    assert res["input_rows"] == 1000
+    # aggregation state = window grid (hours x event types), not rows
+    assert 0 < res["state_rows"] < res["input_rows"]
+    assert res["state_bytes"] > 0
+
+
+def test_attribution_path_emits_every_conversion_with_per_user_state(spark):
+    res = run_attribution(spark, SF, files_per_trigger=1)
+    assert res["emits_all_conversions"] is True
+    assert res["emitted"] == res["conversions"] > 0
+    # applyInPandasWithState: state rows == distinct users (one tuple each)
+    assert res["state_rows"] == res["distinct_users"] > 0
+
+
+def test_partials_fold_matches_batch_rebuild(spark):
+    res = run_partials_fold(spark, SF, files_per_trigger=1)
+    assert res["matches_batch_rebuild"] is True
+    assert res["input_rows"] == 6000
+    assert res["state_rows"] > 0  # published panel grain
