@@ -27,6 +27,44 @@ from sales_forecast_pyspark_spark.sources.readers import read_table
 # Panel grain and series keys, reused by every window/feature/ML stage.
 PANEL_KEYS = ["country", "stock"]
 PANEL_ORDER = "ds"
+# Full rollup grain + measure expressions — THE panel definition.
+# daily_panel (batch), daily_panel_stream (streaming twin), and the
+# streaming rehearsal harness all consume these same objects, so a
+# change to the panel's grain or money math propagates to every
+# surface that claims to compute "the panel" (code-review r08: the
+# definition was hand-copied in four places and could drift silently).
+PANEL_GRAIN = ["country", "stock", "ds"]
+PANEL_QTY_COL = "l_quantity"
+
+
+def panel_revenue_expr():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def panel_price_expr():
+    return F.col("l_extendedprice") / F.nullif(F.col("l_quantity"), F.lit(0))
+
+
+def enrich_for_panel(li: DataFrame, sup: DataFrame, nat: DataFrame) -> DataFrame:
+    """lineitem ⋈ supplier ⋈ nation → the panel's input columns.
+
+    Works on a batch OR streaming ``li`` (stream-static joins re-plan
+    the dims per micro-batch). nation (25 rows) is force-broadcast;
+    supplier is NOT — it scales with SF (at 100 TB it is GBs), so the
+    size-based planner + AQE pick the strategy: broadcast at test
+    scales, shuffle join beyond the threshold."""
+    return (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .select(
+            F.col("n_name").alias("country"),
+            F.col("l_partkey").alias("stock"),
+            F.col("l_shipdate").cast("date").alias("ds"),
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        )
+    )
 
 # The same table in ANSI SQL, shared by every DuckDB oracle query.
 # Money aggregates are computed via exact DECIMAL sums then cast to
@@ -63,28 +101,13 @@ def daily_panel(
     sup = read_table(spark, sf_dir, "supplier")
     nat = read_table(spark, sf_dir, "nation")
 
-    # nation (25 rows) is force-broadcast; supplier is NOT — it scales
-    # with SF (at 100 TB it is GBs), so the size-based planner + AQE
-    # pick the strategy: broadcast at test scales, shuffle join beyond
-    # the threshold.
-    enriched = (
-        li.join(sup, li.l_suppkey == sup.s_suppkey)
-        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
-        .select(
-            F.col("n_name").alias("country"),
-            F.col("l_partkey").alias("stock"),
-            F.col("l_shipdate").cast("date").alias("ds"),
-            "l_quantity",
-            "l_extendedprice",
-            "l_discount",
-        )
-    )
+    enriched = enrich_for_panel(li, sup, nat)
     panel = daily_rollup(
         enriched,
-        keys=["country", "stock", "ds"],
-        qty_col="l_quantity",
-        revenue_expr=F.col("l_extendedprice") * (1 - F.col("l_discount")),
-        price_expr=F.col("l_extendedprice") / F.nullif(F.col("l_quantity"), F.lit(0)),
+        keys=PANEL_GRAIN,
+        qty_col=PANEL_QTY_COL,
+        revenue_expr=panel_revenue_expr(),
+        price_expr=panel_price_expr(),
         exact=exact,
     )
     return with_calendar_columns(panel, "ds") if calendar else panel

@@ -1545,7 +1545,12 @@ def q_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = read_table(spark, sf_dir, "documents")
-    out = minhash_near_dedup(docs, "doc_id", "text", threshold=0.5)
+    # shared by the output path AND the sample-side audit below, so a
+    # call-site retune cannot leave the audit validating a different
+    # pipeline (code-review r08); the audit's 0.9 jaccard truth bar is
+    # intentionally tighter and stays separate
+    minhash_t = 0.5
+    out = minhash_near_dedup(docs, "doc_id", "text", threshold=minhash_t)
     sample = docs.filter(F.col("doc_id") < 300)
     truth = ngram_jaccard_pairs(
         sample, "doc_id", "text", n=3, threshold=0.9
@@ -1557,7 +1562,7 @@ def q_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scales with the sample, not with a second pass over the corpus
     # (referencing `out` here doubled the benched query's wall).
     found_sample = minhash_near_dedup(
-        sample, "doc_id", "text", threshold=0.5
+        sample, "doc_id", "text", threshold=minhash_t
     ).select("doc_a", "doc_b")
     missed = truth.join(found_sample, ["doc_a", "doc_b"], "left_anti")
     audit = (
@@ -2691,16 +2696,22 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sales_forecast_pyspark_spark.llmdata import lsh_similarity_join
     from sales_forecast_pyspark_spark.functions.vectors import cosine_similarity
 
+    # single source of truth for the pipeline's tuning, consumed by
+    # BOTH the output path and the sample-side audit below — a
+    # call-site retune cannot leave the audit validating a different
+    # pipeline (code-review r08)
+    dist_t, cos_t = 1.2, 0.45
+
     emb = spread_scan(read_table(spark, sf_dir, "embeddings"), "vec_id")
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    pairs = lsh_similarity_join(emb, distance_threshold=1.2)
+    pairs = lsh_similarity_join(emb, distance_threshold=dist_t)
     a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
     b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
     out = (
         pairs.join(a, "id_a")
         .join(b, "id_b")
         .select("id_a", "id_b", F.round(cosine_similarity("va", "vb"), 6).alias("cos_sim"))
-        .filter(F.col("cos_sim") >= 0.45)
+        .filter(F.col("cos_sim") >= cos_t)
         # NOT cached (code-review r08): a builder-level cache() would
         # pin an output-mass-sized frame for the session's lifetime
         # with no unpersist path AND register a CacheManager entry on
@@ -2724,7 +2735,7 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_b",
             F.round(cosine_similarity("va", "vb"), 6).alias("tcos"),
         )
-        .filter(F.col("tcos") >= 0.45)
+        .filter(F.col("tcos") >= cos_t)
     )
     # audit side runs the SAME LSH pipeline on the sample alone:
     # BRP-LSH hash functions depend only on (seed, input dim,
@@ -2735,7 +2746,7 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of re-executing the corpus LSH subtree via `out`.
     found_sample = (
         lsh_similarity_join(
-            emb.filter(F.col("vec_id") < 300), distance_threshold=1.2
+            emb.filter(F.col("vec_id") < 300), distance_threshold=dist_t
         )
         .join(sample.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va")), "id_a")
         .join(sample.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb")), "id_b")
@@ -2744,7 +2755,7 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_b",
             F.round(cosine_similarity("va", "vb"), 6).alias("cos_sim"),
         )
-        .filter(F.col("cos_sim") >= 0.45)
+        .filter(F.col("cos_sim") >= cos_t)
         .select("id_a", "id_b")
     )
     missed = truth.join(found_sample, ["id_a", "id_b"], "left_anti")

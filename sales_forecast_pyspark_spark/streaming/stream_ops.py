@@ -32,28 +32,48 @@ EVENTS_STREAM_SCHEMA = T.StructType(
 )
 
 
-def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _stream_source(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over ``<sf_dir>/<table>.parquet``, handling
+    both layouts the repo ships: the driver testdata's single FILE
+    (one micro-batch) and a DIRECTORY of part-files (the rehearsal
+    generator's layout — ``maxFilesPerTrigger`` then forces a
+    multi-batch drain, making cross-batch state carry real). The
+    declared schema comes from the existing footer (a driver-side
+    metadata read, not a data scan) — in production this is the
+    table's registered schema."""
+    import os
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(files_per_trigger))
+    if os.path.isfile(path):
+        return reader.option(
+            "pathGlobFilter", f"{table}.parquet"
+        ).parquet(sf_dir)
+    return reader.parquet(path)
+
+
+def stream_events(
+    spark: SparkSession, sf_dir: str, files_per_trigger: int | None = None
+) -> DataFrame:
     """File-source stream over the events parquet (each file = one
     micro-batch under availableNow; in production this is a directory
     that accumulates files, or a Kafka source with the same schema).
-
-    The declared schema comes from the existing file's footer (a
-    driver-side metadata read, not a data scan — same pattern as
-    ``stream_lineitem``) so the stream works against every ts encoding
-    the generator has shipped; ``normalize_event_ts`` then canonicalizes
-    ts to TIMESTAMP exactly like the batch scan layer."""
-    import os
-
+    ``normalize_event_ts`` canonicalizes ts to TIMESTAMP exactly like
+    the batch scan layer, for every ts encoding the generator has
+    shipped."""
     from sales_forecast_pyspark_spark.sources.readers import normalize_event_ts
 
-    path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
-    raw = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    return normalize_event_ts(
+        _stream_source(spark, sf_dir, "events", files_per_trigger)
     )
-    return normalize_event_ts(raw)
 
 
 def windowed_event_totals(
@@ -431,22 +451,14 @@ def run_available_now(
     return df.sparkSession.table(query_name)
 
 
-def stream_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the lineitem parquet. The schema is read
-    once from the existing file footer (driver-side metadata read, not a
-    data scan) — in production this is the table's registered schema.
-    New files landing in the directory become micro-batches; with
-    ``availableNow`` the current contents drain as one bounded run, the
-    standard backfill-then-tail pattern."""
-    import os
-
-    path = os.path.join(sf_dir, "lineitem.parquet")
-    schema = spark.read.parquet(path).schema
-    return (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "lineitem.parquet")
-        .parquet(sf_dir)
-    )
+def stream_lineitem(
+    spark: SparkSession, sf_dir: str, files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over the lineitem parquet. New files landing
+    in the directory become micro-batches; with ``availableNow`` the
+    current contents drain as one bounded run, the standard
+    backfill-then-tail pattern."""
+    return _stream_source(spark, sf_dir, "lineitem", files_per_trigger)
 
 
 def daily_panel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -462,29 +474,24 @@ def daily_panel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     with unbounded-but-small state (one row per (country, stock, day)
     triple, the PANEL grain, not the event grain)."""
     from sales_forecast_pyspark_spark.operators.aggregates import daily_rollup
+    from sales_forecast_pyspark_spark.plans.panel import (
+        PANEL_GRAIN,
+        PANEL_QTY_COL,
+        enrich_for_panel,
+        panel_price_expr,
+        panel_revenue_expr,
+    )
     from sales_forecast_pyspark_spark.sources.readers import read_table
 
     li = stream_lineitem(spark, sf_dir)
     sup = read_table(spark, sf_dir, "supplier")
     nat = read_table(spark, sf_dir, "nation")
-    enriched = (
-        li.join(sup, li.l_suppkey == sup.s_suppkey)
-        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
-        .select(
-            F.col("n_name").alias("country"),
-            F.col("l_partkey").alias("stock"),
-            F.col("l_shipdate").cast("date").alias("ds"),
-            "l_quantity",
-            "l_extendedprice",
-            "l_discount",
-        )
-    )
     return daily_rollup(
-        enriched,
-        keys=["country", "stock", "ds"],
-        qty_col="l_quantity",
-        revenue_expr=F.col("l_extendedprice") * (1 - F.col("l_discount")),
-        price_expr=F.col("l_extendedprice") / F.nullif(F.col("l_quantity"), F.lit(0)),
+        enrich_for_panel(li, sup, nat),
+        keys=PANEL_GRAIN,
+        qty_col=PANEL_QTY_COL,
+        revenue_expr=panel_revenue_expr(),
+        price_expr=panel_price_expr(),
     )
 
 

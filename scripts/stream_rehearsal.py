@@ -51,31 +51,24 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import DataFrame  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
-
-
-def _stream_table(spark: SparkSession, sf_dir: str, table: str, files_per_trigger: int):
-    """File-source stream over <sf_dir>/<table>.parquet, handling both
-    layouts the repo ships: the driver testdata's single FILE (one
-    micro-batch) and the rehearsal generator's DIRECTORY of part-files
-    (``maxFilesPerTrigger`` then forces a multi-batch drain, which is
-    what makes cross-batch state carry measurable)."""
-    path = os.path.join(sf_dir, f"{table}.parquet")
-    schema = spark.read.parquet(path).schema
-    reader = spark.readStream.schema(schema)
-    if files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", str(files_per_trigger))
-    if os.path.isfile(path):
-        return reader.option("pathGlobFilter", f"{table}.parquet").parquet(sf_dir)
-    return reader.parquet(path)
 
 
 def _drain(sdf: DataFrame, *, fmt: str, name: str | None = None,
            output_mode: str = "append", ckpt: str | None = None):
     """Run a streaming frame to completion (availableNow) and return
     (wall_s, progress list). Progress entries carry the per-batch input
-    rows, the state-store row/byte counts, and observe() metrics."""
+    rows, the state-store row/byte counts, and observe() metrics.
+
+    All totals are summed from ``recentProgress``, a ring buffer capped
+    at ``spark.sql.streaming.numRecentProgressUpdates`` — the conf is
+    raised before the run and a hard guard fails LOUDLY if a drain
+    still produced more batches than the buffer holds (silent
+    undercount would corrupt the SCALING.md evidence table)."""
+    spark = sdf.sparkSession
+    cap_conf = "spark.sql.streaming.numRecentProgressUpdates"
+    spark.conf.set(cap_conf, "10000")
     w = sdf.writeStream.outputMode(output_mode).trigger(availableNow=True)
     if name:
         w = w.queryName(name)
@@ -86,6 +79,12 @@ def _drain(sdf: DataFrame, *, fmt: str, name: str | None = None,
     q.awaitTermination()
     wall = time.time() - t0
     progs = [json.loads(p.json) for p in q.recentProgress]
+    if len(progs) >= int(spark.conf.get(cap_conf)):
+        raise RuntimeError(
+            f"drain produced >= {cap_conf}={spark.conf.get(cap_conf)} "
+            "progress updates — totals would silently undercount; raise "
+            "the conf or use fewer, larger micro-batches"
+        )
     return wall, progs
 
 
@@ -110,17 +109,13 @@ def _frames_equal(a: DataFrame, b: DataFrame) -> bool:
 
 
 def run_windowed(spark, sf_dir, files_per_trigger) -> dict:
-    from sales_forecast_pyspark_spark.sources.readers import (
-        normalize_event_ts,
-        read_table,
-    )
+    from sales_forecast_pyspark_spark.sources.readers import read_table
     from sales_forecast_pyspark_spark.streaming.stream_ops import (
+        stream_events,
         windowed_event_totals,
     )
 
-    src = normalize_event_ts(
-        _stream_table(spark, sf_dir, "events", files_per_trigger)
-    )
+    src = stream_events(spark, sf_dir, files_per_trigger)
     name = "rehearsal_windowed"
     wall, progs = _drain(
         windowed_event_totals(src), fmt="memory", name=name,
@@ -136,17 +131,13 @@ def run_windowed(spark, sf_dir, files_per_trigger) -> dict:
 
 
 def run_attribution(spark, sf_dir, files_per_trigger) -> dict:
-    from sales_forecast_pyspark_spark.sources.readers import (
-        normalize_event_ts,
-        read_table,
-    )
+    from sales_forecast_pyspark_spark.sources.readers import read_table
     from sales_forecast_pyspark_spark.streaming.stream_ops import (
         attribution_stream,
+        stream_events,
     )
 
-    src = normalize_event_ts(
-        _stream_table(spark, sf_dir, "events", files_per_trigger)
-    )
+    src = stream_events(spark, sf_dir, files_per_trigger)
     # observe() rides INSIDE the running query: emission count without
     # a driver-side sink (output goes to noop).
     audited = attribution_stream(src).observe(
@@ -165,7 +156,19 @@ def run_attribution(spark, sf_dir, files_per_trigger) -> dict:
         F.col("event_type") == "purchase"
     ).count()
     out["distinct_users"] = events.select("user_id").distinct().count()
+    # the operator only writes state for users with >= 1 TOUCH event
+    # (a purchase-only user emits rows but leaves no state), so the
+    # state-claim comparison anchors on touch users — equality with
+    # distinct_users is a corpus property, not an operator guarantee
+    # (code-review r08).
+    out["touch_users"] = (
+        events.filter(F.col("event_type").isin("view", "click", "signup"))
+        .select("user_id")
+        .distinct()
+        .count()
+    )
     out["emits_all_conversions"] = out["emitted"] == out["conversions"]
+    out["state_is_per_touch_user"] = out["state_rows"] == out["touch_users"]
     return out
 
 
@@ -174,35 +177,36 @@ def run_partials_fold(spark, sf_dir, files_per_trigger) -> dict:
         daily_rollup_partials,
         finalize_daily_rollup,
     )
+    from sales_forecast_pyspark_spark.plans.panel import (
+        PANEL_GRAIN,
+        PANEL_QTY_COL,
+        enrich_for_panel,
+        panel_price_expr,
+        panel_revenue_expr,
+    )
     from sales_forecast_pyspark_spark.sources.readers import read_table
     from sales_forecast_pyspark_spark.streaming.stream_ops import (
         maintain_partials_stream,
         read_latest_partials,
+        stream_lineitem,
     )
 
-    keys = ["country", "stock", "ds"]
-    qty = "l_quantity"
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    price = F.col("l_extendedprice") / F.nullif(F.col("l_quantity"), F.lit(0))
+    # THE panel definition, imported — not hand-copied — so this
+    # harness always measures the production panel (code-review r08).
+    keys = PANEL_GRAIN
+    qty = PANEL_QTY_COL
+    rev = panel_revenue_expr()
+    price = panel_price_expr()
 
     def enrich(li):
         sup = read_table(spark, sf_dir, "supplier")
         nat = read_table(spark, sf_dir, "nation")
-        return (
-            li.join(sup, li.l_suppkey == sup.s_suppkey)
-            .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
-            .select(
-                F.col("n_name").alias("country"),
-                F.col("l_partkey").alias("stock"),
-                F.col("l_shipdate").cast("date").alias("ds"),
-                "l_quantity", "l_extendedprice", "l_discount",
-            )
-        )
+        return enrich_for_panel(li, sup, nat)
 
     tmp = tempfile.mkdtemp(prefix="stream_rehearsal_")
     try:
         state, ckpt = os.path.join(tmp, "state"), os.path.join(tmp, "ckpt")
-        src = _stream_table(spark, sf_dir, "lineitem", files_per_trigger)
+        src = stream_lineitem(spark, sf_dir, files_per_trigger)
         t0 = time.time()
         q = maintain_partials_stream(
             enrich(src), state, ckpt, keys, qty, rev, price

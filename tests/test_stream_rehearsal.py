@@ -29,8 +29,12 @@ def test_attribution_path_emits_every_conversion_with_per_user_state(spark):
     res = run_attribution(spark, SF, files_per_trigger=1)
     assert res["emits_all_conversions"] is True
     assert res["emitted"] == res["conversions"] > 0
-    # applyInPandasWithState: state rows == distinct users (one tuple each)
-    assert res["state_rows"] == res["distinct_users"] > 0
+    # applyInPandasWithState: one state tuple per user with >= 1 TOUCH
+    # event — anchoring on distinct_users would be a corpus property,
+    # not an operator guarantee (a purchase-only user emits rows but
+    # leaves no state)
+    assert res["state_is_per_touch_user"] is True
+    assert res["state_rows"] == res["touch_users"] > 0
 
 
 def test_partials_fold_matches_batch_rebuild(spark):
