@@ -24,6 +24,13 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# The attribution family's touch/conversion taxonomy — single source
+# of truth shared by touch_attribution, last_touch_rows, the streaming
+# attribution_stream, and the rehearsal harness (code-review r08:
+# the tuple was hand-copied at four sites and could drift).
+DEFAULT_TOUCH_TYPES: tuple[str, ...] = ("view", "click", "signup")
+DEFAULT_CONVERSION_TYPE = "purchase"
+
 
 def _window(keys: Sequence[str], order_col: str):
     return Window.partitionBy(*keys).orderBy(order_col)
@@ -356,8 +363,8 @@ def series_autocorr(
 
 def touch_attribution(
     events: DataFrame,
-    touch_types: Sequence[str] = ("view", "click", "signup"),
-    conversion_type: str = "purchase",
+    touch_types: Sequence[str] = DEFAULT_TOUCH_TYPES,
+    conversion_type: str = DEFAULT_CONVERSION_TYPE,
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
@@ -416,8 +423,8 @@ def touch_attribution(
 
 def last_touch_rows(
     events: DataFrame,
-    touch_types: Sequence[str] = ("view", "click", "signup"),
-    conversion_type: str = "purchase",
+    touch_types: Sequence[str] = DEFAULT_TOUCH_TYPES,
+    conversion_type: str = DEFAULT_CONVERSION_TYPE,
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",

@@ -16,6 +16,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from sales_forecast_pyspark_spark.operators.windows import (
+    DEFAULT_CONVERSION_TYPE,
+    DEFAULT_TOUCH_TYPES,
+)
+
 # Streaming scans require a declared schema (no inference mid-stream).
 # The canonical post-normalization events schema; the physical parquet
 # may store ts as long nanos or timestamp[us] — stream_events reads the
@@ -574,8 +579,8 @@ def read_latest_partials(spark: SparkSession, state_dir: str) -> DataFrame:
 
 def attribution_stream(
     events: DataFrame,
-    touch_types: tuple[str, ...] = ("view", "click", "signup"),
-    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = DEFAULT_TOUCH_TYPES,
+    conversion_type: str = DEFAULT_CONVERSION_TYPE,
 ) -> DataFrame:
     """Streaming last-touch attribution via ``applyInPandasWithState``:
     per user the state is ONE tuple (last touch type, its event-time
@@ -651,8 +656,8 @@ def reconcile_late_attribution(
     stream_out: DataFrame,
     events: DataFrame,
     late_events: DataFrame,
-    touch_types: tuple[str, ...] = ("view", "click", "signup"),
-    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = DEFAULT_TOUCH_TYPES,
+    conversion_type: str = DEFAULT_CONVERSION_TYPE,
     max_affected_users: int = 2_000_000,
 ) -> DataFrame:
     """Batch reprocessing path for ``attribution_stream``'s documented

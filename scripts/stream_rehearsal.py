@@ -55,20 +55,42 @@ from pyspark.sql import DataFrame  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 
+_PROGRESS_CAP_CONF = "spark.sql.streaming.numRecentProgressUpdates"
+
+
+def _raise_progress_retention(spark) -> None:
+    """All totals below are summed from ``recentProgress``, a ring
+    buffer capped at this conf (Spark retains at most cap-1 entries) —
+    raise it BEFORE starting any measured query."""
+    spark.conf.set(_PROGRESS_CAP_CONF, "10000")
+
+
+def _collect_progress(q) -> list[dict]:
+    """Progress entries for a drained query, with a hard guard against
+    silent ring-buffer truncation: every rehearsal query runs on a
+    fresh checkpoint, so batch ids start at 0 — a first retained entry
+    with batchId > 0 means the buffer dropped the head and any summed
+    total (input_rows, observe() counts) would be undercounted. This
+    anchors on batchId rather than len(progs) because Spark's
+    ProgressReporter dequeues down to cap-1 entries, making a
+    ``len >= cap`` check unreachable (code-review r08)."""
+    progs = [json.loads(p.json) for p in q.recentProgress]
+    if progs and int(progs[0].get("batchId", 0)) != 0:
+        raise RuntimeError(
+            "recentProgress dropped early batches (first retained "
+            f"batchId={progs[0].get('batchId')}) — totals would silently "
+            f"undercount; raise {_PROGRESS_CAP_CONF} or use fewer, larger "
+            "micro-batches"
+        )
+    return progs
+
+
 def _drain(sdf: DataFrame, *, fmt: str, name: str | None = None,
            output_mode: str = "append", ckpt: str | None = None):
     """Run a streaming frame to completion (availableNow) and return
     (wall_s, progress list). Progress entries carry the per-batch input
-    rows, the state-store row/byte counts, and observe() metrics.
-
-    All totals are summed from ``recentProgress``, a ring buffer capped
-    at ``spark.sql.streaming.numRecentProgressUpdates`` — the conf is
-    raised before the run and a hard guard fails LOUDLY if a drain
-    still produced more batches than the buffer holds (silent
-    undercount would corrupt the SCALING.md evidence table)."""
-    spark = sdf.sparkSession
-    cap_conf = "spark.sql.streaming.numRecentProgressUpdates"
-    spark.conf.set(cap_conf, "10000")
+    rows, the state-store row/byte counts, and observe() metrics."""
+    _raise_progress_retention(sdf.sparkSession)
     w = sdf.writeStream.outputMode(output_mode).trigger(availableNow=True)
     if name:
         w = w.queryName(name)
@@ -78,14 +100,7 @@ def _drain(sdf: DataFrame, *, fmt: str, name: str | None = None,
     q = w.format(fmt).start()
     q.awaitTermination()
     wall = time.time() - t0
-    progs = [json.loads(p.json) for p in q.recentProgress]
-    if len(progs) >= int(spark.conf.get(cap_conf)):
-        raise RuntimeError(
-            f"drain produced >= {cap_conf}={spark.conf.get(cap_conf)} "
-            "progress updates — totals would silently undercount; raise "
-            "the conf or use fewer, larger micro-batches"
-        )
-    return wall, progs
+    return wall, _collect_progress(q)
 
 
 def _progress_stats(progs: list[dict]) -> dict:
@@ -133,6 +148,8 @@ def run_windowed(spark, sf_dir, files_per_trigger) -> dict:
 def run_attribution(spark, sf_dir, files_per_trigger) -> dict:
     from sales_forecast_pyspark_spark.sources.readers import read_table
     from sales_forecast_pyspark_spark.streaming.stream_ops import (
+        DEFAULT_CONVERSION_TYPE,
+        DEFAULT_TOUCH_TYPES,
         attribution_stream,
         stream_events,
     )
@@ -146,27 +163,33 @@ def run_attribution(spark, sf_dir, files_per_trigger) -> dict:
     wall, progs = _drain(audited, fmt="noop")
     out = {"path": "attribution", "wall_s": round(wall, 2)}
     out.update(_progress_stats(progs))
-    emitted = sum(
+    out["emitted"] = sum(
         int(p.get("observedMetrics", {}).get("attr_out", {}).get("n_out", 0))
         for p in progs
     )
+    # one aggregation pass over the batch events table for all three
+    # reference counts (code-review r08: was four separate scans). The
+    # touch/conversion taxonomy is IMPORTED from the operator family's
+    # single source of truth, not hand-copied — a retune cannot leave
+    # this harness checking a different taxonomy.
     events = read_table(spark, sf_dir, "events")
-    out["emitted"] = emitted
-    out["conversions"] = events.filter(
-        F.col("event_type") == "purchase"
-    ).count()
-    out["distinct_users"] = events.select("user_id").distinct().count()
+    ref = events.agg(
+        F.count(F.when(F.col("event_type") == DEFAULT_CONVERSION_TYPE, 1)
+                ).alias("conversions"),
+        F.countDistinct("user_id").alias("distinct_users"),
+        F.countDistinct(
+            F.when(F.col("event_type").isin(*DEFAULT_TOUCH_TYPES),
+                   F.col("user_id"))
+        ).alias("touch_users"),
+    ).first()
+    out["conversions"] = ref["conversions"]
+    out["distinct_users"] = ref["distinct_users"]
     # the operator only writes state for users with >= 1 TOUCH event
     # (a purchase-only user emits rows but leaves no state), so the
     # state-claim comparison anchors on touch users — equality with
     # distinct_users is a corpus property, not an operator guarantee
     # (code-review r08).
-    out["touch_users"] = (
-        events.filter(F.col("event_type").isin("view", "click", "signup"))
-        .select("user_id")
-        .distinct()
-        .count()
-    )
+    out["touch_users"] = ref["touch_users"]
     out["emits_all_conversions"] = out["emitted"] == out["conversions"]
     out["state_is_per_touch_user"] = out["state_rows"] == out["touch_users"]
     return out
@@ -207,13 +230,17 @@ def run_partials_fold(spark, sf_dir, files_per_trigger) -> dict:
     try:
         state, ckpt = os.path.join(tmp, "state"), os.path.join(tmp, "ckpt")
         src = stream_lineitem(spark, sf_dir, files_per_trigger)
+        # foreachBatch builds its own writeStream, bypassing _drain —
+        # the retention raise and truncation guard must still apply
+        # (code-review r08: this path had neither).
+        _raise_progress_retention(spark)
         t0 = time.time()
         q = maintain_partials_stream(
             enrich(src), state, ckpt, keys, qty, rev, price
         )
         q.awaitTermination()
         wall = time.time() - t0
-        progs = [json.loads(p.json) for p in q.recentProgress]
+        progs = _collect_progress(q)
         out = {"path": "partials_fold", "wall_s": round(wall, 2)}
         out.update(_progress_stats(progs))
         published = finalize_daily_rollup(read_latest_partials(spark, state), keys)
