@@ -2660,9 +2660,13 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-query exact truth (VERDICT r07 #4). n_probe=6 (not the operator
     default 4) because the audited pooled recall sat at 0.55 with 4
     probes — one bad seeded-KMeans draw from flipping recall_ok red;
-    6 probes measure 0.61 (the plateau: past that, PQ quantization
-    error is the limiter, not cell coverage) at 6/16 of the corpus
-    ADC-scored per query, still cell-restricted."""
+    6 probes measure 0.61 at 6/16 of the corpus ADC-scored per query,
+    still cell-restricted. The r08 scale rehearsal then identified the
+    ADC->refine funnel (not cell coverage) as the limiter on denser
+    corpora — recall at 600k vectors recovered 0.22 -> 0.62 by
+    widening refine_factor, which is why the operator default is now
+    32 (free: the exact re-rank mass is k x refine_factor rows per
+    query)."""
     from sales_forecast_pyspark_spark.llmdata.similarity import (
         cosine_topk,
         ivfpq_topk,
