@@ -393,7 +393,7 @@ def pq_topk(
     k: int = 5,
     m: int = 8,
     codebook_k: int = 32,
-    refine_factor: int = 32,
+    refine_factor: int = 64,
     seed: int = 42,
 ) -> DataFrame:
     """Product-quantization approximate top-k (Jégou/Douze/Schmid,
@@ -420,15 +420,17 @@ def pq_topk(
     reach ~0.7 recall@5 on the synthetic embeddings corpus
     (tests/test_similarity.py pins >= 0.5, IVF's bar).
 
-    ``refine_factor`` defaults to 32 (not the textbook 4) because the
+    ``refine_factor`` defaults to 64 (not the textbook 4) because the
     r08 scale rehearsal measured the ADC->refine funnel — not cell
     coverage or codebook size — as the recall limiter once the corpus
     densifies: at 600k structureless vectors, refine=4 scored 0.22
-    pooled recall even probing 87% of the corpus, refine=64 scored
-    0.62 at n_probe=6 with NO wall-clock increase (the exact re-rank
-    of k x refine_factor rows is trivial next to the ADC pass). On a
-    corpus with real cluster structure the funnel is far less binding,
-    but the wide default costs nothing and degrades gracefully.
+    pooled recall even probing 87% of the corpus; refine=32 sat ON
+    the 0.5 bar (0.48-0.49 at 200k/600k — one KMeans draw from
+    flipping); refine=64 scored 0.62 at n_probe=6 with NO wall-clock
+    increase (the exact re-rank of k x refine_factor rows is trivial
+    next to the ADC pass). On a corpus with real cluster structure
+    the funnel is far less binding, but the wide default costs
+    nothing and degrades gracefully.
     Output: (query_id, neighbor_id, cos_sim, rank) like cosine_topk."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -553,7 +555,7 @@ def ivfpq_topk(
     n_probe: int = 4,
     m: int = 8,
     codebook_k: int = 32,
-    refine_factor: int = 32,
+    refine_factor: int = 64,
     seed: int = 42,
 ) -> DataFrame:
     """IVF-PQ approximate top-k — the composition of the two scale
@@ -570,7 +572,7 @@ def ivfpq_topk(
     a query touches ~n_probe/n_centroids of the corpus, reads only
     codes, and computes m lookups per candidate; the
     k x refine_factor survivors are re-ranked with exact cosine
-    (refine_factor defaults to 32 — see ``pq_topk`` for the measured
+    (refine_factor defaults to 64 — see ``pq_topk`` for the measured
     rationale: the ADC->refine funnel, not cell coverage, limits
     recall on a dense corpus, and widening it is free).
     Codebooks are shared across cells (trained on the pooled

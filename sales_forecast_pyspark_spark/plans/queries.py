@@ -2665,8 +2665,9 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ADC->refine funnel (not cell coverage) as the limiter on denser
     corpora — recall at 600k vectors recovered 0.22 -> 0.62 by
     widening refine_factor, which is why the operator default is now
-    32 (free: the exact re-rank mass is k x refine_factor rows per
-    query)."""
+    64 (free: the exact re-rank mass is k x refine_factor rows per
+    query; 32 measured ON the 0.5 bar at 200k+ vectors, too fragile
+    for a default)."""
     from sales_forecast_pyspark_spark.llmdata.similarity import (
         cosine_topk,
         ivfpq_topk,
