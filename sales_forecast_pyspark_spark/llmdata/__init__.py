@@ -33,6 +33,7 @@ from sales_forecast_pyspark_spark.llmdata.similarity import (
     dequantize_embeddings,
     group_centroids,
     ivf_topk,
+    lsh_pairs_topk,
     lsh_similarity_join,
     quantize_embeddings,
 )
@@ -75,6 +76,7 @@ __all__ = [
     "extract_features",
     "fake_decode",
     "ivf_topk",
+    "lsh_pairs_topk",
     "lsh_similarity_join",
     "fingerprint_expr",
     "group_centroids",

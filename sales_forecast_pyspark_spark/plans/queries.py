@@ -91,6 +91,34 @@ def oracle_sql() -> dict[str, str]:
     return {name: q.oracle for name, q in QUERIES.items() if q.oracle is not None}
 
 
+def _anchored_audit_crossjoin(out: DataFrame, audit: DataFrame) -> DataFrame:
+    """Attach a 1-row audit frame to every output row AND keep the audit
+    judgeable when the output is EMPTY (ADVICE r08): a plain
+    ``out.crossJoin(audit)`` erases the red audit columns together with
+    the rows they exist to judge in a total-dropout regression — the
+    same unjudgeable-empty-result failure ``topk_recall_audit`` fixed
+    for the ANN rows by anchoring on the query set. Here the anchor is
+    the audit frame itself: a left-anti probe against ``out.limit(1)``
+    emits one audit-only row (null data columns) iff ``out`` is empty.
+    Cost: the probe's upstream exchanges are deduped against the main
+    branch by ReuseExchange inside the single returned plan, and the
+    anti join broadcasts the bounded ``limit(1)`` side only.
+    """
+    combined = out.crossJoin(F.broadcast(audit))
+    anchor = audit.join(
+        F.broadcast(out.limit(1).select(F.lit(1).alias("_probe"))),
+        F.lit(True),
+        "left_anti",
+    ).select(
+        *[
+            F.lit(None).cast(out.schema[c].dataType).alias(c)
+            for c in out.columns
+        ],
+        *audit.columns,
+    )
+    return combined.unionByName(anchor)
+
+
 # ---------------------------------------------------------------------------
 # Scans + flagship rollup (S1, P1/P2, A2, O1) — SURVEY.md §7 minimum slice
 # ---------------------------------------------------------------------------
@@ -1586,7 +1614,8 @@ def q_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sample_recall"),
         )
     )
-    return out.crossJoin(F.broadcast(audit)).orderBy("doc_a", "doc_b")
+    # anchored (ADVICE r08): an empty `out` still emits one audit row
+    return _anchored_audit_crossjoin(out, audit).orderBy("doc_a", "doc_b")
 
 
 @register("near_dedup_survivors")  # rows-only: composes the xxhash64 MinHash path
@@ -1605,14 +1634,15 @@ def q_near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
-@register("simhash_pairs")  # rows-only: xxhash64 has no DuckDB equivalent
-def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit signatures, 16-bit-chunk candidate
-    blocking (pigeonhole for hamming<=3), bit_count(xor) verification."""
-    from sales_forecast_pyspark_spark.llmdata import simhash_pairs
-
-    docs = read_table(spark, sf_dir, "documents")
-    return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+# `simhash_pairs` RETIRED from the registry in r09 per SCALING.md's
+# retirement policy (first exercise of the ranked list): its
+# banded-signature near-dup shape is pinned oracle-green by
+# ngram_jaccard_pairs / ngram_containment_pairs, the signature-bucketing
+# physical plan by near_dedup_minhash, and the simhash-specific bit math
+# keeps its determinism pytest (tests/test_llmdata.py). The operator
+# (llmdata/dedup.py::simhash_pairs) is unchanged; only the
+# driver-verification slot was reclaimed — spent on
+# ols_trend_exactness_audit and ann_pairs_topk.
 
 
 # ---------------------------------------------------------------------------
@@ -2633,8 +2663,11 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (llmdata/similarity.py::pq_topk):
     8-subspace codebooks compress vectors to 8 code bytes, ADC lookup
-    tables score the compressed corpus, exact cosine re-ranks a 4x
-    pruned candidate set. Recall >= 0.5 vs cosine_topk is pinned in
+    tables score the compressed corpus, exact cosine re-ranks the
+    k x refine_factor ADC survivors (operator default 64 — see the
+    ivfpq docstring below for the measured rationale: the ADC->refine
+    funnel, not cell coverage, limits recall on dense corpora, and 32
+    measured ON the 0.5 bar). Recall >= 0.5 vs cosine_topk is pinned in
     tests/test_similarity.py AND carried in-row: recall_at_k/recall_ok
     audit columns vs the in-query exact truth (VERDICT r07 #4);
     deterministic (seeded codebooks, tie order by neighbor id)."""
@@ -2679,6 +2712,55 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_recall_audit(
         ivfpq_topk(emb, q, k=5, n_probe=6), cosine_topk(emb, q, k=5)
     )
+
+
+@register("ann_pairs_topk")  # rows-only: BRP-LSH buckets are not SQL-expressible
+def q_ann_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-output neighbor mining (llmdata/similarity.py::
+    lsh_pairs_topk) — the production regime SCALING.md Finding 2
+    recommends over threshold pair mining (registered r09, VERDICT r08
+    #3): EVERY corpus item gets at most k=5 nearest bucket-mates by
+    exact cosine, so output is capped at k·N rows however dense the
+    corpus grows, where the fixed-threshold `ann_lsh_pairs` row is
+    honestly output-quadratic on a densifying corpus (measured ×118 at
+    10× input).
+
+    Self-validating: pooled recall of the per-item top-5 vs the exact
+    brute-force top-5 over a bounded sample of items (vec_id < 50),
+    carried in-row as sample_exact_pairs / sample_hit_pairs /
+    sample_recall / recall_ok (bar 0.5, the ANN tier's shared bound).
+    The audit reuses the SAME output frame (filtered to the sample),
+    so it validates the shipped pipeline, and survives a total-dropout
+    regression via the anchored crossjoin (ADVICE r09)."""
+    from sales_forecast_pyspark_spark.llmdata.similarity import (
+        cosine_topk,
+        lsh_pairs_topk,
+    )
+
+    emb = spread_scan(read_table(spark, sf_dir, "embeddings"), "vec_id")
+    out = lsh_pairs_topk(emb, k=5)
+    exact = cosine_topk(emb, emb.filter(F.col("vec_id") < 50), k=5).select(
+        "query_id", "neighbor_id"
+    )
+    approx_s = out.filter(F.col("item_id") < 50).select(
+        F.col("item_id").alias("query_id"), "neighbor_id"
+    )
+    hits = approx_s.join(exact, ["query_id", "neighbor_id"])
+    audit = (
+        exact.agg(F.count(F.lit(1)).alias("sample_exact_pairs"))
+        .crossJoin(
+            F.broadcast(hits.agg(F.count(F.lit(1)).alias("sample_hit_pairs")))
+        )
+        .select(
+            "sample_exact_pairs",
+            "sample_hit_pairs",
+            F.round(
+                F.col("sample_hit_pairs") / F.col("sample_exact_pairs"), 6
+            ).alias("sample_recall"),
+        )
+        .withColumn("recall_ok", F.col("sample_recall") >= 0.5)
+    )
+    return _anchored_audit_crossjoin(out, audit).orderBy("item_id", "rank")
 
 
 @register("embedding_near_dups")  # rows-only: LSH hyperplanes are not SQL-expressible
@@ -2780,7 +2862,8 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sample_recall"),
         )
     )
-    return out.crossJoin(F.broadcast(audit)).orderBy("id_a", "id_b")
+    # anchored (ADVICE r08): an empty `out` still emits one audit row
+    return _anchored_audit_crossjoin(out, audit).orderBy("id_a", "id_b")
 
 
 @register(
@@ -6088,6 +6171,102 @@ def q_country_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ols_trend_exactness_audit",
+    PANEL_CTE
+    + """
+, series AS (
+  SELECT country,
+         date_diff('day', DATE '1992-01-01', ds) AS x,
+         CAST(SUM(CAST(qty AS BIGINT)) AS BIGINT) AS y0
+  FROM panel GROUP BY country, ds
+),
+poisoned AS (
+  SELECT country, x,
+         CASE WHEN TRY_CAST(substr(country, -1, 1) AS INT) % 2 = 0 AND x % 5 = 0
+              THEN NULL ELSE y0 END AS y
+  FROM series
+),
+stats AS (
+  SELECT country, COUNT(*) AS n_obs,
+         COUNT(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN 1 END) AS n_exact,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(CAST(x AS BIGINT) * x) AS BIGINT) AS sxx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(CAST(x AS BIGINT) * y) AS BIGINT) AS sxy
+  FROM poisoned GROUP BY country
+),
+gated AS (
+  SELECT country, n_obs,
+         CASE WHEN n_exact = n_obs THEN
+           ROUND(CAST(n_obs * sxy - sx * sy AS DOUBLE)
+                 / NULLIF(CAST(n_obs * sxx - sx * sx AS DOUBLE), 0), 6)
+         END AS slope,
+         CASE WHEN n_exact = n_obs THEN
+           ROUND(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                 / NULLIF(CAST(n_obs * sxx - sx * sx AS DOUBLE), 0), 6)
+         END AS intercept
+  FROM stats
+)
+SELECT country, n_obs, slope, intercept, slope IS NULL AS audit_fired
+FROM gated ORDER BY country
+""",
+)
+def q_ols_trend_exactness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible exercise of ``ols_trend``'s exactness audit
+    (VERDICT r08 #3: the r08 gate was pytest-only). The country daily
+    series is deterministically POISONED — ``y`` is nulled on every
+    5th day index for countries whose last digit is even — so the audit's
+    incomplete-tuple gate (``_n_exact != n_obs``) must NULL exactly
+    those groups' slope/intercept while the clean groups still fit the
+    same line ``country_trend_ols`` publishes. ``audit_fired`` makes
+    the gate's verdict a visible boolean column in the driver record,
+    and the DuckDB oracle recomputes the SAME completeness gate over
+    the SAME poisoned series, so a silently-partial F.sum (the failure
+    the audit exists to catch) would hash-mismatch here.
+
+    Why the NULL-INPUT branch and not a literal decimal(38,0)
+    overflow: the driver's vanilla session runs Spark 4 ANSI mode,
+    where the overflow branch is loud by construction (the cast
+    ERRORS the job — tests/test_aggregates.py pins both modes); the
+    null-input branch drives the identical ``_n_exact`` gate and runs
+    identically under ANSI and non-ANSI."""
+    from sales_forecast_pyspark_spark.operators.aggregates import ols_trend
+    from sales_forecast_pyspark_spark.plans.panel import daily_panel
+
+    series = (
+        daily_panel(spark, sf_dir)
+        .groupBy("country", "ds")
+        .agg(F.sum(F.col("qty").cast("long")).alias("y0"))
+        .select(
+            "country",
+            F.datediff(F.col("ds"), F.lit("1992-01-01").cast("date")).alias("x"),
+            "y0",
+        )
+    )
+    poisoned = series.select(
+        "country",
+        "x",
+        F.when(
+            # try_cast: a non-digit-suffixed country is simply never
+            # poisoned (NULL predicate) instead of erroring under ANSI
+            (F.expr("try_cast(substring(country, -1, 1) as int)") % 2 == 0)
+            & (F.col("x") % 5 == 0),
+            F.lit(None).cast("long"),
+        )
+        .otherwise(F.col("y0"))
+        .alias("y"),
+    )
+    out = ols_trend(poisoned, ["country"], "x", "y")
+    return out.select(
+        "country",
+        "n_obs",
+        "slope",
+        "intercept",
+        F.col("slope").isNull().alias("audit_fired"),
+    ).orderBy("country")
+
+
+@register(
     "user_daily_interp",
     """
 WITH daily AS (
@@ -6376,15 +6555,19 @@ except ImportError:  # first generation bootstrap
 
 
 def _apply_check_priority() -> None:
-    missing = [n for n in _CHECK_PRIORITY if n not in QUERIES]
-    if missing:
-        raise RuntimeError(f"_CHECK_PRIORITY names unknown queries: {missing}")
+    # A rotation name absent from the registry is a RETIRED query
+    # (SCALING.md retirement policy — the slot was reclaimed in the
+    # same commit that registered its replacement): skip it here so
+    # the package imports during the retirement commit itself;
+    # tests/test_check_priority.py still fails until the rotation is
+    # regenerated, so a typo cannot silently survive a round.
+    priority = [n for n in _CHECK_PRIORITY if n in QUERIES]
     # Queries registered after the last generation run land FIRST
     # (never-checked == highest priority), never silently at the tail;
     # tests/test_check_priority.py still fails until the list is
     # regenerated, so this is a safety net, not the workflow.
-    ordered = {n: QUERIES[n] for n in QUERIES if n not in set(_CHECK_PRIORITY)}
-    ordered.update({n: QUERIES[n] for n in _CHECK_PRIORITY})
+    ordered = {n: QUERIES[n] for n in QUERIES if n not in set(priority)}
+    ordered.update({n: QUERIES[n] for n in priority})
     QUERIES.clear()
     QUERIES.update(ordered)
 

@@ -680,8 +680,11 @@ def reconcile_late_attribution(
     affected-user count is checked against ``max_affected_users`` —
     the default 2M distinct longs is ~16 MB broadcast-side,
     comfortably inside executor memory. Cost accounting (code-review
-    r08): the guard is one extra pass over ``late_events`` (a full
-    count — a cache would avoid it but pins an un-unpersistable frame
+    r08; bounded per ADVICE r08): the guard needs only "more than cap
+    distinct users?", so it counts ``limit(cap + 1)`` over the distinct
+    frame — the count a driver ever materializes is at most cap + 1
+    regardless of how pathological the late batch is (a cache would
+    avoid the second distinct pass but pins an un-unpersistable frame
     per invocation on this per-batch remedy path, a session-lifetime
     leak); the two joins share ONE broadcast build because
     ReuseExchange dedups their identical broadcast subtrees inside
@@ -695,7 +698,7 @@ def reconcile_late_attribution(
     from sales_forecast_pyspark_spark.operators.windows import last_touch_rows
 
     affected = late_events.select("user_id").distinct()
-    n_affected = affected.count()
+    n_affected = affected.limit(max_affected_users + 1).count()
     if n_affected > max_affected_users:
         raise ValueError(
             f"reconcile_late_attribution: > {max_affected_users} distinct "

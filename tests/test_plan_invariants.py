@@ -49,6 +49,9 @@ BNLJ_DECLARED = {
     # broadcast at any SF) + its 1-row audit crossJoin (VERDICT r07 #4)
     "embedding_near_dups",
     "near_dedup_minhash",  # its 1-row sampled-truth audit crossJoin
+    # 1-row audit crossJoin + the anchored-audit left_anti probe against
+    # out.limit(1) (both sides bounded: 1-row audit build, <=1-row probe)
+    "ann_pairs_topk",
 }
 
 AUDITABLE = [n for n in QUERIES if n not in SKIP]

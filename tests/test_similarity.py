@@ -359,3 +359,55 @@ def test_recall_audit_counts_queries_the_index_dropped(spark):
     rows = empty.collect()
     assert len(rows) == 2 and all(r["recall_ok"] is False for r in rows)
     assert all(r["mean_recall"] == 0.0 for r in rows)
+
+
+def test_lsh_pairs_topk_bounded_output_recall_and_determinism(emb, spark):
+    """Bounded-output neighbor mining (VERDICT r08 #3): at most k rows
+    per item with contiguous ranks, deterministic under the fixed seed,
+    and on a planted corpus every item's true nearest duplicate is
+    rank 1 (identical vectors always share every LSH bucket)."""
+    from sales_forecast_pyspark_spark.llmdata.similarity import lsh_pairs_topk
+
+    out = lsh_pairs_topk(emb, k=3)
+    per_item = out.groupBy("item_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("rank").alias("max_rank")
+    )
+    assert per_item.filter("n > 3 OR max_rank > 3 OR n != max_rank").count() == 0
+    # deterministic: seeded hyperplanes + rounded scores + id tie-break
+    a = {tuple(r) for r in out.collect()}
+    b = {tuple(r) for r in lsh_pairs_topk(emb, k=3).collect()}
+    assert a == b and len(a) > 0
+
+    planted = spark.createDataFrame(
+        [(i, [float(i // 2), 1.0, 0.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    dup = lsh_pairs_topk(planted, k=1, distance_threshold=10.0)
+    top1 = {(r["item_id"], r["neighbor_id"]) for r in dup.collect()}
+    # each even/odd twin (2j, 2j+1) is an exact duplicate: cos=1.0 beats
+    # every other neighbor, and identical vectors can never be split by
+    # a random hyperplane bucketing
+    for j in range(1, 5):  # skip the (0,1) pair: [0,1,0] ties with unit dirs
+        assert (2 * j, 2 * j + 1) in top1 and (2 * j + 1, 2 * j) in top1
+
+
+def test_anchored_audit_crossjoin_survives_empty_output(spark):
+    """ADVICE r08: a total-dropout regression (empty output frame) must
+    still emit ONE audit-only row — red flags stay judgeable — while a
+    non-empty output gets the plain 1-row-audit crossJoin semantics."""
+    from sales_forecast_pyspark_spark.plans.queries import (
+        _anchored_audit_crossjoin,
+    )
+
+    out = spark.createDataFrame([(1, "a"), (2, "b")], "id long, tag string")
+    audit = spark.createDataFrame([(0.9, True)], "sample_recall double, ok boolean")
+
+    full = _anchored_audit_crossjoin(out, audit).collect()
+    assert len(full) == 2
+    assert all(r["sample_recall"] == 0.9 and r["ok"] for r in full)
+
+    anchored = _anchored_audit_crossjoin(out.filter("id < 0"), audit).collect()
+    assert len(anchored) == 1
+    r = anchored[0]
+    assert r["id"] is None and r["tag"] is None
+    assert r["sample_recall"] == 0.9 and r["ok"] is True
