@@ -2630,6 +2630,11 @@ def q_model_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     + KPI-spine numbers with per-metric tolerance flags vs the pinned
     goldens (BASELINE.md model table parity mode). Model-quality drift
     now flips a boolean in a driver record, not only in pytest.
+    r09 (VERDICT r08 #6): the row also carries the MA6-baseline KPI
+    triple (kpi_base_bias/mae/mape) with its own base_ok flag — the
+    baseline is model-independent, so a silent regression in the
+    window math / lag-1 fallback / evaluation join is driver-visible
+    separately from model drift.
     Registration slot 149/150 under the SLO capacity — accounted
     against SCALING.md 'Retirement policy'."""
     from sales_forecast_pyspark_spark.forecast.golden import (

@@ -176,5 +176,7 @@ def test_model_quality_audit_row_all_flags_green(spark):
     rows = model_quality_audit(spark).collect()
     assert len(rows) == 1
     r = rows[0]
-    for flag in ("mae_ok", "rmse_ok", "r2_ok", "kpi_ok", "beats_baseline"):
+    for flag in (
+        "mae_ok", "rmse_ok", "r2_ok", "kpi_ok", "base_ok", "beats_baseline"
+    ):
         assert r[flag] is True, (flag, r.asDict())
