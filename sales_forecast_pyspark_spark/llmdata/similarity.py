@@ -465,8 +465,8 @@ def pq_topk(
     vec_col: str = "embedding",
     k: int = 5,
     m: int = 8,
-    codebook_k: int = 32,
-    refine_factor: int = 64,
+    codebook_k: int = 256,
+    refine_factor: int = 32,
     seed: int = 42,
 ) -> DataFrame:
     """Product-quantization approximate top-k (Jégou/Douze/Schmid,
@@ -490,20 +490,25 @@ def pq_topk(
     the right metric. Zero-norm vectors are dropped (no direction).
 
     Recall depends on (m, codebook_k, refine_factor); the defaults
-    reach ~0.7 recall@5 on the synthetic embeddings corpus
-    (tests/test_similarity.py pins >= 0.5, IVF's bar).
+    reach ~0.74 pooled recall@5 at the 100x rehearsal decade of the
+    synthetic embeddings corpus (tests/test_similarity.py pins >= 0.5,
+    IVF's bar).
 
-    ``refine_factor`` defaults to 64 (not the textbook 4) because the
-    r08 scale rehearsal measured the ADC->refine funnel — not cell
-    coverage or codebook size — as the recall limiter once the corpus
-    densifies: at 600k structureless vectors, refine=4 scored 0.22
-    pooled recall even probing 87% of the corpus; refine=32 sat ON
-    the 0.5 bar (0.48-0.49 at 200k/600k — one KMeans draw from
-    flipping); refine=64 scored 0.62 at n_probe=6 with NO wall-clock
-    increase (the exact re-rank of k x refine_factor rows is trivial
-    next to the ADC pass). On a corpus with real cluster structure
-    the funnel is far less binding, but the wide default costs
-    nothing and degrades gracefully.
+    ``codebook_k`` defaults to 256 — the textbook PQ 8x8-bit shape
+    (one byte per subspace code) — because the r09 codebook sweep at
+    200k vectors measured codebook QUALITY, not the refine funnel, as
+    the binding recall limiter: at fixed refine=32, pooled recall
+    climbed 0.34 -> 0.53 -> 0.74 as codebook_k went 32 -> 64 -> 256,
+    while the r08 symptom patch (keeping ck=32 and widening refine to
+    64) only reached 0.48. Better codebooks shrink ADC quantization
+    error at the source, so ``refine_factor`` walks BACK to 32 (from
+    the r08 emergency 64) with recall margin left over — halving the
+    exact-refine read volume per query, which at billion scale is the
+    term that multiplies. Sweep ladder recorded in SCALING.md
+    "LLM-data tier". Cost shift: the m seeded KMeans fits pay for the
+    larger k (one-time, train-sample-sized), and the per-query ADC
+    lookup table grows to m x 256 doubles — still kilobytes of
+    broadcast state per query batch.
     Output: (query_id, neighbor_id, cos_sim, rank) like cosine_topk."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -627,8 +632,8 @@ def ivfpq_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     m: int = 8,
-    codebook_k: int = 32,
-    refine_factor: int = 64,
+    codebook_k: int = 256,
+    refine_factor: int = 32,
     seed: int = 42,
 ) -> DataFrame:
     """IVF-PQ approximate top-k — the composition of the two scale
@@ -644,10 +649,15 @@ def ivfpq_topk(
     Scale shape: the corpus stores (cell, m code bytes) per vector;
     a query touches ~n_probe/n_centroids of the corpus, reads only
     codes, and computes m lookups per candidate; the
-    k x refine_factor survivors are re-ranked with exact cosine
-    (refine_factor defaults to 64 — see ``pq_topk`` for the measured
-    rationale: the ADC->refine funnel, not cell coverage, limits
-    recall on a dense corpus, and widening it is free).
+    k x refine_factor survivors are re-ranked with exact cosine.
+    Defaults follow ``pq_topk``'s r09 codebook sweep (codebook_k=256,
+    refine_factor=32): at the 200k-vector decade this composition
+    measured 0.59 pooled recall vs 0.54 for the r08 (ck=32, rf=64)
+    symptom patch at n_probe=6 — better codebooks beat a wider funnel
+    here too, with half the exact-refine volume. The remaining gap to
+    plain PQ's 0.74 is probe coverage (a truth neighbor outside the
+    probed cells can never be refined back); raise ``n_probe`` to buy
+    recall linearly in ADC mass when the workload needs it.
     Codebooks are shared across cells (trained on the pooled
     residuals), so the broadcast state is m x codebook_k centroids +
     n_centroids cell centers regardless of corpus size.

@@ -2667,12 +2667,13 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("ann_pq_topk")  # rows-only: KMeans codebooks are not SQL-expressible
 def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (llmdata/similarity.py::pq_topk):
-    8-subspace codebooks compress vectors to 8 code bytes, ADC lookup
-    tables score the compressed corpus, exact cosine re-ranks the
-    k x refine_factor ADC survivors (operator default 64 — see the
-    ivfpq docstring below for the measured rationale: the ADC->refine
-    funnel, not cell coverage, limits recall on dense corpora, and 32
-    measured ON the 0.5 bar). Recall >= 0.5 vs cosine_topk is pinned in
+    8-subspace 256-entry codebooks (textbook PQ 8x8-bit) compress
+    vectors to 8 code bytes, ADC lookup tables score the compressed
+    corpus, exact cosine re-ranks the k x refine_factor ADC survivors
+    (operator default 32 — the r09 codebook sweep fixed recall at the
+    cause: ck 32->256 measured 0.34->0.74 pooled recall at the
+    200k-vector decade at fixed refine, letting refine walk back from
+    the r08 emergency 64). Recall >= 0.5 vs cosine_topk is pinned in
     tests/test_similarity.py AND carried in-row: recall_at_k/recall_ok
     audit columns vs the in-query exact truth (VERDICT r07 #4);
     deterministic (seeded codebooks, tie order by neighbor id)."""
@@ -2699,13 +2700,11 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     default 4) because the audited pooled recall sat at 0.55 with 4
     probes — one bad seeded-KMeans draw from flipping recall_ok red;
     6 probes measure 0.61 at 6/16 of the corpus ADC-scored per query,
-    still cell-restricted. The r08 scale rehearsal then identified the
-    ADC->refine funnel (not cell coverage) as the limiter on denser
-    corpora — recall at 600k vectors recovered 0.22 -> 0.62 by
-    widening refine_factor, which is why the operator default is now
-    64 (free: the exact re-rank mass is k x refine_factor rows per
-    query; 32 measured ON the 0.5 bar at 200k+ vectors, too fragile
-    for a default)."""
+    still cell-restricted. Codebook history: r08 widened refine_factor
+    to 64 as a symptom patch; the r09 codebook sweep fixed the cause —
+    codebook_k=256 with refine back at 32 measures 0.59 at the
+    200k-vector decade vs 0.54 for the r08 shape, at half the
+    exact-refine volume (full ladder in SCALING.md)."""
     from sales_forecast_pyspark_spark.llmdata.similarity import (
         cosine_topk,
         ivfpq_topk,

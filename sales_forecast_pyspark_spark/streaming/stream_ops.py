@@ -612,23 +612,42 @@ def attribution_stream(
     touch_set = set(touch_types)
 
     def _update(key, pdfs, state: GroupState):
+        # Per-group-per-batch fixed cost is this operator's measured
+        # throughput bound (SCALING.md streaming table: rows per group
+        # INSTANCE, not total rows, sets the ceiling), so the replay
+        # path avoids the expensive tiny-frame pandas primitives:
+        # pd.concat only when a group actually spans Arrow chunks,
+        # vectorized column→list extraction + one plain tuple sort
+        # instead of sort_values, and no itertuples (namedtuple
+        # construction dominates single-digit-row frames). Ordering
+        # semantics are IDENTICAL: (ts, event_id) ascending, event_id
+        # unique so later tuple elements never decide.
         last_t, last_us = state.get if state.exists else (None, None)
         out: list[tuple] = []
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if chunks:
-            pdf = pd.concat(chunks, ignore_index=True)
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for row in pdf.itertuples():
-                us = int(row.ts.value) // 1000
-                if row.event_type in touch_set:
-                    last_t, last_us = row.event_type, us
-                elif row.event_type == conversion_type:
+            pdf = chunks[0] if len(chunks) == 1 else pd.concat(
+                chunks, ignore_index=True
+            )
+            recs = sorted(
+                zip(
+                    pdf["ts"].to_numpy("datetime64[ns]").view("int64").tolist(),
+                    pdf["event_id"].tolist(),
+                    pdf["event_type"].tolist(),
+                    pdf["value"].tolist(),
+                )
+            )
+            for t_ns, event_id, event_type, value in recs:
+                us = t_ns // 1000
+                if event_type in touch_set:
+                    last_t, last_us = event_type, us
+                elif event_type == conversion_type:
                     out.append(
                         (
                             key[0],
-                            int(row.event_id),
+                            event_id,
                             last_t if last_t is not None else "none",
-                            float(row.value),
+                            value,
                             (us - last_us) if last_us is not None else None,
                         )
                     )

@@ -95,6 +95,11 @@ HEAVY = [
     "bigram_surprisal",
     "ann_lsh_pairs",
     "near_dedup_minhash",
+    # r09 (VERDICT r08 #4): the third dedup decade runs the full
+    # near-dup chain — banded candidates AND the label-propagation
+    # clustering — so survivors' O(log n) round claim gets measured
+    # evidence on a 100x-denser cluster graph, not just the pair mine.
+    "near_dedup_survivors",
     "tfidf_similar_docs",
     "copurchase_triangles",
     "pagerank_parts",
