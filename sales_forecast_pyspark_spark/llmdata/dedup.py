@@ -81,18 +81,34 @@ def _jaccard_on_pairs(
             .groupBy("doc_a", "doc_b")
             .agg(F.count(F.lit(1)).alias("shared"))
         )
+        _hint = lambda d: d  # noqa: E731 — exact tier, sample-scale inputs
     else:
+        # The scale tier's verify joins must NEVER be planned from
+        # static size estimates: the shingle frames sit behind a
+        # posexplode whose fan-out Catalyst's stats don't model, so
+        # the estimate tracks the (compressed) scan, and the 100x
+        # rehearsal decade caught the static planner broadcasting the
+        # FULL corpus-shingle side — which blew past driver memory at
+        # 500k docs. AQE cannot demote a statically planned
+        # BroadcastExchange (only shuffle stages are re-measured at
+        # runtime), so the fix is a merge hint: both sides
+        # hash-partitioned on the join key, sort-merge verify, no
+        # driver-side relation at any corpus size. The same hint rides
+        # the per-doc count joins — n_docs rows is broadcast-able at
+        # test scale but not at 10^9 docs, and the estimate that chose
+        # broadcast here was equally fictional.
+        _hint = lambda d: d.hint("merge")  # noqa: E731
         shared = (
-            pairs.join(a, ["doc_a"])
-            .join(b, ["doc_b", "shingle"])
+            pairs.join(_hint(a), ["doc_a"])
+            .join(_hint(b), ["doc_b", "shingle"])
             .groupBy("doc_a", "doc_b")
             .agg(F.count(F.lit(1)).alias("shared"))
         )
     na = counts.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("n_a"))
     nb = counts.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("n_b"))
     return (
-        shared.join(na, "doc_a")
-        .join(nb, "doc_b")
+        shared.join(_hint(na), "doc_a")
+        .join(_hint(nb), "doc_b")
         .select(
             "doc_a",
             "doc_b",
