@@ -139,6 +139,10 @@ BENCH_QUERIES = [
     "touch_attribution",
     "country_trend_ols",
     "rolling_wau_hll",
+    # r09: bounded-output ANN pair mining (BRP-LSH bucket join + per-item
+    # window top-k + in-row recall audit) — a join+window shape the ANN
+    # block didn't cover (ann_lsh_pairs is the threshold-mining shape).
+    "ann_pairs_topk",
     "user_daily_interp",
     "order_backlog_sweep",
     "customer_snapshot_reconcile",

@@ -280,9 +280,9 @@ def lsh_pairs_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    bucket_length: float = 2.0,
+    bucket_length: float = 0.5,
     num_hash_tables: int = 3,
-    distance_threshold: float = 1.5,
+    distance_threshold: float = 1.2,
     seed: int = 42,
 ) -> DataFrame:
     """Bounded-output per-item neighbor mining: every corpus item gets
@@ -299,12 +299,28 @@ def lsh_pairs_topk(
     Shape at 100 TB: one BRP-LSH bucketing pass (narrow map), an
     equality join on bucket keys (``approxSimilarityJoin`` — only
     bucket-mates are scored, never all pairs), then a per-item window
-    top-k. The candidate-generation INTERMEDIATE is still governed by
-    ``distance_threshold`` — keep it at the tightest radius that
-    delivers k candidates per item; the top-k makes the OUTPUT
-    contract independent of that tuning. Deterministic: seeded
-    hyperplanes, scores rounded to 6 decimals before ranking, ties
-    broken by neighbor id.
+    top-k. The candidate-generation INTERMEDIATE is governed by BOTH
+    tunables, and both defaults were measured on the unit-norm audit
+    corpus (r09): ``bucket_length`` must slice the projection range
+    finely (0.5 here → ~16 buckets/table) — the naive 2.0 put the
+    whole corpus in ~4 buckets/table, making the "LSH" a brute-force
+    join in disguise — and ``distance_threshold`` must sit just above
+    the true top-k radius (1.2 ⇒ cos ≥ 0.28 on unit vectors; 1.5 kept
+    74% of ALL pairs). Tuning (2.0, 1.5) → (0.5, 1.2) cut wall 13.5s
+    → 5.6s at 2k vectors with pooled recall flat at 0.97; 1.15
+    measured recall 0.86 — the threshold had started cutting true
+    neighbors. The top-k makes the OUTPUT contract independent of
+    both. Scale honesty (measured r09): output stays exactly k·N at
+    10x the corpus (100k rows at 20k vectors, recall 0.96), but the
+    bucket-join INTERMEDIATE is corpus-density-bound — 14x wall at
+    10x vectors on this STRUCTURELESS synthetic corpus, where every
+    LSH family has weak contrast (true top-k at cos≈0.3 vs random
+    pairs at cos≈0; real embedding corpora have cluster structure
+    that buckets exploit). The intermediate-budget knob is
+    ``distance_threshold``; the query-bounded ``ann_topk``/IVF/PQ
+    tiers are the scale path when even that is too dear.
+    Deterministic: seeded hyperplanes, scores rounded to 6 decimals
+    before ranking, ties broken by neighbor id.
 
     Output: (item_id, neighbor_id, cos_sim, rank), rank 1..k per item;
     items whose buckets yield no candidates emit no rows (the honest
