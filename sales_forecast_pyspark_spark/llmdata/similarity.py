@@ -324,7 +324,9 @@ def lsh_pairs_topk(
 
     Output: (item_id, neighbor_id, cos_sim, rank), rank 1..k per item;
     items whose buckets yield no candidates emit no rows (the honest
-    answer for an isolated item under this index)."""
+    answer for an isolated item under this index), and zero-norm
+    vectors are dropped up front (no direction ⇒ no cosine — same
+    contract as pq_topk/ivfpq_topk)."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
@@ -333,6 +335,14 @@ def lsh_pairs_topk(
         F.col(vec_col).cast("array<double>").alias("arr"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("vec"),
     )
+    # zero-norm vectors have no direction: their cosine is NULL against
+    # every neighbor, and a NULL-scored pair in an under-full bucket
+    # would still take a rank <= k slot (code-review r09) — drop them
+    # up front, same contract as pq_topk/ivfpq_topk
+    zn = F.aggregate(
+        F.transform("arr", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    vecs = vecs.filter(zn > 0)
     lsh = BucketedRandomProjectionLSH(
         inputCol="vec",
         outputCol="hashes",

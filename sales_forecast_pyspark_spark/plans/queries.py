@@ -2758,11 +2758,22 @@ def q_ann_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "sample_exact_pairs",
             "sample_hit_pairs",
-            F.round(
-                F.col("sample_hit_pairs") / F.col("sample_exact_pairs"), 6
+            # guarded like the sibling audits (code-review r09): an
+            # empty exact-truth set means the query sample itself
+            # regressed — under the driver's ANSI session an unguarded
+            # 0/0 would ERROR the whole row, and a NULL verdict is
+            # unjudgeable, so the zero-truth regime pins recall_ok RED
+            F.when(
+                F.col("sample_exact_pairs") > 0,
+                F.round(
+                    F.col("sample_hit_pairs") / F.col("sample_exact_pairs"), 6
+                ),
             ).alias("sample_recall"),
         )
-        .withColumn("recall_ok", F.col("sample_recall") >= 0.5)
+        .withColumn(
+            "recall_ok",
+            F.coalesce(F.col("sample_recall") >= 0.5, F.lit(False)),
+        )
     )
     return _anchored_audit_crossjoin(out, audit).orderBy("item_id", "rank")
 

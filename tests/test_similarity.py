@@ -411,3 +411,21 @@ def test_anchored_audit_crossjoin_survives_empty_output(spark):
     r = anchored[0]
     assert r["id"] is None and r["tag"] is None
     assert r["sample_recall"] == 0.9 and r["ok"] is True
+
+
+def test_lsh_pairs_topk_drops_zero_norm_vectors(spark):
+    """code-review r09: a zero-norm vector has no direction, so it must
+    appear neither as an item nor as a NULL-cos_sim neighbor occupying
+    a rank <= k slot in an under-full bucket."""
+    from sales_forecast_pyspark_spark.llmdata.similarity import lsh_pairs_topk
+
+    planted = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [1.0, 0.1, 0.0]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = lsh_pairs_topk(planted, k=2, distance_threshold=10.0).collect()
+    ids = {r["item_id"] for r in rows} | {r["neighbor_id"] for r in rows}
+    assert 2 not in ids
+    assert all(r["cos_sim"] is not None for r in rows)
+    # the two real vectors still pair up
+    assert {(r["item_id"], r["neighbor_id"]) for r in rows} == {(0, 1), (1, 0)}
