@@ -66,6 +66,12 @@ def ngram_contamination(
     )
     if broadcast_bench:
         bench_grams = F.broadcast(bench_grams)
+    else:
+        # the caller asserts the benchmark is NOT broadcast-small: pin
+        # the shuffle join explicitly — the gram frame sits behind an
+        # explode, so leaving the choice to static estimates risks the
+        # un-demotable fictional-broadcast class (audit r09)
+        bench_grams = bench_grams.hint("merge")
     doc_grams = _distinct_grams(corpus, id_col, text_col, n)
     per_doc = doc_grams.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_grams")
@@ -76,7 +82,10 @@ def ngram_contamination(
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
     return (
-        hits.join(per_doc, id_col)
+        # merge hint: per_doc is a per-corpus-doc frame behind the gram
+        # explode — corpus-scale regardless of benchmark size, and the
+        # static broadcast estimate under it is fiction (audit r09)
+        hits.join(per_doc.hint("merge"), id_col)
         .select(id_col, "n_grams", "n_hits")
     )
 

@@ -71,33 +71,36 @@ def _jaccard_on_pairs(
     doc_b's — work bounded by |candidates| × |shingles(doc_a)|, NOT by
     the global co-shingle fan-out (recomputing that would make LSH
     strictly slower than exact)."""
+    # EVERY join in here must never be planned from static size
+    # estimates: the shingle frames sit behind a posexplode whose
+    # fan-out Catalyst's stats don't model, so the estimate tracks the
+    # (compressed) scan, and the 100x rehearsal decade caught the
+    # static planner broadcasting the FULL corpus-shingle side — which
+    # blew past driver memory at 500k docs. AQE cannot demote a
+    # statically planned BroadcastExchange (only shuffle stages are
+    # re-measured at runtime), so the fix is a merge hint: both sides
+    # hash-partitioned on the join key, sort-merge verify, no
+    # driver-side relation at any corpus size. The same hint rides
+    # the per-doc count joins — n_docs rows is broadcast-able at
+    # test scale but not at 10^9 docs, and the estimate that chose
+    # broadcast here was equally fictional. The r09 static-broadcast
+    # sweep then showed the `pairs=None` tier is NOT sample-only as
+    # the r09-merge comment claimed — ngram_jaccard_pairs and
+    # ngram_containment_pairs run it over the full corpus — so the
+    # hint now covers both tiers (the minhash audit's sample-scale
+    # exact runs pay a sub-second SMJ premium for it at bench scale).
+    _hint = lambda d: d.hint("merge")  # noqa: E731
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
     if pairs is None:
         shared = (
-            a.join(b, ["shingle"])
+            a.join(_hint(b), ["shingle"])
             .filter(F.col("doc_a") < F.col("doc_b"))
             .groupBy("doc_a", "doc_b")
             .agg(F.count(F.lit(1)).alias("shared"))
         )
-        _hint = lambda d: d  # noqa: E731 — exact tier, sample-scale inputs
     else:
-        # The scale tier's verify joins must NEVER be planned from
-        # static size estimates: the shingle frames sit behind a
-        # posexplode whose fan-out Catalyst's stats don't model, so
-        # the estimate tracks the (compressed) scan, and the 100x
-        # rehearsal decade caught the static planner broadcasting the
-        # FULL corpus-shingle side — which blew past driver memory at
-        # 500k docs. AQE cannot demote a statically planned
-        # BroadcastExchange (only shuffle stages are re-measured at
-        # runtime), so the fix is a merge hint: both sides
-        # hash-partitioned on the join key, sort-merge verify, no
-        # driver-side relation at any corpus size. The same hint rides
-        # the per-doc count joins — n_docs rows is broadcast-able at
-        # test scale but not at 10^9 docs, and the estimate that chose
-        # broadcast here was equally fictional.
-        _hint = lambda d: d.hint("merge")  # noqa: E731
         shared = (
             pairs.join(_hint(a), ["doc_a"])
             .join(_hint(b), ["doc_b", "shingle"])
@@ -148,7 +151,10 @@ def _prefix_candidates(
     order_w = Window.partitionBy(id_col).orderBy("df_count", "shingle")
     count_w = Window.partitionBy(id_col)
     prefix = (
-        sh.join(freq, "shingle")
+        # merge hint: shingle document-frequency is shingle-vocabulary-
+        # scale (unbounded with the corpus) and sits behind the shingle
+        # explode — static broadcast estimates are fiction
+        sh.join(freq.hint("merge"), "shingle")
         .withColumn("__rn", F.row_number().over(order_w))
         .withColumn("__n", F.count(F.lit(1)).over(count_w))
         .filter(
@@ -261,8 +267,14 @@ def minhash_near_dedup(
     right = band_buckets.select(
         F.col(id_col).alias("doc_b"), "band", "bucket"
     )
+    # merge hint (static-broadcast audit r09): the band frame sits
+    # behind the signature agg + band explode, so the static planner
+    # sizes it from pre-explode fiction and BROADCAST it at the 10x
+    # rehearsal decade — the same un-demotable-BroadcastExchange class
+    # the 100x run caught in the verify joins. The self-join must be
+    # a bucket-key shuffle at any corpus size.
     candidates = (
-        left.join(right, ["band", "bucket"])
+        left.join(right.hint("merge"), ["band", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
@@ -323,7 +335,9 @@ def simhash_pairs(
         F.col(id_col).alias("doc_b"), F.col("simhash").alias("sig_b"), "chunk_idx", "chunk"
     )
     return (
-        left.join(right, ["chunk_idx", "chunk"])
+        # merge hint: the chunk frame is a 4-way per-doc explode —
+        # static broadcast estimates are fiction (see _jaccard_on_pairs)
+        left.join(right.hint("merge"), ["chunk_idx", "chunk"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select(
             "doc_a",
@@ -367,7 +381,11 @@ def duplicated_chunk_stats(
         F.countDistinct(id_col).alias("_ndocs")
     )
     return (
-        h.join(docs_per_hash, "_h")
+        # merge hint: both sides derive from the chunk explode — the
+        # chunk-hash count frame is chunk-vocabulary-scale, unbounded
+        # with the corpus, and the static estimate under it is fiction
+        # (see _jaccard_on_pairs)
+        h.join(docs_per_hash.hint("merge"), "_h")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
@@ -415,8 +433,10 @@ def ngram_containment_pairs(
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    # merge hints: post-explode frames, static size estimates are
+    # fiction (see _jaccard_on_pairs)
     shared = (
-        a.join(b, ["shingle"])
+        a.join(b.hint("merge"), ["shingle"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared"))
@@ -424,8 +444,8 @@ def ngram_containment_pairs(
     na = counts.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("n_a"))
     nb = counts.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("n_b"))
     both = (
-        shared.join(na, "doc_a")
-        .join(nb, "doc_b")
+        shared.join(na.hint("merge"), "doc_a")
+        .join(nb.hint("merge"), "doc_b")
         .select(
             F.explode(
                 F.array(

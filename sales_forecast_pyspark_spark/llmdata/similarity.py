@@ -8,10 +8,13 @@ Two paths, per the brief:
   corpus for a bounded query set, embarrassingly parallel, no shuffle
   except the final per-query top-k.
 - ``lsh_similarity_join``: the SCALE path — MLlib
-  BucketedRandomProjectionLSH over the full corpus: hyperplane
-  bucketing turns the N×N similarity join into equality joins on bucket
-  keys; ``approxSimilarityJoin`` returns pairs within a distance
-  threshold. Seeded, so results are reproducible.
+  BucketedRandomProjectionLSH hash functions over the full corpus:
+  hyperplane bucketing turns the N×N similarity join into equality
+  joins on bucket keys. The candidate join itself is OWNED (salted,
+  merge-hinted — ``_lsh_candidate_pairs``) and pairs are scored at an
+  Arrow-batched numpy boundary (``_arrow_scored_pairs``), returning
+  pairs within a distance threshold. Seeded, so results are
+  reproducible.
 """
 
 from __future__ import annotations
@@ -214,6 +217,144 @@ def ivf_topk(
     )
 
 
+def _lsh_candidate_pairs(
+    vecs: DataFrame,
+    bucket_length: float,
+    num_hash_tables: int,
+    seed: int,
+    ordered: bool = True,
+) -> DataFrame:
+    """Bucket-equality candidate pairs from a BRP-LSH bucketing, with
+    full join-strategy control. Replaces MLlib ``approxSimilarityJoin``
+    for the self-join case (code-review r09): MLlib's internal
+    candidate join sits downstream of a ``posexplode(hashes)`` whose
+    fan-out Catalyst's STATIC size estimates do not model, so the
+    planner broadcast the full exploded corpus-hash frame at the 10x
+    rehearsal decade — and AQE cannot demote a statically planned
+    BroadcastExchange (only shuffle stages are re-measured), the same
+    failure class the dedup tier hit at 100x. Because MLlib owns that
+    join, no hint can reach it; building the identical join here —
+    bucket ids from the model's own hash functions, equality on
+    (table, bucket), distinct pairs — lets the merge hint pin a
+    sort-merge plan that survives any corpus size.
+
+    ``vecs`` must carry (id, arr, vec). Returns one row per bucket
+    COLLISION — (_ida, _va, _idb, _vb) with both arrays carried through
+    the join so scoring needs no second join; a pair colliding in k of
+    the hash tables appears k times, so callers dedupe AFTER their
+    radius filter (post-filter distinct is cheaper than pre-scoring
+    distinct + two array re-joins — measured 4x on the topk row at
+    sf0.1). ``ordered=True`` emits each pair once (_ida < _idb),
+    ``ordered=False`` both orientations. Equivalence with
+    approxSimilarityJoin's candidate set: BRP's per-table hash is
+    ``floor(proj / bucketLength)`` stored as a 1-element vector, so
+    (pos, value[0]) equality IS MLlib's hash-entry equality. Carrying
+    the vectors multiplies bucket-shuffle bytes by the vector width —
+    still shuffle-safe at any corpus size, just heavier blocks; a
+    vector-heavy corpus can trade back to the lean pair join + re-join
+    shape, which is scale-equivalent (both broadcast-free).
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import vector_to_array
+
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="vec",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(vecs)
+    ht = (
+        model.transform(vecs)
+        .select("id", "arr", F.posexplode("hashes").alias("entry", "_hv"))
+        .select(
+            "id",
+            "arr",
+            "entry",
+            vector_to_array("_hv").getItem(0).cast("long").alias("bucket"),
+        )
+    )
+    # SALTED bucket join: LSH buckets are intrinsically skewed (a few
+    # central buckets hold most of a normally-projected corpus, and the
+    # join KEY space is only num_hash_tables x buckets), so a plain
+    # co-partitioned join serializes the hot bucket's entire collision
+    # mass onto one reducer — measured 69s for a 6M-collision corpus
+    # whose scoring is ~5s when spread (AQE's skew split can't help:
+    # it reads input block sizes, and the explosion happens inside the
+    # join). Deterministic salt (xxhash64 of the id, not rand()): the
+    # left side takes its id-hash bucket, the right side fans out over
+    # all of them — a hot bucket's many DISTINCT ids spread uniformly,
+    # every (id_a, id_b) pair still meets in exactly one salt bucket,
+    # and the result set is salt-invariant.
+    n_salt = 16
+    left = ht.select(
+        F.col("id").alias("_ida"), F.col("arr").alias("_va"), "entry", "bucket"
+    ).withColumn("_s", F.pmod(F.xxhash64("_ida", F.lit(seed)), F.lit(n_salt)))
+    right = ht.select(
+        F.col("id").alias("_idb"), F.col("arr").alias("_vb"), "entry", "bucket"
+    ).withColumn(
+        "_s", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    cond = (
+        F.col("_ida") < F.col("_idb")
+        if ordered
+        else F.col("_ida") != F.col("_idb")
+    )
+    return (
+        left.join(right.hint("merge"), ["entry", "bucket", "_s"])
+        .filter(cond)
+        .select("_ida", "_va", "_idb", "_vb")
+    )
+
+
+def _arrow_scored_pairs(pairs: DataFrame, metric: str) -> DataFrame:
+    """Score candidate pairs with Arrow-batched numpy — the ANN pair
+    tier's DECLARED Python boundary (the same class as pack.py /
+    multimodal.py). Rationale (measured, code-review r09): a Catalyst
+    higher-order ``aggregate(zip_with(...))`` dot product costs ~35µs
+    of core time PER PAIR (per-element lambda evaluation), which at
+    the multi-million-pair collision mass of a weak-contrast corpus
+    turns a 5s query into a 50s one; ``np.einsum`` over Arrow batches
+    is ~100x cheaper per pair and the transfer is one-way (survivor
+    rows only come back rounded). MLlib's approxSimilarityJoin got the
+    same effect from compiled ``Vectors.sqdist`` — this restores that
+    constant after the owned (broadcast-safe, salted) candidate join
+    replaced it.
+
+    ``pairs`` must carry (_ida, _va, _idb, _vb); returns
+    (_ida, _idb, _score) with _score = cosine (``metric='cos'``) or
+    Euclidean distance (``metric='dist'``), UNROUNDED. Zero-norm
+    vectors score NULL cosine (callers drop them upstream)."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = "_ida long, _idb long, _score double"
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            va = np.stack(pdf["_va"].to_numpy())
+            vb = np.stack(pdf["_vb"].to_numpy())
+            if metric == "cos":
+                dots = np.einsum("ij,ij->i", va, vb)
+                na = np.sqrt(np.einsum("ij,ij->i", va, va))
+                nb = np.sqrt(np.einsum("ij,ij->i", vb, vb))
+                denom = na * nb
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    s = np.where(denom == 0.0, np.nan, dots / denom)
+                s = pd.Series(s).where(denom != 0.0, None)
+            else:
+                d = va - vb
+                s = pd.Series(np.sqrt(np.einsum("ij,ij->i", d, d)))
+            yield pd.DataFrame(
+                {"_ida": pdf["_ida"], "_idb": pdf["_idb"], "_score": s}
+            )
+
+    return pairs.mapInPandas(score, out_schema)
+
+
 def lsh_similarity_join(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -224,12 +365,14 @@ def lsh_similarity_join(
     seed: int = 42,
     vector_input: bool = False,
 ) -> DataFrame:
-    """Approximate all-pairs similarity via MLlib's
-    BucketedRandomProjectionLSH (random-hyperplane bucketing, Euclidean
-    distance). Returns (id_a, id_b, dist) for pairs within the
-    threshold, id_a < id_b. At 100 TB this is the shape that works:
-    bucketing is a narrow map, the join is equality on bucket keys, and
-    only bucket-mates are scored.
+    """Approximate all-pairs similarity via BRP-LSH bucketing (MLlib
+    hash functions, OWNED candidate join — see ``_lsh_candidate_pairs``
+    for why approxSimilarityJoin's internal join had to be replaced;
+    Arrow-batched scoring via ``_arrow_scored_pairs``). Returns
+    (id_a, id_b, dist) for pairs within the threshold, id_a < id_b.
+    At 100 TB this is the shape that works: bucketing is a narrow map,
+    the join is equality on (salted) bucket keys — never a statically
+    broadcast exploded frame — and only bucket-mates are scored.
 
     Output-cardinality caveat (measured, SCALING.md "Second decade"):
     on a corpus that DENSIFIES in a fixed vector space, the number of
@@ -244,33 +387,56 @@ def lsh_similarity_join(
     ``vector_input=True`` means ``vec_col`` already holds MLlib vectors
     (e.g. sparse TF-IDF from ``llmdata.vectorize``) — they are passed
     through untouched, keeping sparse vectors sparse instead of
-    densifying through an array column."""
+    densifying through an array column. CAVEAT: the sparse path rides
+    MLlib's ``approxSimilarityJoin``, whose internal candidate join is
+    not hint-reachable and can be statically broadcast-planned from
+    post-explode fiction (see ``_lsh_candidate_pairs``); the default
+    array path owns its candidate join and is the scale-safe shape."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
     if vector_input:
         vecs = df.select(F.col(id_col), F.col(vec_col).alias("vec"))
-    else:
-        vecs = df.select(
-            F.col(id_col),
-            array_to_vector(F.col(vec_col).cast("array<double>")).alias("vec"),
+        lsh = BucketedRandomProjectionLSH(
+            inputCol="vec",
+            outputCol="hashes",
+            bucketLength=bucket_length,
+            numHashTables=num_hash_tables,
+            seed=seed,
         )
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="vec",
-        outputCol="hashes",
-        bucketLength=bucket_length,
-        numHashTables=num_hash_tables,
-        seed=seed,
+        model = lsh.fit(vecs)
+        joined = model.approxSimilarityJoin(vecs, vecs, distance_threshold, "dist")
+        return (
+            joined.select(
+                F.col(f"datasetA.{id_col}").alias("id_a"),
+                F.col(f"datasetB.{id_col}").alias("id_b"),
+                F.round("dist", 6).alias("dist"),
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .orderBy("id_a", "id_b")
+        )
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("arr"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("vec"),
     )
-    model = lsh.fit(vecs)
-    joined = model.approxSimilarityJoin(vecs, vecs, distance_threshold, "dist")
+    pairs = _lsh_candidate_pairs(
+        vecs, bucket_length, num_hash_tables, seed, ordered=True
+    )
+    # strict < matches approxSimilarityJoin ("distance smaller than
+    # the threshold"); filter on the UNROUNDED distance like MLlib,
+    # round only the reported column. The distinct dedupes multi-table
+    # collisions AFTER the radius filter (identical arrays give an
+    # identical distance, so duplicates collapse exactly).
     return (
-        joined.select(
-            F.col(f"datasetA.{id_col}").alias("id_a"),
-            F.col(f"datasetB.{id_col}").alias("id_b"),
-            F.round("dist", 6).alias("dist"),
+        _arrow_scored_pairs(pairs, "dist")
+        .filter(F.col("_score") < distance_threshold)
+        .select(
+            F.col("_ida").alias("id_a"),
+            F.col("_idb").alias("id_b"),
+            F.round("_score", 6).alias("dist"),
         )
-        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
         .orderBy("id_a", "id_b")
     )
 
@@ -296,16 +462,29 @@ def lsh_pairs_topk(
     how dense the corpus gets, which is what dedup-candidate and
     link-graph pipelines actually consume.
 
+    Vectors are L2-NORMALIZED before hashing and pruning (code-review
+    r09): the index prunes by EUCLIDEAN ``distance_threshold`` but the
+    contract ranks by COSINE, and those only correspond on the unit
+    sphere (``dist² = 2·(1−cos)``). Un-normalized inputs (norms ~10)
+    would put cos≈1 neighbors at Euclidean distance > the threshold —
+    silently emitting few/no rows — and the bucket geometry tuned
+    below would be corpus-scale-dependent. Normalization leaves the
+    ranking metric untouched (cosine is scale-invariant) and makes
+    both defaults corpus-independent: on the unit sphere the
+    projection range is fixed, so 1.2 ⇒ cos ≥ 0.28 is a true bound
+    for ANY input.
+
     Shape at 100 TB: one BRP-LSH bucketing pass (narrow map), an
-    equality join on bucket keys (``approxSimilarityJoin`` — only
-    bucket-mates are scored, never all pairs), then a per-item window
-    top-k. The candidate-generation INTERMEDIATE is governed by BOTH
-    tunables, and both defaults were measured on the unit-norm audit
-    corpus (r09): ``bucket_length`` must slice the projection range
-    finely (0.5 here → ~16 buckets/table) — the naive 2.0 put the
-    whole corpus in ~4 buckets/table, making the "LSH" a brute-force
-    join in disguise — and ``distance_threshold`` must sit just above
-    the true top-k radius (1.2 ⇒ cos ≥ 0.28 on unit vectors; 1.5 kept
+    equality join on bucket keys (``_lsh_candidate_pairs``, merge-
+    hinted sort-merge — only bucket-mates are scored, never all
+    pairs, and the static planner can never broadcast the exploded
+    hash frame), then a per-item window top-k. The candidate-generation INTERMEDIATE is governed by BOTH
+    tunables, and both defaults were measured on the (unit-sphere)
+    audit corpus (r09): ``bucket_length`` must slice the projection
+    range finely (0.5 here → ~16 buckets/table) — the naive 2.0 put
+    the whole corpus in ~4 buckets/table, making the "LSH" a
+    brute-force join in disguise — and ``distance_threshold`` must
+    sit just above the true top-k radius (1.2 ⇒ cos ≥ 0.28; 1.5 kept
     74% of ALL pairs). Tuning (2.0, 1.5) → (0.5, 1.2) cut wall 13.5s
     → 5.6s at 2k vectors with pooled recall flat at 0.97; 1.15
     measured recall 0.86 — the threshold had started cutting true
@@ -327,43 +506,82 @@ def lsh_pairs_topk(
     answer for an isolated item under this index), and zero-norm
     vectors are dropped up front (no direction ⇒ no cosine — same
     contract as pq_topk/ivfpq_topk)."""
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
-    vecs = df.select(
+    raw = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("arr"),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("vec"),
     )
     # zero-norm vectors have no direction: their cosine is NULL against
     # every neighbor, and a NULL-scored pair in an under-full bucket
     # would still take a rank <= k slot (code-review r09) — drop them
-    # up front, same contract as pq_topk/ivfpq_topk
-    zn = F.aggregate(
-        F.transform("arr", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
-    )
-    vecs = vecs.filter(zn > 0)
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="vec",
-        outputCol="hashes",
-        bucketLength=bucket_length,
-        numHashTables=num_hash_tables,
-        seed=seed,
-    )
-    model = lsh.fit(vecs)
-    joined = model.approxSimilarityJoin(vecs, vecs, distance_threshold, "dist")
-    # the self-join emits both orientations, so every item appears as
-    # datasetA with its full candidate set — no mirror union needed
-    scored = (
-        joined.select(
-            F.col("datasetA.id").alias("item_id"),
-            F.col("datasetB.id").alias("neighbor_id"),
-            F.round(
-                cosine_similarity(F.col("datasetA.arr"), F.col("datasetB.arr")), 6
-            ).alias("cos_sim"),
+    # up front, same contract as pq_topk/ivfpq_topk. The same norm
+    # then L2-normalizes the survivors so the Euclidean index prunes
+    # in true cosine units (see docstring).
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("arr", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
         )
-        .filter(F.col("item_id") != F.col("neighbor_id"))
     )
+    # The per-ELEMENT when-guard is load-bearing: the optimizer
+    # collapses Filter+Project and hoists shared UDF subexpressions
+    # into filter predicates, so expressions downstream of the
+    # zero-norm filter still EVALUATE on the filtered rows (verified:
+    # an unguarded x/0 errors under the driver's ANSI session, a NULL
+    # arr NPEs array_to_vector, an empty array fails the LSH hash's
+    # dimension check). Guarding each element yields a right-LENGTH
+    # all-zeros array for a zero-norm row — finite through every
+    # downstream UDF — while the filter still removes the row from
+    # the result wherever the planner evaluates it.
+    unit = raw.filter(nrm > 0).select(
+        "id",
+        F.transform(
+            "arr", lambda x: F.when(nrm > 0, x / nrm).otherwise(F.lit(0.0))
+        ).alias("arr"),
+    )
+    vecs = unit.select("id", "arr", array_to_vector(F.col("arr")).alias("vec"))
+    # the owned candidate join replaces MLlib's approxSimilarityJoin
+    # (see _lsh_candidate_pairs: its internal join is statically
+    # broadcast-planned from post-explode fiction and no hint can
+    # reach it). Each unordered pair is scored ONCE — the Arrow
+    # scoring pass dominates this operator's wall, so halving its
+    # input matters — and both orientations are mirrored AFTER the
+    # radius filter on the ~100x smaller survivor set, so every item
+    # still appears as item_id with its full candidate set.
+    pairs = _lsh_candidate_pairs(
+        vecs, bucket_length, num_hash_tables, seed, ordered=True
+    )
+    # on unit vectors dist < t  <=>  cos > 1 - t^2/2 (dist^2 = 2(1-cos)):
+    # the same strict-< radius approxSimilarityJoin applied, expressed
+    # on the cosine the contract ranks by; distinct dedupes multi-table
+    # collisions after the filter (identical arrays → identical rounded
+    # cos, duplicates collapse exactly)
+    half = (
+        _arrow_scored_pairs(pairs, "cos")
+        .filter(F.col("_score") > 1.0 - distance_threshold * distance_threshold / 2.0)
+        .select("_ida", "_idb", F.round("_score", 6).alias("cos_sim"))
+        .distinct()
+    )
+    # explode-mirror, NOT a union of two half-selects: a union embeds
+    # the heavy scoring subtree TWICE in the plan, and this query's
+    # audit/anchor branches then multiply that replication (8 scoring
+    # subtrees in the static plan before this; 2x cold codegen + more
+    # runtime stage-reuse surface). One subtree, per-row 1->2 fan-out.
+    scored = half.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("_ida").alias("item_id"),
+                    F.col("_idb").alias("neighbor_id"),
+                ),
+                F.struct(
+                    F.col("_idb").alias("item_id"),
+                    F.col("_ida").alias("neighbor_id"),
+                ),
+            )
+        ).alias("_p"),
+        "cos_sim",
+    ).select("_p.item_id", "_p.neighbor_id", "cos_sim")
     w = Window.partitionBy("item_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )

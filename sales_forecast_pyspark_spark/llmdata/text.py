@@ -279,7 +279,11 @@ def repetition_stats(
             .groupBy(id_col)
             .agg(F.max("_cnt").alias(f"n{n}_top"))
         )
-        out = out.join(top, id_col, "left").withColumn(
+        # merge hint (static-broadcast audit r09): `top` is a per-doc
+        # frame downstream of the n-gram explode — corpus-scale, and
+        # the static planner sizes it from pre-explode fiction that
+        # AQE cannot demote once it picks broadcast
+        out = out.join(top.hint("merge"), id_col, "left").withColumn(
             f"n{n}_top", F.coalesce(F.col(f"n{n}_top"), F.lit(0))
         )
     return out
@@ -313,7 +317,11 @@ def unigram_surprisal(
     freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
     total = freq.agg(F.sum("cnt").alias("total"))
     surp = (
-        tok.join(freq, "t")
+        # merge hint: token frequency is vocabulary-scale (Heaps-law
+        # unbounded with the corpus) behind the token explode — the
+        # static broadcast estimate under it is fiction (audit r09);
+        # `total` stays broadcast: a global agg is 1 row by construction
+        tok.join(freq.hint("merge"), "t")
         .crossJoin(F.broadcast(total))
         .select(
             id_col,
@@ -381,8 +389,11 @@ def bigram_surprisal(
     vocab = uni.agg(F.count(F.lit(1)).alias("vsize"))
     c2 = bg.groupBy("b").agg(F.count(F.lit(1)).alias("c2"))
     surp = (
-        bg.join(uni.withColumnRenamed("t", "w1"), "w1")
-        .join(c2, "b")
+        # merge hints: unigram and bigram count frames are vocabulary-
+        # scale behind the token explode — static broadcast estimates
+        # are fiction (audit r09); `vocab` is a 1-row global agg
+        bg.join(uni.withColumnRenamed("t", "w1").hint("merge"), "w1")
+        .join(c2.hint("merge"), "b")
         .crossJoin(F.broadcast(vocab))
         .select(
             id_col,

@@ -108,7 +108,10 @@ def term_tfidf(
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     n_docs = df.agg(F.countDistinct(id_col).alias("_n_docs"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    w = tf.join(dfreq, "term").crossJoin(F.broadcast(n_docs)).select(
+    # merge hint: document frequency is vocabulary-scale (Heaps-law
+    # unbounded) behind the token explode — static broadcast estimates
+    # are fiction (audit r09); `n_docs` stays broadcast (1-row agg)
+    w = tf.join(dfreq.hint("merge"), "term").crossJoin(F.broadcast(n_docs)).select(
         "doc_id",
         "term",
         (F.col("tf") * F.log((F.col("_n_docs") + 1.0) / (F.col("df") + 1.0))).alias("w"),
@@ -212,9 +215,17 @@ def tfidf_pair_stages(
         "_wdec", quantized_long(F.col("w"))
     )
     sig = srp_signatures(weights, bands=bands, bits=bits)
+    # merge hints throughout (static-broadcast audit r09): every frame
+    # here sits downstream of the term explode, so static size
+    # estimates track the compressed docs scan, not the exploded /
+    # aggregated truth — and a statically planned BroadcastExchange
+    # cannot be demoted by AQE. The r08 30x rehearsal saw the planner
+    # flip these joins broadcast→SMJ only once the FICTIONAL estimate
+    # outgrew the threshold; the hint removes the corpus-size window
+    # where the estimate is still small but the true frame is not.
     cand = (
         sig.alias("a")
-        .join(sig.alias("b"), ["band", "bucket"])
+        .join(sig.alias("b").hint("merge"), ["band", "bucket"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
@@ -226,11 +237,15 @@ def tfidf_pair_stages(
     )
     scored = (
         cand.join(
-            doc_maps.select(F.col("doc_id").alias("doc_a"), F.col("m").alias("_ma")),
+            doc_maps.select(
+                F.col("doc_id").alias("doc_a"), F.col("m").alias("_ma")
+            ).hint("merge"),
             "doc_a",
         )
         .join(
-            doc_maps.select(F.col("doc_id").alias("doc_b"), F.col("m").alias("_mb")),
+            doc_maps.select(
+                F.col("doc_id").alias("doc_b"), F.col("m").alias("_mb")
+            ).hint("merge"),
             "doc_b",
         )
         .select(

@@ -62,4 +62,12 @@ def salted_join(
     salted_right = right.withColumn(
         salt, F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
     )
-    return salted_left.join(salted_right, on=[*on, salt], how=how).drop(salt)
+    # merge hint (static-broadcast audit r09): the salted right side
+    # sits behind an explode the static planner can't size, and at the
+    # 10x rehearsal it BROADCAST the salt-exploded frame — which both
+    # risks the un-demotable fictional-broadcast OOM at scale and
+    # defeats the operator's whole purpose (a broadcast join has no
+    # shuffle to de-skew; salting exists for the shuffle path).
+    return salted_left.join(
+        salted_right.hint("merge"), on=[*on, salt], how=how
+    ).drop(salt)

@@ -2211,11 +2211,12 @@ def q_salted_segment_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     across all buckets, so each hot key's rows spread over
     ``salt_buckets`` reducers while every (key, salt) pair still finds
     its match — the oracle is the PLAIN join, and the hash check proves
-    value equality. At test SF the optimizer may still broadcast the
-    exploded right side (harmless — the salt fan-out exists either way,
-    pinned in tests/test_plan_invariants.py); at 100 TB with a
-    non-broadcastable right side this is the shape that keeps one hot
-    user from pinning a reducer."""
+    value equality. The operator merge-hints the exploded right side
+    (audit r09): at test SF the static planner used to broadcast it —
+    which both defeated the salting demo (no shuffle to de-skew) and
+    belonged to the un-demotable fictional-broadcast class — so the
+    join is now a pinned salted shuffle at every SF, the 100 TB shape
+    that keeps one hot user from pinning a reducer."""
     from sales_forecast_pyspark_spark.operators.joins import salted_join
 
     ev = read_table(spark, sf_dir, "events").select("user_id", "value")
@@ -3032,8 +3033,11 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     back exact-integer. On this corpus the hits are exactly the planted
     near-duplicates that straddle the bench/corpus split — the
     contamination a real suite exists to catch. Shape: one explode per
-    side, benchmark grams broadcast, corpus-side hash semi-join + two
-    hash-aggs — no corpus-sized shuffle, nothing quadratic."""
+    side, gram-key shuffle joins + two hash-aggs — nothing quadratic.
+    ``broadcast_bench=False`` (audit r09): THIS row's "benchmark" is
+    5% of the corpus, so it scales with the corpus and must not ride
+    the operator's broadcast default (which is for genuinely bounded
+    eval suites — the contract this row's stand-in violates)."""
     from sales_forecast_pyspark_spark.llmdata.contamination import (
         ngram_contamination,
     )
@@ -3041,7 +3045,9 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 20 == 0)
     corpus = docs.filter(F.col("doc_id") % 20 != 0)
-    return ngram_contamination(corpus, bench, n=8).orderBy(
+    return ngram_contamination(
+        corpus, bench, n=8, broadcast_bench=False
+    ).orderBy(
         F.col("n_hits").desc(), F.col("doc_id")
     )
 

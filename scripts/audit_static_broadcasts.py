@@ -16,7 +16,15 @@ adding an operator that joins exploded data:
 
     python scripts/audit_static_broadcasts.py [.rehearsal/sf10x]
 
-Expected output: FLAGGED: [] (r09 baseline, all 150 queries clean).
+History: the first version of this sweep walked executedPlan() without
+unwrapping AdaptiveSparkPlanExec — a LEAF under the AQE session — so it
+could reach nothing and reported a VACUOUS zero (code-review r09). The
+fixed walk found 17 flagged queries at the 10x decade; the corpus-scale
+ones were merge-hinted at their operators (dedup/text/vectorize/
+baskets/contamination/interval/salted-join, and an owned candidate
+join replacing MLlib approxSimilarityJoin), bounded ones are exempted
+structurally (global aggregates, limits) or via ALLOWED below.
+Expected output: FLAGGED: [] with a few OK-ALLOWED lines.
 ML-fit/driver-assembly queries that run jobs at plan-build time are
 skipped (same policy as scripts/audit_plans.py).
 """
@@ -42,7 +50,26 @@ SKIP = {
 }
 
 
+def _resolve(node):
+    """Unwrap the wrapper nodes that hide the real operator tree from a
+    children() walk (code-review r09: under the AQE-enabled session,
+    executedPlan() is an AdaptiveSparkPlanExec LEAF — children() is
+    empty — so the first version of this walk could never reach a
+    BroadcastExchangeExec and the sweep was vacuous). On a
+    never-executed frame, AdaptiveSparkPlanExec.executedPlan() IS the
+    statically planned initial plan — exactly the plan whose broadcast
+    decisions this audit exists to interrogate (same accessor the
+    rehearsal profiler uses post-execution, scale_rehearsal.py:211)."""
+    name = node.getClass().getSimpleName()
+    if name == "AdaptiveSparkPlanExec":
+        return _resolve(node.executedPlan())
+    if name.endswith("QueryStageExec"):
+        return _resolve(node.plan())
+    return node
+
+
 def _subtree_has_generate(node) -> bool:
+    node = _resolve(node)
     if node.getClass().getSimpleName().startswith("Generate"):
         return True
     it = node.children().iterator()
@@ -52,10 +79,73 @@ def _subtree_has_generate(node) -> bool:
     return False
 
 
-def _walk(node, hits: list[str]) -> None:
+# Broadcast subtrees that are BOUNDED by construction are exempt: the
+# failure class is a broadcast whose true size grows with the corpus
+# while the static estimate does not — a subtree whose row count is
+# structurally capped (a global aggregate is <= 1 row, a limit is <= n
+# rows) cannot outgrow anything, however fictional the estimate under
+# it. The 1-row audit frames, scalar-subquery crossJoins, and the
+# stack(3)-over-global-agg drift report all land here.
+_BOUNDED_THROUGH = (
+    "Project", "Filter", "Sort", "Coalesce", "Exchange", "ShuffleExchange",
+    "BroadcastExchange", "Union", "Window", "Expand", "Generate",
+    "WholeStageCodegen", "InputAdapter", "ColumnarToRow", "Subquery",
+)
+
+
+def _is_bounded(node) -> bool:
+    node = _resolve(node)
     name = node.getClass().getSimpleName()
-    if name == "BroadcastExchangeExec" and _subtree_has_generate(node):
-        hits.append(name)
+    if name.startswith(("HashAggregate", "SortAggregate", "ObjectHashAggregate")):
+        try:
+            if node.groupingExpressions().isEmpty():
+                return True  # global aggregate: <= 1 row by construction
+        except Exception:
+            pass
+        return False  # keyed aggregate: cardinality follows the keys
+    if "Limit" in name or name == "TakeOrderedAndProjectExec":
+        return True
+    if name == "LocalTableScanExec":
+        return True  # literal rows, already driver-resident
+    if name.endswith("JoinExec"):
+        # a join of bounded inputs is bounded (1-row audit crossJoins)
+        it = node.children().iterator()
+        while it.hasNext():
+            if not _is_bounded(it.next()):
+                return False
+        return True
+    if name.startswith(_BOUNDED_THROUGH):
+        # row-preserving / row-reducing wrappers — and Generate, whose
+        # fan-out over a bounded input stays bounded (stack over a
+        # global agg); over an unbounded input the child verdict rules
+        it = node.children().iterator()
+        while it.hasNext():
+            if not _is_bounded(it.next()):
+                return False
+        return True
+    return False  # scans and anything unrecognized: assume unbounded
+
+
+def _walk(node, hits: list[str]) -> None:
+    node = _resolve(node)
+    name = node.getClass().getSimpleName()
+    if (
+        name == "BroadcastExchangeExec"
+        and _subtree_has_generate(node)
+        and not _is_bounded(node)
+    ):
+        # record the broadcast subtree's head so triage can tell a
+        # bounded audit/sample frame from a corpus-scale one
+        detail = "\n".join(node.treeString().splitlines()[:6])
+        hits.append(detail)
+    if name == "InMemoryTableScanExec":
+        # a cached relation's FILL plan carries its own (possibly
+        # adaptive-wrapped) join tree — the frontier caches do exactly
+        # this, and a flagged broadcast inside one must still count
+        try:
+            _walk(node.relation().cachedPlan(), hits)
+        except Exception:
+            pass
     # expression-embedded plans (scalar/DPP subqueries) are not in
     # children() — a flagged broadcast inside one must still count
     try:
@@ -67,6 +157,20 @@ def _walk(node, hits: list[str]) -> None:
     it = node.children().iterator()
     while it.hasNext():
         _walk(it.next(), hits)
+
+
+# Declared-bounded broadcasts the STRUCTURAL exemption cannot prove:
+# each entry is (expected flag count, justification). The audit fails
+# if a query's flag count EXCEEDS its allowance — fewer is fine (a
+# planner may legitimately pick SMJ for these too).
+ALLOWED: dict[str, tuple[int, str]] = {
+    # (empty at the r09 baseline: after the operator merge hints and
+    # the owned LSH candidate join, every remaining Generate-fed
+    # broadcast is structurally bounded and exempted above. Add
+    # entries ONLY for declared-bounded shapes the structural rule
+    # cannot prove — e.g. a deterministic sample filter over a scan —
+    # with the justification in the tuple.)
+}
 
 
 def main() -> int:
@@ -83,9 +187,15 @@ def main() -> int:
             jplan = q.builder(spark, sf_dir)._jdf.queryExecution().executedPlan()
             hits: list[str] = []
             _walk(jplan, hits)
-            if hits:
+            allowed = ALLOWED.get(name, (0, ""))[0]
+            if len(hits) > allowed:
                 flagged.append((name, len(hits)))
-                print(f"FLAG {name} {len(hits)}", flush=True)
+                print(f"FLAG {name} {len(hits)} (allowed {allowed})", flush=True)
+                if "-v" in sys.argv:
+                    for h in hits:
+                        print(f"  --- {name} ---\n{h}", flush=True)
+            elif hits:
+                print(f"OK-ALLOWED {name} {len(hits)}/{allowed}", flush=True)
         except Exception as e:  # noqa: BLE001 — report, keep sweeping
             errors.append((name, str(e)[:100]))
             print(f"ERR {name} {str(e)[:100]}", flush=True)

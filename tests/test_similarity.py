@@ -413,6 +413,28 @@ def test_anchored_audit_crossjoin_survives_empty_output(spark):
     assert r["sample_recall"] == 0.9 and r["ok"] is True
 
 
+def test_lsh_pairs_topk_scale_invariant(emb, spark):
+    """code-review r09: the index prunes by EUCLIDEAN distance but the
+    contract ranks by COSINE — those only correspond on the unit
+    sphere, so the operator L2-normalizes before hashing. A corpus
+    whose vectors are scaled by arbitrary per-row positive factors
+    must therefore produce the SAME neighbor sets and (scale-invariant)
+    cosine scores as the original; before the fix, norms ~10 pushed
+    cos~1 neighbors past the default 1.2 threshold and items silently
+    emitted no rows."""
+    from sales_forecast_pyspark_spark.llmdata.similarity import lsh_pairs_topk
+
+    scaled = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: x * (10.0 + (F.col("vec_id") % 7))
+        ).alias("embedding"),
+    )
+    a = {tuple(r) for r in lsh_pairs_topk(emb, k=3).collect()}
+    b = {tuple(r) for r in lsh_pairs_topk(scaled, k=3).collect()}
+    assert a == b and len(a) > 0
+
+
 def test_lsh_pairs_topk_drops_zero_norm_vectors(spark):
     """code-review r09: a zero-norm vector has no direction, so it must
     appear neither as an item nor as a NULL-cos_sim neighbor occupying
