@@ -329,7 +329,13 @@ def _arrow_scored_pairs(pairs: DataFrame, metric: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    out_schema = "_ida long, _idb long, _score double"
+    # id columns keep their INPUT types (code-review r09): hardcoding
+    # `long` silently narrowed the public id_col contract — string doc
+    # ids fit the LSH model fine and then died in the Arrow cast
+    dtypes = dict(pairs.dtypes)
+    out_schema = (
+        f"_ida {dtypes['_ida']}, _idb {dtypes['_idb']}, _score double"
+    )
 
     def score(batches):
         for pdf in batches:
@@ -518,26 +524,35 @@ def lsh_pairs_topk(
     # up front, same contract as pq_topk/ivfpq_topk. The same norm
     # then L2-normalizes the survivors so the Euclidean index prunes
     # in true cosine units (see docstring).
+    #
+    # The norm is materialized as a COLUMN and the guard sits at ROW
+    # level (code-review r09, twice): (a) guarding is load-bearing —
+    # the optimizer collapses Filter+Project and hoists shared UDF
+    # subexpressions into filter predicates, so expressions downstream
+    # of the zero-norm filter still EVALUATE on the filtered rows
+    # (verified: an unguarded x/0 errors under the driver's ANSI
+    # session, a NULL arr NPEs array_to_vector, an empty array fails
+    # the LSH hash's dimension check); the otherwise(arr) branch hands
+    # those rows their own (all-zero, right-length) array, finite
+    # through every downstream UDF, and the filter still removes them.
+    # (b) referencing the norm as an attribute keeps normalization
+    # O(d) per row — an inline aggregate inside the transform lambda
+    # re-evaluated the O(d) sum per ELEMENT (O(d^2)); CollapseProject
+    # won't inline a non-cheap alias referenced three times.
     nrm = F.sqrt(
         F.aggregate(
             F.transform("arr", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
         )
     )
-    # The per-ELEMENT when-guard is load-bearing: the optimizer
-    # collapses Filter+Project and hoists shared UDF subexpressions
-    # into filter predicates, so expressions downstream of the
-    # zero-norm filter still EVALUATE on the filtered rows (verified:
-    # an unguarded x/0 errors under the driver's ANSI session, a NULL
-    # arr NPEs array_to_vector, an empty array fails the LSH hash's
-    # dimension check). Guarding each element yields a right-LENGTH
-    # all-zeros array for a zero-norm row — finite through every
-    # downstream UDF — while the filter still removes the row from
-    # the result wherever the planner evaluates it.
-    unit = raw.filter(nrm > 0).select(
+    normed = raw.select("id", "arr", nrm.alias("_n"))
+    unit = normed.filter(F.col("_n") > 0).select(
         "id",
-        F.transform(
-            "arr", lambda x: F.when(nrm > 0, x / nrm).otherwise(F.lit(0.0))
-        ).alias("arr"),
+        F.when(
+            F.col("_n") > 0,
+            F.transform("arr", lambda x: x / F.col("_n")),
+        )
+        .otherwise(F.col("arr"))
+        .alias("arr"),
     )
     vecs = unit.select("id", "arr", array_to_vector(F.col("arr")).alias("vec"))
     # the owned candidate join replaces MLlib's approxSimilarityJoin

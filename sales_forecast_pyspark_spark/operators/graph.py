@@ -66,9 +66,17 @@ def count_triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     # Orient each edge from its (deg, id)-smaller endpoint to the larger.
     dx = deg.select(F.col("n").alias("x"), F.col("deg").alias("_dx"))
     dy = deg.select(F.col("n").alias("y"), F.col("deg").alias("_dy"))
+    # merge hints (static-broadcast audit r09): every frame here sits
+    # behind the caller's basket-pair explode (visible through the
+    # cached fill plan), so static size estimates are fiction — on a
+    # cold run the planner BROADCAST the edge and degree frames, which
+    # are edge-/node-scale and would OOM at 100 TB. Once the cache is
+    # materialized its stats are real, but the cold one-shot plan is
+    # the dangerous window; the hints pin co-partitioned sort-merge at
+    # any scale.
     oriented = (
-        e.join(dx, "x")
-        .join(dy, "y")
+        e.join(dx.hint("merge"), "x")
+        .join(dy.hint("merge"), "y")
         .select(
             F.when(
                 (F.col("_dx") < F.col("_dy"))
@@ -85,11 +93,13 @@ def count_triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     # orientation order == plain id order is NOT enough: use the same
     # (deg, id) order, carried by re-joining degrees on the endpoints).
     dt = deg.select(F.col("n").alias("t"), F.col("deg").alias("_dt"))
-    out = oriented.join(dt, "t").select("s", "t", "_dt")
+    out = oriented.join(dt.hint("merge"), "t").select("s", "t", "_dt")
     w1 = out.select(F.col("s"), F.col("t").alias("b"), F.col("_dt").alias("_db"))
     w2 = out.select(F.col("s"), F.col("t").alias("c"), F.col("_dt").alias("_dc"))
+    # the wedge self-join: both sides are the edge-scale out-neighbor
+    # frame — same fictional post-explode estimate, same hint
     wedges = (
-        w1.join(w2, "s")
+        w1.join(w2.hint("merge"), "s")
         .filter(
             (F.col("_db") < F.col("_dc"))
             | ((F.col("_db") == F.col("_dc")) & (F.col("b") < F.col("c")))
@@ -97,7 +107,9 @@ def count_triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
         .select(F.col("b").alias("s"), F.col("c").alias("t"))
     )
 
-    tri = wedges.join(oriented, ["s", "t"]).agg(
+    # the closing join: wedges are O(m^1.5) and oriented is edge-scale
+    # — neither side may ever be a static broadcast
+    tri = wedges.join(oriented.hint("merge"), ["s", "t"]).agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
     counts = e.agg(F.count(F.lit(1)).alias("n_edges"))
@@ -201,10 +213,18 @@ def pagerank(
     dec = f"decimal(38,{contrib_scale})"
     prev_ckpt: DataFrame | None = None
     for _i in range(iterations):
+        # shuffle_hash hint on the RANK side (static-broadcast audit
+        # r09): on a cold run the static planner BROADCAST the cached
+        # edge frame into this join — edge-scale, fictional post-
+        # explode estimate, OOM at 100 TB, and the exact opposite of
+        # the design above (repartition(u)+cache exists so the edge
+        # side streams exchange-free). The hint builds the per-step
+        # hash on the small rank frame and never sorts the edge side
+        # — SMJ would pay an edge-side sort every iteration.
         contrib = directed.join(
             ranks.select(
                 F.col("node").alias("u"), F.col("r"), F.col("degree").alias("_d")
-            ),
+            ).hint("shuffle_hash"),
             "u",
         ).select(
             F.col("v").alias("node"),

@@ -46,7 +46,13 @@ SKIP = {
     "dedup_clusters", "forecast_eval_kpi", "forecast_gbt", "forecast_lr",
     "forecast_lr_full", "forecast_rf", "forecast_segmented",
     "leakage_free_split", "lr_coefficients_top", "model_quality_audit",
-    "near_dedup_survivors", "ann_pairs_topk",
+    "near_dedup_survivors",
+    # ann_pairs_topk is NOT skipped (code-review r09): its LSH fit
+    # runs jobs at plan-build, but so do audited siblings
+    # embedding_near_dups / ann_lsh_pairs — the fit is cheap and this
+    # offline sweep tolerates it, and the query's audit/anchor
+    # branches are exactly where a Generate-fed broadcast could
+    # regress unnoticed.
 }
 
 
@@ -70,8 +76,17 @@ def _resolve(node):
 
 def _subtree_has_generate(node) -> bool:
     node = _resolve(node)
-    if node.getClass().getSimpleName().startswith("Generate"):
+    name = node.getClass().getSimpleName()
+    if name.startswith("Generate"):
         return True
+    if name == "InMemoryTableScanExec":
+        # a cached fill plan can HIDE the explode (code-review r09):
+        # a broadcast OF a cached exploded frame is the same failure
+        try:
+            if _subtree_has_generate(node.relation().cachedPlan()):
+                return True
+        except Exception:
+            pass
     it = node.children().iterator()
     while it.hasNext():
         if _subtree_has_generate(it.next()):
@@ -86,9 +101,15 @@ def _subtree_has_generate(node) -> bool:
 # rows) cannot outgrow anything, however fictional the estimate under
 # it. The 1-row audit frames, scalar-subquery crossJoins, and the
 # stack(3)-over-global-agg drift report all land here.
+# NOTE: Generate is deliberately NOT here (code-review r09): a
+# generator's fan-out can be data-dependent even over a 1-row input —
+# explode(collect_list(corpus)) or explode(sequence(min, max)) over a
+# global aggregate is corpus-scale. Constant-arity generators over
+# bounded inputs (stack(3) over a global agg) go on the ALLOWED list
+# with a written justification instead of a structural exemption.
 _BOUNDED_THROUGH = (
     "Project", "Filter", "Sort", "Coalesce", "Exchange", "ShuffleExchange",
-    "BroadcastExchange", "Union", "Window", "Expand", "Generate",
+    "BroadcastExchange", "Union", "Window", "Expand",
     "WholeStageCodegen", "InputAdapter", "ColumnarToRow", "Subquery",
 )
 
@@ -115,15 +136,13 @@ def _is_bounded(node) -> bool:
                 return False
         return True
     if name.startswith(_BOUNDED_THROUGH):
-        # row-preserving / row-reducing wrappers — and Generate, whose
-        # fan-out over a bounded input stays bounded (stack over a
-        # global agg); over an unbounded input the child verdict rules
+        # row-preserving / row-reducing wrappers: bounded iff input is
         it = node.children().iterator()
         while it.hasNext():
             if not _is_bounded(it.next()):
                 return False
         return True
-    return False  # scans and anything unrecognized: assume unbounded
+    return False  # scans, Generate, anything unrecognized: unbounded
 
 
 def _walk(node, hits: list[str]) -> None:
@@ -164,17 +183,27 @@ def _walk(node, hits: list[str]) -> None:
 # if a query's flag count EXCEEDS its allowance — fewer is fine (a
 # planner may legitimately pick SMJ for these too).
 ALLOWED: dict[str, tuple[int, str]] = {
-    # (empty at the r09 baseline: after the operator merge hints and
-    # the owned LSH candidate join, every remaining Generate-fed
-    # broadcast is structurally bounded and exempted above. Add
-    # entries ONLY for declared-bounded shapes the structural rule
-    # cannot prove — e.g. a deterministic sample filter over a scan —
-    # with the justification in the tuple.)
+    # Add entries ONLY for declared-bounded shapes the structural rule
+    # cannot prove, with the justification in the tuple.
+    "lineitem_drift_report": (
+        1,
+        "stack(3, ...) over a 1-row global aggregate: constant-arity "
+        "generator, <= 3 rows at any corpus size (Generate is never "
+        "structurally exempted because fan-out CAN be data-dependent; "
+        "this one provably is not)",
+    ),
 }
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else ".rehearsal/sf10x"
+    # flags and the positional dir must not collide: `... -v` alone
+    # used to make sf_dir == "-v", error out all 150 builds, and —
+    # with the old exit logic — still report a green FLAGGED: []
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    sf_dir = args[0] if args else ".rehearsal/sf10x"
+    if not os.path.isdir(sf_dir):
+        print(f"sf_dir does not exist: {sf_dir}", file=sys.stderr)
+        return 2
     from sales_forecast_pyspark_spark.plans.queries import QUERIES
 
     spark = get_spark("static-broadcast-audit")
@@ -201,7 +230,11 @@ def main() -> int:
             print(f"ERR {name} {str(e)[:100]}", flush=True)
     print("FLAGGED:", flagged)
     if errors:
+        # errors are NOT green (code-review r09): a sweep where every
+        # build errored used to print FLAGGED: [] and exit 0 — the
+        # same vacuous-green failure the adaptive-unwrap fix removed
         print("ERRORS:", errors)
+        return 2
     return 1 if flagged else 0
 
 

@@ -91,11 +91,16 @@ def test_salted_join_fans_out_hot_keys(spark):
     """salted_segment_value: the salt fan-out must exist in the physical
     plan — a Generate(explode) replicating the right side across salt
     buckets, and the join keyed on (user_id, __salt), not user_id alone.
-    The physical strategy (broadcast at test SF, shuffle at scale) is
-    the optimizer's call; the fan-out is the invariant."""
+    Since the r09 static-broadcast sweep the strategy is NOT the
+    optimizer's call: salted_join merge-hints the exploded right side
+    (a static broadcast both belonged to the un-demotable
+    fictional-estimate class and defeated the salting — no shuffle,
+    nothing to de-skew), so the join must be a sort-merge join at
+    every SF."""
     plan = _plan(spark, "salted_segment_value")
     assert "Generate explode" in plan, plan
     assert "__salt" in plan, plan
+    assert "SortMergeJoin" in plan, plan
 
 
 def test_flagship_rollup_is_single_exchange(spark):

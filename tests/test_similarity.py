@@ -430,9 +430,16 @@ def test_lsh_pairs_topk_scale_invariant(emb, spark):
             "embedding", lambda x: x * (10.0 + (F.col("vec_id") % 7))
         ).alias("embedding"),
     )
-    a = {tuple(r) for r in lsh_pairs_topk(emb, k=3).collect()}
-    b = {tuple(r) for r in lsh_pairs_topk(scaled, k=3).collect()}
-    assert a == b and len(a) > 0
+    # near-identity, not exact set equality (code-review r09): the
+    # normalized values differ in the last ulp ((x*c)/(c*|a|) vs
+    # x/|a|), so a projection within an ulp of a bucket boundary can
+    # legitimately shift one candidate. The pre-fix bug emitted NO
+    # rows for scaled corpora, so a high Jaccard bound pins the
+    # invariant without the ulp sensitivity.
+    a = {(r["item_id"], r["neighbor_id"]) for r in lsh_pairs_topk(emb, k=3).collect()}
+    b = {(r["item_id"], r["neighbor_id"]) for r in lsh_pairs_topk(scaled, k=3).collect()}
+    assert len(a) > 0
+    assert len(a & b) / len(a | b) >= 0.98, (len(a), len(b), len(a & b))
 
 
 def test_lsh_pairs_topk_drops_zero_norm_vectors(spark):
