@@ -103,6 +103,24 @@ def test_salted_join_fans_out_hot_keys(spark):
     assert "SortMergeJoin" in plan, plan
 
 
+def test_graph_tier_has_no_static_broadcast_joins(spark):
+    """copurchase_triangles / pagerank_parts: the r09 static-broadcast
+    sweep (descending cached fill plans) found the planner statically
+    BROADCASTING the edge/degree frames behind the basket-pair explode
+    — edge-/node-scale relations whose post-Generate size estimates
+    are fiction, un-demotable by AQE, OOM at 100 TB. The operators now
+    hint shuffle_hash (degree/rank sides) and merge (wedge/closing
+    joins); the only BroadcastHashJoins allowed in these plans are the
+    bounded 1-row summary/audit frames, which join on a literal-free
+    key set these aren't — so the invariant is simply: zero BHJ, and
+    the hinted strategies present."""
+    for name in ("copurchase_triangles", "pagerank_parts"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" not in plan, (name, plan)
+        assert "ShuffledHashJoin" in plan, (name, plan)
+    assert "SortMergeJoin" in _plan(spark, "copurchase_triangles")
+
+
 def test_flagship_rollup_is_single_exchange(spark):
     """daily_rollup: one hash-partitioning exchange (the groupBy), the
     dimension joins broadcast — the shape that holds at 100x."""
