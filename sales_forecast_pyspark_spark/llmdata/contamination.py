@@ -82,10 +82,12 @@ def ngram_contamination(
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
     return (
-        # merge hint: per_doc is a per-corpus-doc frame behind the gram
-        # explode — corpus-scale regardless of benchmark size, and the
-        # static broadcast estimate under it is fiction (audit r09)
-        hits.join(per_doc.hint("merge"), id_col)
+        # shuffle_hash hint: per_doc is a per-corpus-doc frame behind
+        # the gram explode — corpus-scale regardless of benchmark
+        # size, and the static broadcast estimate under it is fiction
+        # (audit r09). One aggregated row per doc, so the hash build
+        # is bounded per partition and neither side pays a sort
+        hits.join(per_doc.hint("shuffle_hash"), id_col)
         .select(id_col, "n_grams", "n_hits")
     )
 

@@ -151,10 +151,14 @@ def _prefix_candidates(
     order_w = Window.partitionBy(id_col).orderBy("df_count", "shingle")
     count_w = Window.partitionBy(id_col)
     prefix = (
-        # merge hint: shingle document-frequency is shingle-vocabulary-
-        # scale (unbounded with the corpus) and sits behind the shingle
-        # explode — static broadcast estimates are fiction
-        sh.join(freq.hint("merge"), "shingle")
+        # shuffle_hash hint: shingle document-frequency is shingle-
+        # vocabulary-scale (unbounded with the corpus) and sits behind
+        # the shingle explode — static broadcast estimates are
+        # fiction. The df frame is an aggregate of `sh` (one row per
+        # shingle, strictly fewer rows, tiny uniform rows), so a
+        # per-partition hash build avoids sorting the corpus-token-
+        # scale side entirely
+        sh.join(freq.hint("shuffle_hash"), "shingle")
         .withColumn("__rn", F.row_number().over(order_w))
         .withColumn("__n", F.count(F.lit(1)).over(count_w))
         .filter(
@@ -381,11 +385,13 @@ def duplicated_chunk_stats(
         F.countDistinct(id_col).alias("_ndocs")
     )
     return (
-        # merge hint: both sides derive from the chunk explode — the
-        # chunk-hash count frame is chunk-vocabulary-scale, unbounded
-        # with the corpus, and the static estimate under it is fiction
-        # (see _jaccard_on_pairs)
-        h.join(docs_per_hash.hint("merge"), "_h")
+        # shuffle_hash hint: both sides derive from the chunk explode
+        # — the chunk-hash count frame is chunk-vocabulary-scale,
+        # unbounded with the corpus, and the static estimate under it
+        # is fiction (see _jaccard_on_pairs). It is an aggregate of
+        # `h` (one row per hash), so the per-partition hash build
+        # beats sorting the chunk-scale side
+        h.join(docs_per_hash.hint("shuffle_hash"), "_h")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
@@ -444,8 +450,11 @@ def ngram_containment_pairs(
     na = counts.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("n_a"))
     nb = counts.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("n_b"))
     both = (
-        shared.join(na.hint("merge"), "doc_a")
-        .join(nb.hint("merge"), "doc_b")
+        # the per-doc count sides are one-row-per-doc aggregates —
+        # hash-build them per partition instead of sorting the
+        # PAIR-scale `shared` frame twice
+        shared.join(na.hint("shuffle_hash"), "doc_a")
+        .join(nb.hint("shuffle_hash"), "doc_b")
         .select(
             F.explode(
                 F.array(

@@ -317,11 +317,14 @@ def unigram_surprisal(
     freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
     total = freq.agg(F.sum("cnt").alias("total"))
     surp = (
-        # merge hint: token frequency is vocabulary-scale (Heaps-law
-        # unbounded with the corpus) behind the token explode — the
-        # static broadcast estimate under it is fiction (audit r09);
-        # `total` stays broadcast: a global agg is 1 row by construction
-        tok.join(freq.hint("merge"), "t")
+        # shuffle_hash hint: token frequency is vocabulary-scale
+        # (Heaps-law unbounded with the corpus) behind the token
+        # explode — the static broadcast estimate under it is fiction
+        # (audit r09) — but it is an AGGREGATE of `tok` (one tiny row
+        # per term), so hash-building it per partition avoids sorting
+        # the corpus-token-scale side; `total` stays broadcast: a
+        # global agg is 1 row by construction
+        tok.join(freq.hint("shuffle_hash"), "t")
         .crossJoin(F.broadcast(total))
         .select(
             id_col,
@@ -389,11 +392,13 @@ def bigram_surprisal(
     vocab = uni.agg(F.count(F.lit(1)).alias("vsize"))
     c2 = bg.groupBy("b").agg(F.count(F.lit(1)).alias("c2"))
     surp = (
-        # merge hints: unigram and bigram count frames are vocabulary-
-        # scale behind the token explode — static broadcast estimates
-        # are fiction (audit r09); `vocab` is a 1-row global agg
-        bg.join(uni.withColumnRenamed("t", "w1").hint("merge"), "w1")
-        .join(c2.hint("merge"), "b")
+        # shuffle_hash hints: unigram and bigram count frames are
+        # vocabulary-scale behind the token explode — static broadcast
+        # estimates are fiction (audit r09) — and both are aggregates
+        # (one row per (bi)gram), so per-partition hash builds beat
+        # sorting the token-scale side; `vocab` is a 1-row global agg
+        bg.join(uni.withColumnRenamed("t", "w1").hint("shuffle_hash"), "w1")
+        .join(c2.hint("shuffle_hash"), "b")
         .crossJoin(F.broadcast(vocab))
         .select(
             id_col,

@@ -108,10 +108,13 @@ def term_tfidf(
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     n_docs = df.agg(F.countDistinct(id_col).alias("_n_docs"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    # merge hint: document frequency is vocabulary-scale (Heaps-law
-    # unbounded) behind the token explode — static broadcast estimates
-    # are fiction (audit r09); `n_docs` stays broadcast (1-row agg)
-    w = tf.join(dfreq.hint("merge"), "term").crossJoin(F.broadcast(n_docs)).select(
+    # shuffle_hash hint: document frequency is vocabulary-scale
+    # (Heaps-law unbounded) behind the token explode — static
+    # broadcast estimates are fiction (audit r09) — and an aggregate
+    # of `tf` (one row per term), so the per-partition hash build
+    # avoids sorting the doc-term-scale side; `n_docs` stays
+    # broadcast (1-row agg)
+    w = tf.join(dfreq.hint("shuffle_hash"), "term").crossJoin(F.broadcast(n_docs)).select(
         "doc_id",
         "term",
         (F.col("tf") * F.log((F.col("_n_docs") + 1.0) / (F.col("df") + 1.0))).alias("w"),

@@ -117,13 +117,17 @@ def basket_lift(
     ca = item_counts.select(F.col("_i").alias("item_a"), F.col("_n").alias("_na"))
     cb = item_counts.select(F.col("_i").alias("item_b"), F.col("_n").alias("_nb"))
     return (
-        # merge hints (static-broadcast audit r09): the pair frame and
-        # the item-count frames all sit behind the basket/pair explode
-        # and are catalog-scale — static broadcast estimates under a
-        # Generate are fiction AQE cannot demote; `n_baskets` stays
+        # shuffle_hash hints (static-broadcast audit r09): the pair
+        # frame and the item-count frames all sit behind the basket/
+        # pair explode and are catalog-scale — static broadcast
+        # estimates under a Generate are fiction AQE cannot demote.
+        # The item-count sides are aggregated one-row-per-item frames
+        # (uniformly keyed, rows/partitions bounded at any scale), so
+        # building their hash per partition beats sort-merge: SMJ
+        # would sort the PAIR-scale side twice; `n_baskets` stays
         # broadcast (1-row global agg, bounded by construction)
-        pairs.join(ca.hint("merge"), "item_a")
-        .join(cb.hint("merge"), "item_b")
+        pairs.join(ca.hint("shuffle_hash"), "item_a")
+        .join(cb.hint("shuffle_hash"), "item_b")
         .crossJoin(F.broadcast(n_baskets))
         .select(
             "item_a",
