@@ -110,8 +110,13 @@ def _jaccard_on_pairs(
     na = counts.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("n_a"))
     nb = counts.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("n_b"))
     return (
-        shared.join(_hint(na), "doc_a")
-        .join(_hint(nb), "doc_b")
+        # the per-doc count sides are one-row-per-doc aggregates —
+        # hash-build them per partition (aggregated-side shuffle_hash
+        # policy, SCALING.md) instead of sorting the PAIR-scale
+        # `shared` frame twice; the shingle joins above keep merge
+        # (same-scale sides)
+        shared.join(na.hint("shuffle_hash"), "doc_a")
+        .join(nb.hint("shuffle_hash"), "doc_b")
         .select(
             "doc_a",
             "doc_b",

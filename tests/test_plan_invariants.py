@@ -121,6 +121,21 @@ def test_graph_tier_has_no_static_broadcast_joins(spark):
     assert "SortMergeJoin" in _plan(spark, "copurchase_triangles")
 
 
+@pytest.mark.parametrize(
+    "name",
+    ["tfidf_similar_docs", "doc_surprisal", "basket_lift", "ngram_jaccard_pairs"],
+)
+def test_aggregated_count_joins_are_shuffled_hash(spark, name):
+    """The r09 aggregated-side hint policy: a one-row-per-key count
+    frame (term df, token frequency, item basket counts, per-doc
+    shingle counts) joined back into its corpus-scale source must be a
+    ShuffledHashJoin — hash-building the count side per partition
+    instead of sorting the data-scale side (and never a static
+    broadcast, which the sweep pins separately). Hints force the
+    strategy at every SF, so this is stable at sf0.001."""
+    assert "ShuffledHashJoin" in _plan(spark, name), name
+
+
 def test_flagship_rollup_is_single_exchange(spark):
     """daily_rollup: one hash-partitioning exchange (the groupBy), the
     dimension joins broadcast — the shape that holds at 100x."""
