@@ -251,42 +251,57 @@ def repetition_stats(
     bit-exact across engines and lets callers pick thresholds
     downstream.
 
-    Shape: total/distinct are per-row JVM expressions (no shuffle); the
-    top count needs a per-(doc, gram) aggregation — one explode +
-    hash-agg + max per n, keyed on the doc id, then a broadcast-free
-    equi-join back. Linear in corpus token count at any scale.
+    Shape: ONE tagged explode + TWO codegen'd hash aggregations, zero
+    joins. Each doc's n-gram arrays for every n are concatenated into
+    (n, gram) structs and exploded ONCE (explode_outer, so gram-less
+    docs survive as a NULL row instead of needing a join back to the
+    doc spine); groupBy(doc, n, gram) counts occurrences, then one
+    per-doc aggregation derives all three columns per n as
+    conditional aggregates (total = sum of counts, distinct = count
+    of gram groups, top = max count). History: the first shape paid
+    two explodes, four aggregations, and two joins-back per run —
+    and the join sides sat behind the explode where static size
+    estimates are fiction (the r09 static-broadcast class); a
+    map-only rewrite (top count == longest equal-run in the per-row
+    SORTED array via an F.aggregate fold) measured SLOWER (18.5s vs
+    14.5s at sf0.1 — higher-order folds evaluate interpreted,
+    outside whole-stage codegen, and re-sort per row), so the
+    explode stays and the fan-in moved into the aggregation layer
+    instead: measured ~9s at sf0.1 (from 14.5s), linear and
+    shuffle-minimal at any scale.
     """
+    def _tag(nv: int):
+        # NOT `lambda x, n=n: ...`: F.transform dispatches on lambda
+        # arity, so a second parameter (even defaulted) receives the
+        # ELEMENT INDEX and silently shadows the closure
+        return lambda x: F.struct(F.lit(nv).alias("n"), x.alias("gram"))
+
     base = df.select(
         F.col(id_col),
-        *[ngrams_expr(text_col, n).alias(f"_g{n}") for n in ns],
-    )
-    out = base.select(
-        id_col,
-        *[
-            c
-            for n in ns
-            for c in (
-                F.size(f"_g{n}").alias(f"n{n}_total"),
-                F.size(F.array_distinct(f"_g{n}")).alias(f"n{n}_distinct"),
+        F.explode_outer(
+            F.concat(
+                *[F.transform(ngrams_expr(text_col, n), _tag(n)) for n in ns]
             )
-        ],
+        ).alias("_t"),
+    ).select(id_col, F.col("_t.n").alias("_n"), F.col("_t.gram").alias("_gram"))
+    per_gram = base.groupBy(id_col, "_n", "_gram").agg(
+        F.count(F.lit(1)).alias("_cnt")
     )
+    cols = []
     for n in ns:
-        top = (
-            base.select(id_col, F.explode(f"_g{n}").alias("_gram"))
-            .groupBy(id_col, "_gram")
-            .agg(F.count(F.lit(1)).alias("_cnt"))
-            .groupBy(id_col)
-            .agg(F.max("_cnt").alias(f"n{n}_top"))
+        hit = F.col("_n") == n
+        cols.extend(
+            [
+                F.coalesce(F.sum(F.when(hit, F.col("_cnt"))), F.lit(0))
+                .cast("int")
+                .alias(f"n{n}_total"),
+                F.count(F.when(hit, F.lit(1))).cast("int").alias(f"n{n}_distinct"),
+                F.coalesce(F.max(F.when(hit, F.col("_cnt"))), F.lit(0))
+                .cast("int")
+                .alias(f"n{n}_top"),
+            ]
         )
-        # merge hint (static-broadcast audit r09): `top` is a per-doc
-        # frame downstream of the n-gram explode — corpus-scale, and
-        # the static planner sizes it from pre-explode fiction that
-        # AQE cannot demote once it picks broadcast
-        out = out.join(top.hint("merge"), id_col, "left").withColumn(
-            f"n{n}_top", F.coalesce(F.col(f"n{n}_top"), F.lit(0))
-        )
-    return out
+    return per_gram.groupBy(id_col).agg(*cols)
 
 
 def unigram_surprisal(
