@@ -63,6 +63,7 @@ def ngram_contamination(
             F.explode(F.array_distinct(ngrams_expr(text_col, n))).alias("gram")
         )
         .distinct()
+        .withColumn("_hit", F.lit(1))
     )
     if broadcast_bench:
         bench_grams = F.broadcast(bench_grams)
@@ -73,21 +74,21 @@ def ngram_contamination(
         # un-demotable fictional-broadcast class (audit r09)
         bench_grams = bench_grams.hint("merge")
     doc_grams = _distinct_grams(corpus, id_col, text_col, n)
-    per_doc = doc_grams.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_grams")
-    )
-    hits = (
-        doc_grams.join(bench_grams, "gram")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
+    # Mark-then-aggregate: a LEFT join against the (distinct) benchmark
+    # grams tags each doc gram in place — map-side under the default
+    # broadcast — and ONE per-doc aggregation derives both counts
+    # (n_grams = all rows, n_hits = tagged rows). The previous shape
+    # aggregated n_grams and n_hits separately and joined the two
+    # per-doc frames back together: a second full-corpus-gram shuffle
+    # plus a doc-scale join, for counts one pass already had.
     return (
-        # shuffle_hash hint: per_doc is a per-corpus-doc frame behind
-        # the gram explode — corpus-scale regardless of benchmark
-        # size, and the static broadcast estimate under it is fiction
-        # (audit r09). One aggregated row per doc, so the hash build
-        # is bounded per partition and neither side pays a sort
-        hits.join(per_doc.hint("shuffle_hash"), id_col)
+        doc_grams.join(bench_grams, "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_hit").alias("n_hits"),
+        )
+        .filter(F.col("n_hits") > 0)
         .select(id_col, "n_grams", "n_hits")
     )
 
