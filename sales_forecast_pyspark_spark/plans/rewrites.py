@@ -24,9 +24,6 @@ prune reported-expired entries opportunistically. Cosmetic edits
 """
 
 # query name -> round whose commits rewrote its implementation
-REWRITTEN_AT: dict[str, int] = {
-    # r09: single-pass tagged-explode rewrite (llmdata/text.py)
-    "repetition_stats": 9,
-    # r09: mark-then-aggregate rewrite (llmdata/contamination.py)
-    "benchmark_contamination": 9,
-}
+# (r09's repetition_stats / benchmark_contamination entries expired —
+# CORRECTNESS_r10 re-checked both on their new shapes — and were pruned.)
+REWRITTEN_AT: dict[str, int] = {}

@@ -11,8 +11,11 @@ shuffle stages are re-measured at runtime), so the plan OOMs the
 moment the corpus outgrows the estimate. This sweep is plan-only
 (no execution): it builds every registered query against the given
 scale dir and tree-walks the static plan, flagging any
-BroadcastExchange whose subtree contains a Generate. Run it after
-adding an operator that joins exploded data:
+BroadcastExchange whose subtree contains a Generate. Since r11 the
+sweep is ALSO a suite gate — tests/test_static_broadcast_sweep.py runs
+it over the full registry at sf0.001 every pytest run, with a
+hand-built positive control pinned red — so this CLI is for the larger
+rehearsal decades and -v triage:
 
     python scripts/audit_static_broadcasts.py [.rehearsal/sf10x]
 
@@ -107,36 +110,61 @@ def _subtree_has_generate(node) -> bool:
 # global aggregate is corpus-scale. Constant-arity generators over
 # bounded inputs (stack(3) over a global agg) go on the ALLOWED list
 # with a written justification instead of a structural exemption.
-_BOUNDED_THROUGH = (
-    "Project", "Filter", "Sort", "Coalesce", "Exchange", "ShuffleExchange",
-    "BroadcastExchange", "Union", "Window", "Expand",
-    "WholeStageCodegen", "InputAdapter", "ColumnarToRow", "Subquery",
+# Exact physical-node class names (code-review r09 / ADVICE r10: the
+# old startswith/substring matching was fragile — "Limit" in name made
+# WindowGroupLimitExec, a PER-GROUP limit whose output scales with the
+# group count, read as globally bounded, and a "Sort" prefix is one
+# Spark rename away from swallowing an unrelated node). Unrecognized
+# names fall through to unbounded, the conservative (over-flagging)
+# direction, so new Spark operators fail loudly into triage instead of
+# being silently exempted.
+_AGG_NODES = frozenset(
+    {"HashAggregateExec", "SortAggregateExec", "ObjectHashAggregateExec"}
+)
+_GLOBAL_LIMIT_NODES = frozenset(
+    # WindowGroupLimitExec deliberately absent: per-group, not global
+    {"GlobalLimitExec", "LocalLimitExec", "CollectLimitExec",
+     "TakeOrderedAndProjectExec"}
+)
+_JOIN_NODES = frozenset(
+    {"BroadcastHashJoinExec", "SortMergeJoinExec", "ShuffledHashJoinExec",
+     "BroadcastNestedLoopJoinExec", "CartesianProductExec"}
+)
+_BOUNDED_THROUGH = frozenset(
+    # row-preserving or row-reducing wrappers: bounded iff input is.
+    # ExpandExec multiplies by its constant projection arity — still
+    # bounded over a bounded input. WindowGroupLimitExec qualifies
+    # HERE (<= input rows), just not as a global limit above.
+    {"ProjectExec", "FilterExec", "SortExec", "CoalesceExec",
+     "ShuffleExchangeExec", "BroadcastExchangeExec", "UnionExec",
+     "WindowExec", "WindowGroupLimitExec", "ExpandExec",
+     "WholeStageCodegenExec", "InputAdapter", "ColumnarToRowExec",
+     "AQEShuffleReadExec", "SubqueryExec", "SubqueryBroadcastExec"}
 )
 
 
 def _is_bounded(node) -> bool:
     node = _resolve(node)
     name = node.getClass().getSimpleName()
-    if name.startswith(("HashAggregate", "SortAggregate", "ObjectHashAggregate")):
+    if name in _AGG_NODES:
         try:
             if node.groupingExpressions().isEmpty():
                 return True  # global aggregate: <= 1 row by construction
         except Exception:
             pass
         return False  # keyed aggregate: cardinality follows the keys
-    if "Limit" in name or name == "TakeOrderedAndProjectExec":
+    if name in _GLOBAL_LIMIT_NODES:
         return True
     if name == "LocalTableScanExec":
         return True  # literal rows, already driver-resident
-    if name.endswith("JoinExec"):
+    if name in _JOIN_NODES:
         # a join of bounded inputs is bounded (1-row audit crossJoins)
         it = node.children().iterator()
         while it.hasNext():
             if not _is_bounded(it.next()):
                 return False
         return True
-    if name.startswith(_BOUNDED_THROUGH):
-        # row-preserving / row-reducing wrappers: bounded iff input is
+    if name in _BOUNDED_THROUGH:
         it = node.children().iterator()
         while it.hasNext():
             if not _is_bounded(it.next()):
@@ -195,6 +223,43 @@ ALLOWED: dict[str, tuple[int, str]] = {
 }
 
 
+def audit_frame(df) -> list[str]:
+    """Flagged unbounded Generate-fed static broadcasts in one frame's
+    statically planned physical tree (list of subtree-head strings)."""
+    hits: list[str] = []
+    _walk(df._jdf.queryExecution().executedPlan(), hits)
+    return hits
+
+
+def sweep(spark, sf_dir: str, names=None, verbose: bool = False):
+    """Run the audit over registered queries (all non-SKIP by default).
+    Returns (flagged, errors): flagged = [(name, hit_count)] where the
+    count exceeds the query's ALLOWED budget; errors = [(name, msg)]
+    for builds that crashed (NOT green — a sweep that errors everywhere
+    must never report an empty flag list as success)."""
+    from sales_forecast_pyspark_spark.plans.queries import QUERIES
+
+    flagged, errors = [], []
+    for name, q in QUERIES.items():
+        if name in SKIP or (names is not None and name not in names):
+            continue
+        try:
+            hits = audit_frame(q.builder(spark, sf_dir))
+            allowed = ALLOWED.get(name, (0, ""))[0]
+            if len(hits) > allowed:
+                flagged.append((name, len(hits)))
+                print(f"FLAG {name} {len(hits)} (allowed {allowed})", flush=True)
+                if verbose:
+                    for h in hits:
+                        print(f"  --- {name} ---\n{h}", flush=True)
+            elif hits:
+                print(f"OK-ALLOWED {name} {len(hits)}/{allowed}", flush=True)
+        except Exception as e:  # noqa: BLE001 — report, keep sweeping
+            errors.append((name, str(e)[:100]))
+            print(f"ERR {name} {str(e)[:100]}", flush=True)
+    return flagged, errors
+
+
 def main() -> int:
     # flags and the positional dir must not collide: `... -v` alone
     # used to make sf_dir == "-v", error out all 150 builds, and —
@@ -204,30 +269,9 @@ def main() -> int:
     if not os.path.isdir(sf_dir):
         print(f"sf_dir does not exist: {sf_dir}", file=sys.stderr)
         return 2
-    from sales_forecast_pyspark_spark.plans.queries import QUERIES
-
     spark = get_spark("static-broadcast-audit")
     spark.sparkContext.setLogLevel("ERROR")
-    flagged, errors = [], []
-    for name, q in QUERIES.items():
-        if name in SKIP:
-            continue
-        try:
-            jplan = q.builder(spark, sf_dir)._jdf.queryExecution().executedPlan()
-            hits: list[str] = []
-            _walk(jplan, hits)
-            allowed = ALLOWED.get(name, (0, ""))[0]
-            if len(hits) > allowed:
-                flagged.append((name, len(hits)))
-                print(f"FLAG {name} {len(hits)} (allowed {allowed})", flush=True)
-                if "-v" in sys.argv:
-                    for h in hits:
-                        print(f"  --- {name} ---\n{h}", flush=True)
-            elif hits:
-                print(f"OK-ALLOWED {name} {len(hits)}/{allowed}", flush=True)
-        except Exception as e:  # noqa: BLE001 — report, keep sweeping
-            errors.append((name, str(e)[:100]))
-            print(f"ERR {name} {str(e)[:100]}", flush=True)
+    flagged, errors = sweep(spark, sf_dir, verbose="-v" in sys.argv)
     print("FLAGGED:", flagged)
     if errors:
         # errors are NOT green (code-review r09): a sweep where every

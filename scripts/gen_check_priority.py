@@ -112,6 +112,15 @@ def expired_rewrites(
     )
 
 
+def validate_rewrites(
+    rewritten_at: dict[str, int], registry_names: list[str]
+) -> list[str]:
+    """Entries naming queries that are not registered (typo, or a
+    retired query whose log entry outlived it). Callers must abort on a
+    non-empty result — a misspelled entry would silently never promote."""
+    return sorted(set(rewritten_at) - set(registry_names))
+
+
 def _registry():
     sys.path.insert(0, REPO)
     from sales_forecast_pyspark_spark.plans.queries import QUERIES, REGISTRATION_ORDER
@@ -119,7 +128,7 @@ def _registry():
 
     names = list(REGISTRATION_ORDER)
     oracle_backed = {n for n in names if QUERIES[n].oracle is not None}
-    unknown = sorted(set(REWRITTEN_AT) - set(names))
+    unknown = validate_rewrites(REWRITTEN_AT, names)
     if unknown:
         raise SystemExit(
             f"plans/rewrites.py names unregistered queries: {unknown} — "
@@ -128,7 +137,12 @@ def _registry():
     return names, oracle_backed, dict(REWRITTEN_AT)
 
 
-def render(priority: list[str], rounds: dict[int, dict]) -> str:
+def render(
+    priority: list[str],
+    rounds: dict[int, dict],
+    rewritten_at: dict[str, int] | None = None,
+) -> str:
+    rewritten_at = rewritten_at or {}
     lines = [
         '"""GENERATED by scripts/gen_check_priority.py — do not hand-edit.',
         "",
@@ -152,6 +166,14 @@ def render(priority: list[str], rounds: dict[int, dict]) -> str:
         "# existed at commit time (VERDICT r06 ask #2).",
         f"DERIVED_FROM_ROUNDS = {sorted(rounds)!r}",
         "",
+        "# Snapshot of plans/rewrites.py at derivation time. The staleness",
+        "# test re-derives from THIS snapshot (not the live log), mirroring",
+        "# the DERIVED_FROM_ROUNDS self-healing: a rewrite logged after this",
+        "# file was committed makes a separate consistency test demand a",
+        "# same-commit regen instead of hard-failing the derivation compare.",
+        "DERIVED_FROM_REWRITES = "
+        + repr({n: rewritten_at[n] for n in sorted(rewritten_at)}),
+        "",
         "CHECK_PRIORITY = [",
     ]
     lines += [f'    "{n}",' for n in priority]
@@ -169,7 +191,7 @@ def main() -> int:
             "expired — driver evidence now covers the new shape; prune it"
         )
     priority = derive_priority(names, oracle_backed, rounds, rewritten_at)
-    text = render(priority, rounds)
+    text = render(priority, rounds, rewritten_at)
     current = open(OUT_PATH).read() if os.path.exists(OUT_PATH) else None
     if check_only:
         if current != text:

