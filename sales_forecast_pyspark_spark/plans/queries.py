@@ -1354,8 +1354,13 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-n-gram repetition profile (llmdata/text.py::
     repetition_stats) — the Gopher-family quality filter inputs as
     exact integer counts (total / distinct / top-frequency for 2- and
-    3-grams). Totals and distincts are per-row JVM expressions; only
-    the top count shuffles (explode + doc-keyed hash-agg per n)."""
+    3-grams). Shape since the r09 rewrite (driver-green on this shape
+    in CORRECTNESS_r10): ONE tagged explode of (n, gram) structs for
+    all n, then TWO codegen'd hash aggregations — groupBy(doc, n,
+    gram) occurrence counts, then per-doc conditional aggregates
+    deriving all six columns. Zero joins; ~9s at sf0.1 vs 14.5s for
+    the old two-explode/two-join shape (full history on the operator
+    docstring)."""
     from sales_forecast_pyspark_spark.llmdata.text import repetition_stats
 
     docs = read_table(spark, sf_dir, "documents")
@@ -2697,15 +2702,16 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pruned set — the billion-scale composition of the IVF and PQ
     tiers. Recall >= 0.5 pinned in tests/test_similarity.py AND
     carried in-row via recall_at_k/recall_ok audit columns vs the
-    in-query exact truth (VERDICT r07 #4). n_probe=6 (not the operator
-    default 4) because the audited pooled recall sat at 0.55 with 4
-    probes — one bad seeded-KMeans draw from flipping recall_ok red;
-    6 probes measure 0.61 at 6/16 of the corpus ADC-scored per query,
-    still cell-restricted. Codebook history: r08 widened refine_factor
-    to 64 as a symptom patch; the r09 codebook sweep fixed the cause —
-    codebook_k=256 with refine back at 32 measures 0.59 at the
-    200k-vector decade vs 0.54 for the r08 shape, at half the
-    exact-refine volume (full ladder in SCALING.md)."""
+    in-query exact truth (VERDICT r07 #4). Runs the operator DEFAULTS,
+    which since r11 own the measured margin (n_probe=6: pooled recall
+    0.61 at 20k / 0.59 at 200k vs 0.55 at the old default 4 — one bad
+    seeded-KMeans draw from the bar). The contracted division of labor
+    (ivfpq_topk docstring + SCALING.md probe ladder): IVF-PQ is the
+    minimum-IO >=0.5 tier, pq_topk the >=0.7 tier — probe coverage
+    buys recall sublinearly on a structureless corpus, and past ~60%
+    scanned a full PQ scan is strictly better. Codebook history: r08
+    widened refine_factor to 64 as a symptom patch; the r09 codebook
+    sweep fixed the cause (codebook_k=256, refine back at 32)."""
     from sales_forecast_pyspark_spark.llmdata.similarity import (
         cosine_topk,
         ivfpq_topk,
@@ -2714,9 +2720,7 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spread_scan(read_table(spark, sf_dir, "embeddings"), "vec_id")
     q = emb.filter(F.col("vec_id") < 20)
-    return topk_recall_audit(
-        ivfpq_topk(emb, q, k=5, n_probe=6), cosine_topk(emb, q, k=5)
-    )
+    return topk_recall_audit(ivfpq_topk(emb, q, k=5), cosine_topk(emb, q, k=5))
 
 
 @register("ann_pairs_topk")  # rows-only: BRP-LSH buckets are not SQL-expressible

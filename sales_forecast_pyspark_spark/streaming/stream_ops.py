@@ -302,7 +302,20 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     counters, cross-batch dedup). State is one tiny tuple per user key —
     bounded by key cardinality, not stream length; with no timeout the
     state lives for the query's lifetime, so keys must be bounded (use a
-    TTL timeout for unbounded key spaces)."""
+    TTL timeout for unbounded key spaces).
+
+    THROUGHPUT CONTRACT (measured r08/r09 rehearsal ladder, SCALING.md
+    "streaming" section): per-row replay cost is flat; the bound is the
+    per-GROUP-PER-BATCH fixed overhead of ``applyInPandasWithState``
+    (state get/update, chunk handling, per-group dispatch), so
+    throughput tracks **rows per group instance** = batch_rows /
+    distinct_keys_in_batch — NOT corpus size. Size micro-batches so
+    instances stay in the thousands of rows: at the 100x decade,
+    8 files/trigger gave 8.3 rows/instance at 63.5k rows/s; 32
+    files/trigger gave 33 rows/instance at 185.6k rows/s (2.9x) with
+    identical results. ``scripts/stream_rehearsal.py`` defaults to the
+    measured 32; a production firehose reaches the same regime through
+    its natural batch interval."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -605,7 +618,19 @@ def attribution_stream(
     bounded by one user's rows in one micro-batch, which the state
     design already assumes. Equivalence with the batch operator —
     including a hot user split across Arrow chunks — is pinned in
-    tests/test_streaming.py."""
+    tests/test_streaming.py.
+
+    THROUGHPUT CONTRACT (measured r08/r09 rehearsal ladder, SCALING.md
+    "streaming" section): per-row cost is flat — throughput is set by
+    **rows per group instance** (batch_rows / distinct_users_in_batch)
+    times the per-instance fixed cost of ``applyInPandasWithState``.
+    Measured at the 100x decade: 8 files/trigger = 8.3 rows/instance =
+    63.5k rows/s; 32 files/trigger = 33 rows/instance = 185.6k rows/s
+    (2.9x, near-linear in rows/instance — the fixed-cost model).
+    ``scripts/stream_rehearsal.py`` defaults to the measured 32; size
+    production micro-batches so instances stay in the thousands of
+    rows, and cluster parallelism divides instances per core while
+    per-row cost stays flat."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 

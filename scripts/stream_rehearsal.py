@@ -271,7 +271,11 @@ def main() -> None:
                     default=["/root/testdata/sf0.1", ".rehearsal/sf1x"])
     ap.add_argument("--paths", nargs="+", default=list(PATHS),
                     choices=list(PATHS))
-    ap.add_argument("--files-per-trigger", type=int, default=8)
+    # default = the measured rows-per-group-instance sweet spot (r09,
+    # SCALING.md streaming: 32 files/trigger = 33 rows/instance =
+    # 185.6k rows/s at 100x vs 63.5k at 8) — pass 8 to reproduce the
+    # historical r08/r09 ladder numbers
+    ap.add_argument("--files-per-trigger", type=int, default=32)
     args = ap.parse_args()
 
     from sales_forecast_pyspark_spark.session import get_spark
