@@ -132,6 +132,32 @@ def test_default_candidate_mass_is_structurally_bounded(loose):
     assert ncand / ALL_PAIRS <= 1.6
 
 
+def test_ivfpq_exploits_cluster_structure(loose):
+    """The other half of the r11 IVF-PQ contract (SCALING.md): the 0.59
+    structureless-corpus recall is the HARD case — on a corpus with
+    real cluster structure the coarse cells align with the clusters, so
+    probing 6/16 cells captures the true neighbors. Measured r11:
+    mean_recall 1.0 on BOTH clustered tightnesses at operator defaults
+    (pinned >= 0.9 on the loose fixture, the same corpus where LSH
+    pair-mining pruning provably cannot work — the division of labor in
+    one pair of pins)."""
+    from sales_forecast_pyspark_spark.llmdata.similarity import (
+        ivfpq_topk,
+        topk_recall_audit,
+    )
+
+    queries = loose.filter(F.col("vec_id") % 100 < 1)  # one per cluster
+    row = (
+        topk_recall_audit(
+            ivfpq_topk(loose, queries, k=K), cosine_topk(loose, queries, k=K)
+        )
+        .select("mean_recall", "recall_ok")
+        .first()
+    )
+    assert row["recall_ok"] is True
+    assert row["mean_recall"] >= 0.9, row["mean_recall"]
+
+
 def test_banding_prunes_near_dup_regime_with_full_recall(tight):
     """The r11 rows_per_band contract: in the tight regime AND-banded
     keys prune the intermediate ~8x below the rows=1 all-pairs mirror
