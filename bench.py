@@ -186,6 +186,10 @@ def main() -> None:
         "forecast_lr",
         "pagerank_parts",
         "small_order_part_revenue",
+        # r11: registered r09 but never warmed — in board position it
+        # paid LSH fit + first-compile (measured 18.7s board vs 5.4s
+        # warm median, the largest cold tax on the r11 board)
+        "ann_pairs_topk",
     ]
     try:
         _execute(read_table(spark, "/root/testdata/sf0.001", "lineitem"))
