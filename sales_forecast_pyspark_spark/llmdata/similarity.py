@@ -496,6 +496,7 @@ def lsh_similarity_join(
     distance_threshold: float = 1.2,
     seed: int = 42,
     vector_input: bool = False,
+    rows_per_band: int = 1,
 ) -> DataFrame:
     """Approximate all-pairs similarity via BRP-LSH bucketing (MLlib
     hash functions, OWNED candidate join — see ``_lsh_candidate_pairs``
@@ -515,6 +516,16 @@ def lsh_similarity_join(
     scale (near-dup regimes: cos >= 0.9) or bound output per item
     (top-k, see ``cosine_topk``/``ivf_topk``) when the corpus grows
     faster than its diversity.
+
+    ``rows_per_band`` (r11): AND-banded bucket keys, same knob and
+    measured ladder as ``lsh_pairs_topk`` — for TIGHT thresholds
+    (near-dup mining, the threshold regime this operator exists for)
+    banding cuts the CANDIDATE intermediate from an all-pairs mirror
+    to a few percent of it with no pair loss at the tight radius
+    (measured at 20k clustered vectors: 6.4M vs 301M candidates,
+    recall 1.0; SCALING.md "LLM-data tier"). Default 1 = pre-r11
+    single-projection behavior. Applies to both the array path and
+    ``vector_input=True``.
 
     ``vector_input=True`` means ``vec_col`` already holds MLlib vectors
     (e.g. sparse TF-IDF from ``llmdata.vectorize``) — hashing keeps
@@ -554,6 +565,7 @@ def lsh_similarity_join(
             num_hash_tables,
             seed,
             ordered=True,
+            rows_per_band=rows_per_band,
             payload=("idx", "val"),
         ).select(
             "_ida",
@@ -580,7 +592,12 @@ def lsh_similarity_join(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("vec"),
     )
     pairs = _lsh_candidate_pairs(
-        vecs, bucket_length, num_hash_tables, seed, ordered=True
+        vecs,
+        bucket_length,
+        num_hash_tables,
+        seed,
+        ordered=True,
+        rows_per_band=rows_per_band,
     )
     # strict < matches approxSimilarityJoin ("distance smaller than
     # the threshold"); filter on the UNROUNDED distance like MLlib,
