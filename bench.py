@@ -149,6 +149,27 @@ BENCH_QUERIES = [
     "repeat_buyer_venn",
 ]
 
+# Queries whose plans run once at sf0.01 before timing starts, so
+# codegen/classloading/JIT happens off the clock (see main() for why
+# the warmup SF matters). Module-level so tests/test_bench_lists.py can
+# pin every name against the live registry — a renamed query must fail
+# the suite, not silently fall out of the warmup and reappear as a
+# mystery cold-tax board mover (the r11 ann_pairs_topk lesson).
+WARMUP_QUERIES = [
+    "daily_rollup",
+    "ann_lsh_pairs",
+    "tfidf_similar_docs",
+    "near_dedup_minhash",
+    "sequence_packs",
+    "forecast_lr",
+    "pagerank_parts",
+    "small_order_part_revenue",
+    # r11: registered r09 but never warmed — in board position it
+    # paid LSH fit + first-compile (measured 18.7s board vs 5.4s
+    # warm median, the largest cold tax on the r11 board)
+    "ann_pairs_topk",
+]
+
 
 def _sf_from_dir(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -177,20 +198,7 @@ def main() -> None:
     # differs and the first measured heavy query still pays compilation
     # (measured ~6s one-time on ann_lsh_pairs alone). sf0.01 keeps the
     # physical plan shapes of the measured scale.
-    warmup_queries = [
-        "daily_rollup",
-        "ann_lsh_pairs",
-        "tfidf_similar_docs",
-        "near_dedup_minhash",
-        "sequence_packs",
-        "forecast_lr",
-        "pagerank_parts",
-        "small_order_part_revenue",
-        # r11: registered r09 but never warmed — in board position it
-        # paid LSH fit + first-compile (measured 18.7s board vs 5.4s
-        # warm median, the largest cold tax on the r11 board)
-        "ann_pairs_topk",
-    ]
+    warmup_queries = WARMUP_QUERIES
     try:
         _execute(read_table(spark, "/root/testdata/sf0.001", "lineitem"))
         for name in warmup_queries:
