@@ -289,6 +289,8 @@ def _lsh_candidate_pairs(
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import vector_to_array
 
+    if rows_per_band < 1:
+        raise ValueError(f"rows_per_band must be >= 1, got {rows_per_band}")
     lsh = BucketedRandomProjectionLSH(
         inputCol="vec",
         outputCol="hashes",
