@@ -8,6 +8,7 @@ from sales_forecast_pyspark_spark.streaming.stream_ops import (
     attribution_stream,
     reconcile_late_attribution,
     running_user_totals,
+    running_user_totals_v2,
     sessionize_stream,
     stream_events,
     stream_join_near_errors,
@@ -24,6 +25,7 @@ __all__ = [
     "attribution_stream",
     "reconcile_late_attribution",
     "running_user_totals",
+    "running_user_totals_v2",
     "sessionize_stream",
     "stream_events",
     "stream_join_near_errors",

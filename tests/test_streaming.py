@@ -96,6 +96,68 @@ def test_stateful_running_totals_match_batch(spark):
         assert math.isclose(gv, v, abs_tol=0.05), (uid, gv, v)
 
 
+def test_stateful_running_totals_v2_matches_batch(spark):
+    """transformWithStateInPandas twin of the test above (r11): same
+    output contract, arbitrary-state v2 API. Skips (loudly) where the
+    environment lacks protobuf — Spark's TWS streaming runner needs it
+    — and activates unchanged the moment the package appears, same
+    harness-ready pattern as the PIL-gated image decode."""
+    import math
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from sales_forecast_pyspark_spark.sources.readers import read_table
+    from sales_forecast_pyspark_spark.streaming import running_user_totals_v2
+    from sales_forecast_pyspark_spark.streaming.stream_ops import (
+        HAS_TWS_PROTOBUF,
+    )
+
+    if not HAS_TWS_PROTOBUF:
+        with _pytest.raises(NotImplementedError, match="protobuf"):
+            running_user_totals_v2(stream_events(spark, SF_SMALL))
+        _pytest.skip(
+            "ENV-BLOCKED: transformWithStateInPandas needs the protobuf "
+            "package (absent, no pip in this container); the v1 "
+            "applyInPandasWithState operator above is the exercised path"
+        )
+
+    stream = running_user_totals_v2(stream_events(spark, SF_SMALL))
+    # transformWithState supports only the RocksDB state-store provider
+    # (ships inside Spark; per-query, picked up at stream start)
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        got = run_available_now(
+            stream, "stream_state_v2_test", output_mode="update"
+        )
+    finally:
+        if prior is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prior)
+    latest = {
+        r["user_id"]: (r["n_events"], r["total_value"]) for r in got.collect()
+    }
+    batch = (
+        read_table(spark, SF_SMALL, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v"))
+    )
+    expect = {r["user_id"]: (r["n"], r["v"]) for r in batch.collect()}
+    assert set(latest) == set(expect)
+    for uid, (n, v) in expect.items():
+        gn, gv = latest[uid]
+        assert gn == n, (uid, gn, n)
+        assert math.isclose(gv, v, abs_tol=0.05), (uid, gv, v)
+
+
 def test_stream_stream_join_matches_batch_interval_join(spark):
     """Pair-level equivalence of the watermarked stream-stream join with
     the batch binned range join feeding events_near_errors."""
