@@ -42,7 +42,9 @@ ALL_PAIRS = N * (N - 1) // 2
 K = 5
 
 
-def _clustered_embeddings(spark, sigma: float):
+def _points(sigma: float) -> np.ndarray:
+    """The fixture's numpy source of truth — exact-truth computations
+    in tests below MUST use this same array, not a re-derivation."""
     rng = np.random.default_rng(7)
     centers = rng.normal(size=(N_CLUSTERS, DIM))
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
@@ -50,6 +52,11 @@ def _clustered_embeddings(spark, sigma: float):
         size=(N, DIM)
     )
     pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    return pts
+
+
+def _clustered_embeddings(spark, sigma: float):
+    pts = _points(sigma)
     rows = [(int(i), [float(x) for x in pts[i]]) for i in range(N)]
     return spark.createDataFrame(
         rows, "vec_id long, embedding array<double>"
@@ -174,13 +181,7 @@ def test_banded_threshold_join_recall_vs_exact_truth(tight):
         lsh_similarity_join,
     )
 
-    rng = np.random.default_rng(7)
-    centers = rng.normal(size=(N_CLUSTERS, DIM))
-    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
-    pts = np.repeat(centers, PER_CLUSTER, axis=0) + 0.04 * rng.normal(
-        size=(N, DIM)
-    )
-    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    pts = _points(0.04)  # must match the `tight` fixture's sigma
     sims = pts @ pts.T
     cos_floor = 1.0 - 0.35 * 0.35 / 2.0  # dist < t ⇔ cos > 1 - t²/2
     ii, jj = np.where(np.triu(sims > cos_floor, k=1))
