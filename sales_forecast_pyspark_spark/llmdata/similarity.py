@@ -271,9 +271,13 @@ def _lsh_candidate_pairs(
     is what gives the index real contrast in TIGHT-cluster regimes:
     measured on the r11 near-dup fixture (20 planted clusters,
     within-cluster cos ~0.95), (bands=16, rows=6, bl=0.2) cut the
-    candidate intermediate to ~6% of all-pairs at ~0.999 truth
-    coverage, where every rows=1 geometry traded candidates for recall
-    ~linearly (no better than subsampling). In LOOSE regimes (top-k
+    candidate intermediate to 0.19x all-pairs at recall 1.0 (the numpy
+    prototype's hyperplane draw reached 0.06x; Spark's differs), and
+    the FRACTION keeps falling with corpus size — 0.032x at 20k,
+    0.0149x at 200k (SCALING.md ladder, incl. the density caveat and
+    its measured rows_per_band remedy) — where every rows=1 geometry
+    traded candidates for recall ~linearly (no better than
+    subsampling). In LOOSE regimes (top-k
     neighbors at cos <= ~0.6) no geometry prunes for free — the r11
     ladder in SCALING.md — so rows=1 stays the default for the
     general-purpose top-k contract.
@@ -686,8 +690,9 @@ def lsh_pairs_topk(
     recall >= 0.96 with the intermediate bounded by num_hash_tables x
     all-pairs. When the workload is TIGHT (near-dup mining, within
     cos >= ~0.9), set ``rows_per_band`` > 1: AND-banded keys get real
-    contrast — (16 bands, rows=6, bl=0.2) measured ~6% of all-pairs at
-    ~0.999 coverage on the r11 near-dup fixture (test-pinned). The
+    contrast — (16 bands, rows=6, bl=0.2) measured 0.19x all-pairs at
+    recall 1.0 on the r11 near-dup fixture (test-pinned), falling to
+    0.032x/0.0149x at the 20k/200k decades (SCALING.md ladder). The
     query-bounded ``ann_topk``/IVF/PQ tiers remain the scale path for
     loose-regime high recall under an IO budget.
     Deterministic: seeded hyperplanes, scores rounded to 6 decimals
