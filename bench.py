@@ -182,48 +182,42 @@ def _execute(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark(app_name="bench")
+def prepare_steady_state(
+    spark, sf_dir: str, warmup: list[str], timings: dict | None = None
+) -> None:
+    """The shared measurement preamble — THE definition of 'warm' for
+    both the board (main below) and the medians protocol
+    (scripts/bench_medians.py imports this, so the two cannot drift;
+    code-review r11). Two steps:
 
-    from sales_forecast_pyspark_spark.plans.queries import queries
+    1. Warmup: touch the fact table at sf0.001, then execute each
+       `warmup` query's plan at sf0.01 so codegen/classloading/JIT
+       happens off the clock. The warmup SF matters: at sf0.001 AQE
+       broadcasts joins that sort-merge at sf0.1, so the generated
+       code differs and the first measured heavy query still pays
+       compilation (measured ~6s one-time on ann_lsh_pairs alone);
+       sf0.01 keeps the measured scale's physical plan shapes.
+    2. Shared frontiers, built ONCE at the measured SF and persisted —
+       what a production session does. CacheManager matches cached
+       plans by canonicalized subtree, so every query containing one
+       reads the InMemoryRelation. Build cost is NOT hidden: when a
+       `timings` dict is passed it is recorded under explicit
+       "_frontier_*" keys that count toward the board total.
+    """
+    from sales_forecast_pyspark_spark.plans.panel import daily_panel
+    from sales_forecast_pyspark_spark.plans.queries import (
+        copurchase_pairs,
+        queries,
+    )
 
     registry = queries()
-    names = [n for n in BENCH_QUERIES if n in registry]
-
-    # Warmup: touch the fact table + run representative plans once at
-    # sf0.01 (10x below the measured SF) so codegen/classloading/JIT
-    # happens off the clock. The warmup SF matters: at sf0.001 AQE
-    # broadcasts joins that sort-merge at sf0.1, so the generated code
-    # differs and the first measured heavy query still pays compilation
-    # (measured ~6s one-time on ann_lsh_pairs alone). sf0.01 keeps the
-    # physical plan shapes of the measured scale.
-    warmup_queries = WARMUP_QUERIES
     try:
         _execute(read_table(spark, "/root/testdata/sf0.001", "lineitem"))
-        for name in warmup_queries:
+        for name in warmup:
             if name in registry:
                 _execute(registry[name](spark, "/root/testdata/sf0.01"))
     except Exception as exc:  # pragma: no cover - warmup is best-effort
         print(f"warmup failed: {exc}", file=sys.stderr)
-
-    timings: dict[str, float] = {}
-
-    # Shared frontiers, built ONCE at the measured SF and persisted —
-    # exactly what a production session does (BENCH_BASELINE.md
-    # "shared-frontier accounting"). CacheManager matches cached plans
-    # by canonicalized subtree, so every query whose plan contains one
-    # of these frontiers reads the InMemoryRelation instead of
-    # rebuilding it: the daily panel feeds the whole panel family
-    # (weekday_seasonality, mom_growth, ewma_baseline, cusum_*, ...),
-    # the co-purchase pair frame feeds the graph family
-    # (copurchase_triangles, pagerank_parts). Build cost is NOT hidden:
-    # it is timed under explicit "_frontier_*" keys that count toward
-    # the total. Driver correctness sweeps never run this block, so
-    # registered query plans stay self-contained there.
-    from sales_forecast_pyspark_spark.plans.panel import daily_panel
-    from sales_forecast_pyspark_spark.plans.queries import copurchase_pairs
-
     for label, build in (
         ("_frontier_daily_panel", daily_panel),
         ("_frontier_copurchase_pairs", copurchase_pairs),
@@ -236,9 +230,29 @@ def main() -> None:
             frontier = build(spark, sf_dir)
             frontier.cache()
             _execute(frontier)
-            timings[label] = round(time.perf_counter() - t0, 3)
+            if timings is not None:
+                timings[label] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # pragma: no cover - cache is optional
             print(f"frontier build failed ({label}): {exc}", file=sys.stderr)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="bench")
+
+    from sales_forecast_pyspark_spark.plans.queries import queries
+
+    registry = queries()
+    names = [n for n in BENCH_QUERIES if n in registry]
+
+    # Steady-state preamble (warmup + shared-frontier accounting, see
+    # prepare_steady_state — BENCH_BASELINE.md "shared-frontier
+    # accounting": the daily panel feeds the whole panel family, the
+    # co-purchase pair frame feeds the graph family; driver correctness
+    # sweeps never run this block, so registered query plans stay
+    # self-contained there).
+    timings: dict[str, float] = {}
+    prepare_steady_state(spark, sf_dir, WARMUP_QUERIES, timings)
 
     for name in names:
         t0 = time.perf_counter()

@@ -122,9 +122,13 @@ _AGG_NODES = frozenset(
     {"HashAggregateExec", "SortAggregateExec", "ObjectHashAggregateExec"}
 )
 _GLOBAL_LIMIT_NODES = frozenset(
-    # WindowGroupLimitExec deliberately absent: per-group, not global
-    {"GlobalLimitExec", "LocalLimitExec", "CollectLimitExec",
-     "TakeOrderedAndProjectExec"}
+    # WindowGroupLimitExec deliberately absent (per-group, not global)
+    # and so is LocalLimitExec (code-review r11): a bare LocalLimit —
+    # LimitPushDown can strand one on a join input with no GlobalLimit
+    # above it in that subtree — caps rows PER PARTITION, so its
+    # output is n x numPartitions, i.e. partition-count-scale on a
+    # large cluster; it is bounded iff its input is (_BOUNDED_THROUGH)
+    {"GlobalLimitExec", "CollectLimitExec", "TakeOrderedAndProjectExec"}
 )
 _JOIN_NODES = frozenset(
     {"BroadcastHashJoinExec", "SortMergeJoinExec", "ShuffledHashJoinExec",
@@ -137,7 +141,8 @@ _BOUNDED_THROUGH = frozenset(
     # HERE (<= input rows), just not as a global limit above.
     {"ProjectExec", "FilterExec", "SortExec", "CoalesceExec",
      "ShuffleExchangeExec", "BroadcastExchangeExec", "UnionExec",
-     "WindowExec", "WindowGroupLimitExec", "ExpandExec",
+     "WindowExec", "WindowGroupLimitExec", "LocalLimitExec",
+     "ExpandExec",
      "WholeStageCodegenExec", "InputAdapter", "ColumnarToRowExec",
      "AQEShuffleReadExec", "SubqueryExec", "SubqueryBroadcastExec"}
 )

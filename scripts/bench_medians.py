@@ -32,8 +32,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from bench import prepare_steady_state  # noqa: E402
+
 from sales_forecast_pyspark_spark.session import get_spark  # noqa: E402
-from sales_forecast_pyspark_spark.sources.readers import read_table  # noqa: E402
 
 # The r10 driver-tail >=5s queries plus the two that crossed (or
 # brushed) the 1.5x flag threshold on single-pass noise in r09/r10.
@@ -60,11 +61,7 @@ def main() -> int:
     spark = get_spark(app_name="bench-medians")
     spark.sparkContext.setLogLevel("ERROR")
 
-    from sales_forecast_pyspark_spark.plans.panel import daily_panel
-    from sales_forecast_pyspark_spark.plans.queries import (
-        copurchase_pairs,
-        queries,
-    )
+    from sales_forecast_pyspark_spark.plans.queries import queries
 
     registry = queries()
     unknown = [n for n in names if n not in registry]
@@ -72,19 +69,11 @@ def main() -> int:
         print(f"unknown queries: {unknown}", file=sys.stderr)
         return 2
 
-    # Same steady-state setup as bench.py: sf0.01 warmup plans (so AQE
-    # picks the measured scale's join strategies during codegen), then
-    # the shared frontiers cached at the measured SF.
-    _execute(read_table(spark, "/root/testdata/sf0.001", "lineitem"))
-    for name in names:
-        _execute(registry[name](spark, "/root/testdata/sf0.01"))
-    for build in (daily_panel, copurchase_pairs):
-        try:
-            frontier = build(spark, sf_dir)
-            frontier.cache()
-            _execute(frontier)
-        except Exception as exc:  # pragma: no cover - mirror bench.py
-            print(f"frontier build failed: {exc}", file=sys.stderr)
+    # THE same steady-state definition as the board — shared code, not
+    # a copy (code-review r11): bench.py's prepare_steady_state runs
+    # the sf0.01 warmup plans for the measured queries and caches the
+    # shared frontiers at the measured SF.
+    prepare_steady_state(spark, sf_dir, names)
 
     runs: dict[str, list[float]] = {}
     for name in names:
