@@ -126,6 +126,35 @@ def test_registry_sweep_no_static_broadcast_of_exploded_frames(spark):
     )
 
 
+def test_sweep_reports_build_errors_not_vacuous_green(spark, monkeypatch):
+    """The vacuous-green class bit this audit twice (r09: the AQE-leaf
+    walk reached nothing; the all-builds-errored run printed
+    FLAGGED: [] and exited 0) — pin the errors channel end-to-end: a
+    registry whose builders crash must surface per-query errors, never
+    an empty flag list alone."""
+    import importlib
+
+    import audit_static_broadcasts as asb
+
+    # the plans package re-exports a `queries` FUNCTION; get the module
+    queries_mod = importlib.import_module(
+        "sales_forecast_pyspark_spark.plans.queries"
+    )
+
+    class _Boom:
+        oracle = None
+
+        @staticmethod
+        def builder(spark, sf_dir):
+            raise RuntimeError("synthetic build failure")
+
+    monkeypatch.setattr(queries_mod, "QUERIES", {"_boom": _Boom})
+    flagged, errors = asb.sweep(spark, SF_SMALL)
+    assert flagged == []
+    assert errors and errors[0][0] == "_boom"
+    assert "synthetic build failure" in errors[0][1]
+
+
 def test_skip_list_names_registered_queries():
     """A renamed query must not silently fall out of the sweep via a
     stale SKIP entry."""
