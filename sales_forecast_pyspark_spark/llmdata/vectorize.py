@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from sales_forecast_pyspark_spark.functions.deterministic import (
+    quantized_dot,
     quantized_long,
     quantized_total_round,
 )
@@ -264,7 +265,123 @@ def tfidf_pair_stages(
         )
         .filter(F.col("cos_sim") >= cos_threshold)
     )
-    return {"weights": weights, "sig": sig, "cand": cand, "scored": scored}
+    return {
+        "weights": weights,
+        "sig": sig,
+        "cand": cand,
+        "doc_maps": doc_maps,
+        "scored": scored,
+        # non-frame entry: the banding geometry these plans were built
+        # with, consumed by tfidf_banding_audit's expected-recall curve
+        # so a call-site retune cannot desync the audit from the
+        # pipeline it judges (the code-review r08 principle)
+        "geometry": {"bands": bands, "bits": bits},
+    }
+
+
+def tfidf_banding_audit(
+    stages: dict,
+    id_bound: int = 300,
+    truth_bar: float = 0.85,
+) -> DataFrame:
+    """One-row sampled-truth audit of the SRP banding stage against its
+    own closed-form collision curve (VERDICT r11 ask #2).
+
+    Why not the minhash pattern (tight truth bar, pin recall == 1):
+    measured on the driver corpora there is NO high-cosine mass — the
+    max within-sample TF-IDF cosine is ~0.91 (sf0.1) / ~0.95 (sf0.01),
+    so every truth regime sits ON the banding S-curve (P(candidate)
+    ~0.3-0.5), not past it, and a fixed recall bar would be either
+    vacuous (zero truth pairs) or noise (single-digit truth pairs at
+    the 0.9 output threshold). Instead the audit is SELF-CALIBRATING:
+    exact candidate-stage recall over the bounded sample's truth pairs
+    at ``truth_bar`` (~180-240 pairs on the driver corpora) is compared
+    in-row against the expected recall from the SRP collision curve
+      P(candidate) = 1 − (1 − (1 − θ/π)^bits)^bands,  θ = acos(cos)
+    summed per truth pair, with a 3σ binomial lower bound. A banding
+    regression (broken bucket key, lost bands, sign-sum drift) drops
+    found an order of magnitude below expected and flips
+    ``sample_recall_ok`` red; the frozen deterministic draw (seed-free
+    xxhash64 hyperplanes) cannot — the bound is over the curve's own
+    variance, not a hand-picked constant.
+
+    Truth pairs are computed with the SAME quantized arithmetic as the
+    verify stage, but via a term equi-join (shared terms only — a pair
+    sharing none has cos 0, far below any useful bar), so the audit
+    needs no cross join and every join is an equality join; cost scales
+    with the sample, never the corpus. Columns: sample_truth_pairs,
+    sample_found_pairs, sample_expected_pairs, sample_cand_recall,
+    sample_recall_ok. Zero truth pairs (vectorizer regression) pins the
+    flag RED, matching the sibling audits' zero-truth policy.
+    """
+    bands = stages["geometry"]["bands"]
+    bits = stages["geometry"]["bits"]
+    w_s = stages["weights"].filter(F.col("doc_id") < id_bound)
+    a = w_s.select(
+        F.col("doc_id").alias("doc_a"), "term", F.col("_wdec").alias("_wa")
+    )
+    b = w_s.select(
+        F.col("doc_id").alias("doc_b"), "term", F.col("_wdec").alias("_wb")
+    )
+    # merge hint: both sides sit behind the token explode (static size
+    # estimates are fiction, and a statically planned BroadcastExchange
+    # cannot be demoted — the r09 sweep class); same-scale self-join →
+    # merge per the settled hint policy
+    truth = (
+        a.join(b.hint("merge"), "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            quantized_dot(F.col("_wa"), F.col("_wb"), out_digits=6).alias(
+                "_tcos"
+            )
+        )
+        .filter(F.col("_tcos") >= truth_bar)
+    )
+    sig_s = stages["sig"].filter(F.col("doc_id") < id_bound)
+    cand_s = (
+        sig_s.alias("x")
+        .join(sig_s.alias("y").hint("merge"), ["band", "bucket"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # per-pair expected candidate probability from the SRP curve; the
+    # quantized cosine can round a hair above 1.0 → clamp for acos
+    p_band = F.pow(
+        F.lit(1.0) - F.acos(F.least(F.col("_tcos"), F.lit(1.0))) / F.lit(3.141592653589793),
+        F.lit(float(bits)),
+    )
+    p = F.lit(1.0) - F.pow(F.lit(1.0) - p_band, F.lit(float(bands)))
+    t_agg = truth.select(p.alias("_p")).agg(
+        F.count(F.lit(1)).alias("sample_truth_pairs"),
+        F.coalesce(F.sum("_p"), F.lit(0.0)).alias("_exp"),
+        F.coalesce(F.sum(F.col("_p") * (1 - F.col("_p"))), F.lit(0.0)).alias("_var"),
+    )
+    f_agg = truth.join(cand_s.hint("merge"), ["doc_a", "doc_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("sample_found_pairs")
+    )
+    return t_agg.crossJoin(F.broadcast(f_agg)).select(
+        "sample_truth_pairs",
+        "sample_found_pairs",
+        F.round(F.col("_exp"), 2).alias("sample_expected_pairs"),
+        F.when(
+            F.col("sample_truth_pairs") > 0,
+            F.round(
+                F.col("sample_found_pairs") / F.col("sample_truth_pairs"), 6
+            ),
+        ).alias("sample_cand_recall"),
+        F.coalesce(
+            (F.col("sample_truth_pairs") > 0)
+            & (
+                F.col("sample_found_pairs")
+                >= F.col("_exp") - 3.0 * F.sqrt(F.col("_var"))
+            ),
+            F.lit(False),
+        ).alias("sample_recall_ok"),
+    )
 
 
 def tfidf_near_pairs(

@@ -1724,33 +1724,137 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ANN scale path: BucketedRandomProjectionLSH approximate
     similarity self-join (seeded) — bucketing converts the N x N
-    similarity scan into equality joins; only bucket-mates are scored."""
+    similarity scan into equality joins; only bucket-mates are scored.
+
+    Self-validating driver row (VERDICT r11 ask #2, the minhash /
+    embedding_near_dups anchored-audit pattern): exact Euclidean truth
+    over a BOUNDED sample (vec_id < 200) at dist < 1.1 — strictly
+    inside the 1.2 output radius, where the 3-table OR'd BRP collision
+    probability is ~0.92/pair and the frozen seeded draw measures
+    recall 1.0 at both driver SFs — joined against the SAME LSH
+    pipeline run on the sample alone (hash functions depend only on
+    (seed, dim, bucket_length), so a sample-run buckets a
+    within-sample pair together iff the full run does; equality is
+    pinned in tests/test_similarity.py). Every row carries
+    sample_truth_pairs / sample_missed_pairs / sample_recall /
+    sample_recall_ok; the 0.6 bar is an order of magnitude above any
+    plausible frozen-draw shortfall (P(≥4 of ~9 missed) < 1e-4) but
+    far below it for a broken bucket key (recall ~0)."""
     from sales_forecast_pyspark_spark.llmdata import lsh_similarity_join
 
+    # single source of truth for the pipeline tuning, shared by the
+    # output path and the sample audit (code-review r08 principle)
+    dist_t, truth_bar = 1.2, 1.1
+
     emb = spread_scan(read_table(spark, sf_dir, "embeddings"), "vec_id")
-    return lsh_similarity_join(emb, distance_threshold=1.2)
+    out = lsh_similarity_join(emb, distance_threshold=dist_t)
+    sample = emb.filter(F.col("vec_id") < 200)
+    s = sample.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sq_dist = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    truth = (
+        s.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+        .crossJoin(
+            F.broadcast(
+                s.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+            )
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.sqrt(sq_dist).alias("_tdist"))
+        .filter(F.col("_tdist") < truth_bar)
+    )
+    # audit side runs the SAME LSH pipeline on the sample alone — cost
+    # scales with the sample instead of re-executing the corpus LSH
+    # subtree via `out` (the embedding_near_dups rationale)
+    found_sample = lsh_similarity_join(sample, distance_threshold=dist_t).select(
+        "id_a", "id_b"
+    )
+    missed = truth.join(found_sample, ["id_a", "id_b"], "left_anti")
+    audit = (
+        truth.agg(F.count(F.lit(1)).alias("sample_truth_pairs"))
+        .crossJoin(
+            F.broadcast(
+                missed.agg(F.count(F.lit(1)).alias("sample_missed_pairs"))
+            )
+        )
+        .select(
+            "sample_truth_pairs",
+            "sample_missed_pairs",
+            # zero-truth regime pins the flag RED (sibling-audit
+            # policy): under ANSI an unguarded 0/0 errors the row and
+            # a NULL verdict is unjudgeable
+            F.when(
+                F.col("sample_truth_pairs") > 0,
+                F.round(
+                    1
+                    - F.col("sample_missed_pairs")
+                    / F.col("sample_truth_pairs"),
+                    6,
+                ),
+            ).alias("sample_recall"),
+        )
+        .withColumn(
+            "sample_recall_ok",
+            F.coalesce(F.col("sample_recall") >= 0.6, F.lit(False)),
+        )
+    )
+    # anchored: an empty `out` still emits one audit row
+    return _anchored_audit_crossjoin(out, audit).orderBy("id_a", "id_b")
 
 
 @register("tfidf_similar_docs")  # rows-only: HashingTF/IDF+LSH not SQL-expressible
 def q_tfidf_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF text vectorization (SURVEY §7 step 9) + cosine hook:
-    JVM tokens -> HashingTF (stateless murmur3) -> IDF (one corpus
-    pass) -> L2 normalize -> seeded BRP-LSH join at cosine >= 0.9,
-    aggregated to per-document neighbor counts so output stays bounded
-    by |docs| regardless of pair density."""
-    from sales_forecast_pyspark_spark.llmdata import tfidf_near_pairs
+    JVM tokens -> term TF-IDF table -> banded SRP buckets -> exact
+    cosine verify at >= 0.9, aggregated to per-document neighbor
+    counts so output stays bounded by |docs| regardless of pair
+    density.
+
+    Built on ``tfidf_pair_stages`` directly (same plans + caching
+    policy as ``tfidf_near_pairs``) so the sampled-truth audit shares
+    the cached weights/sig frames instead of re-deriving the corpus
+    pass. Self-validating driver row (VERDICT r11 ask #2): on this
+    corpus every truth regime sits ON the banding S-curve (max sample
+    cosine ~0.91-0.95 — no deep-in-the-curve bar exists), so the audit
+    is SELF-CALIBRATING rather than a fixed recall pin: exact
+    candidate-stage recall over the bounded sample's cos >= 0.85 truth
+    pairs vs the closed-form SRP collision curve with a 3σ binomial
+    lower bound (see ``tfidf_banding_audit``). Every row carries
+    sample_truth_pairs / sample_found_pairs / sample_expected_pairs /
+    sample_cand_recall / sample_recall_ok."""
+    from sales_forecast_pyspark_spark.llmdata.vectorize import (
+        tfidf_banding_audit,
+        tfidf_pair_stages,
+    )
 
     docs = read_table(spark, sf_dir, "documents")
-    pairs = tfidf_near_pairs(docs, cos_threshold=0.9)
-    return (
+    stages = tfidf_pair_stages(docs, cos_threshold=0.9)
+    # same caching policy as tfidf_near_pairs (weights read by the
+    # signature build, the verify doc-map fold AND the audit's truth
+    # pass; sig by the candidate self-join and the audit's sample
+    # restriction)
+    stages["weights"].cache()
+    stages["weights"].count()
+    stages["sig"].cache()
+    pairs = stages["scored"].select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"), "cos_sim"
+    )
+    out = (
         pairs.select(F.explode(F.array("id_a", "id_b")).alias("doc_id"), "cos_sim")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_similar"),
             F.max("cos_sim").alias("max_cos"),
         )
-        .orderBy("doc_id")
     )
+    audit = tfidf_banding_audit(stages)
+    # anchored: an all-dropout regression still emits one audit row
+    return _anchored_audit_crossjoin(out, audit).orderBy("doc_id")
 
 
 @register(

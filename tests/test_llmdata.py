@@ -539,3 +539,99 @@ def test_near_dedup_minhash_driver_row_carries_truth_audit(spark):
     assert r["sample_truth_pairs"] > 0
     assert r["sample_missed_pairs"] == 0, r
     assert r["sample_recall"] == 1.0
+
+
+def test_tfidf_banding_audit_self_calibrates_on_driver_corpus(spark):
+    """VERDICT r11 ask #2: the registered tfidf_similar_docs row must
+    carry the self-calibrating banding audit — exact candidate recall
+    over the bounded sample's cos>=0.85 truth pairs vs the closed-form
+    SRP collision curve with a 3σ binomial lower bound. On this corpus
+    (no high-cosine mass; everything sits ON the S-curve) the found
+    count tracks the curve within the bound."""
+    from sales_forecast_pyspark_spark.plans.queries import QUERIES
+
+    rows = QUERIES["tfidf_similar_docs"].builder(spark, SF_ORACLE).collect()
+    assert rows
+    r = rows[0]
+    assert r["sample_truth_pairs"] >= 50  # measured 180 at sf0.01
+    assert 0 < r["sample_found_pairs"] <= r["sample_truth_pairs"]
+    assert 0 < r["sample_expected_pairs"] <= r["sample_truth_pairs"]
+    assert r["sample_recall_ok"] is True
+
+
+def test_tfidf_banding_audit_truth_matches_verify_arithmetic(spark):
+    """The audit's term-equi-join truth cosine must be bit-identical to
+    the verify stage's map-fold cosine: every scored output pair within
+    the sample appears in the audit's truth set at the same rounded
+    score (same Σ (a×10^7)(b×10^7) integer, different join geometry)."""
+    from sales_forecast_pyspark_spark.functions.deterministic import (
+        quantized_dot,
+    )
+    from sales_forecast_pyspark_spark.llmdata.vectorize import (
+        tfidf_pair_stages,
+    )
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    stages = tfidf_pair_stages(docs, cos_threshold=0.85)
+    w_s = stages["weights"].filter(F.col("doc_id") < 300)
+    a = w_s.select(F.col("doc_id").alias("doc_a"), "term", F.col("_wdec").alias("_wa"))
+    b = w_s.select(F.col("doc_id").alias("doc_b"), "term", F.col("_wdec").alias("_wb"))
+    truth = {
+        (r["doc_a"], r["doc_b"]): r["_tcos"]
+        for r in a.join(b.hint("merge"), "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(quantized_dot(F.col("_wa"), F.col("_wb"), out_digits=6).alias("_tcos"))
+        .filter(F.col("_tcos") >= 0.85)
+        .collect()
+    }
+    scored_sample = {
+        (r["doc_a"], r["doc_b"]): r["cos_sim"]
+        for r in stages["scored"]
+        .filter((F.col("doc_a") < 300) & (F.col("doc_b") < 300))
+        .collect()
+    }
+    assert scored_sample, "sample must contain scored pairs at 0.85"
+    for pair, cos in scored_sample.items():
+        assert truth.get(pair) == cos, (pair, cos, truth.get(pair))
+
+
+def test_tfidf_banding_audit_planted_dups_and_red_regimes(spark):
+    """Positive + negative controls for the audit itself: identical
+    docs (cos 1.0, P(candidate)=1) are always found; a corrupted
+    signature table (no cross-doc bucket collisions) drives found to 0
+    and flips sample_recall_ok RED; zero truth pairs (vectorizer
+    dropout regime) also pins RED."""
+    from sales_forecast_pyspark_spark.llmdata.vectorize import (
+        tfidf_banding_audit,
+        tfidf_pair_stages,
+    )
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "alpha beta gamma delta epsilon zeta"),  # exact dup of 0
+        (2, "omega psi chi phi upsilon tau"),
+        (3, "omega psi chi phi upsilon tau"),  # exact dup of 2
+        (4, "unrelated words entirely here now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    stages = tfidf_pair_stages(docs, cos_threshold=0.9)
+    r = tfidf_banding_audit(stages, id_bound=10, truth_bar=0.9).first()
+    assert r["sample_truth_pairs"] == 2  # (0,1) and (2,3)
+    assert r["sample_found_pairs"] == 2  # identical docs share every band
+    assert r["sample_recall_ok"] is True
+
+    # corrupted banding: unique bucket per (doc, band) -> no candidates
+    broken = dict(stages)
+    broken["sig"] = stages["sig"].withColumn(
+        "bucket", F.col("doc_id") * 1000 + F.col("band")
+    )
+    r = tfidf_banding_audit(broken, id_bound=10, truth_bar=0.9).first()
+    assert r["sample_found_pairs"] == 0
+    assert r["sample_recall_ok"] is False
+
+    # zero-truth regime: unreachable bar -> RED, not vacuous green
+    r = tfidf_banding_audit(stages, id_bound=10, truth_bar=1.01).first()
+    assert r["sample_truth_pairs"] == 0
+    assert r["sample_cand_recall"] is None
+    assert r["sample_recall_ok"] is False

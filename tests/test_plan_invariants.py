@@ -48,6 +48,9 @@ BNLJ_DECLARED = {
     # bounded-sample exact-truth audit (vec_id < 300 all-pairs, ~44 KB
     # broadcast at any SF) + its 1-row audit crossJoin (VERDICT r07 #4)
     "embedding_near_dups",
+    # bounded-sample exact-truth audit (vec_id < 200 all-pairs) + 1-row
+    # audit crossJoin + the anchored left_anti probe (VERDICT r11 #2)
+    "ann_lsh_pairs",
     "near_dedup_minhash",  # its 1-row sampled-truth audit crossJoin
     # 1-row audit crossJoin + the anchored-audit left_anti probe against
     # out.limit(1) (both sides bounded: 1-row audit build, <=1-row probe)

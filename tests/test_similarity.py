@@ -535,3 +535,41 @@ def test_lsh_pairs_topk_drops_zero_norm_vectors(spark):
     assert all(r["cos_sim"] is not None for r in rows)
     # the two real vectors still pair up
     assert {(r["item_id"], r["neighbor_id"]) for r in rows} == {(0, 1), (1, 0)}
+
+
+def test_ann_lsh_pairs_driver_row_carries_sampled_truth_audit(spark):
+    """VERDICT r11 ask #2: the registered ann_lsh_pairs row must carry
+    the bounded-sample exact-truth audit. Truth bar 1.1 sits strictly
+    inside the 1.2 output radius (~0.92 per-pair collision over the 3
+    OR'd tables); on the frozen seeded draw recall is deterministically
+    1.0 at the driver SF."""
+    from sales_forecast_pyspark_spark.plans.queries import QUERIES
+
+    rows = QUERIES["ann_lsh_pairs"].builder(spark, SF_ORACLE).collect()
+    assert rows
+    r = rows[0]
+    assert r["sample_truth_pairs"] > 0
+    assert r["sample_missed_pairs"] == 0, r
+    assert r["sample_recall"] == 1.0
+    assert r["sample_recall_ok"] is True
+
+
+def test_ann_lsh_sample_run_equals_full_run_restriction(spark):
+    """The audit's core assumption, pinned: BRP bucketing is per-vector
+    (hash functions depend only on seed/dim/bucket_length), so running
+    lsh_similarity_join on the vec_id<200 sample alone yields EXACTLY
+    the full run's output restricted to within-sample pairs."""
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    full = {
+        tuple(r)
+        for r in lsh_similarity_join(emb, distance_threshold=1.2)
+        .filter((F.col("id_a") < 200) & (F.col("id_b") < 200))
+        .collect()
+    }
+    sample = {
+        tuple(r)
+        for r in lsh_similarity_join(
+            emb.filter(F.col("vec_id") < 200), distance_threshold=1.2
+        ).collect()
+    }
+    assert full == sample and len(full) > 0
