@@ -456,9 +456,15 @@ def _arrow_scored_sparse_pairs(pairs: DataFrame) -> DataFrame:
     batch is the same declared-Python-boundary cost class as the dense
     scorer's einsum; only survivor rows return.
 
-    ``pairs`` must carry (_ida, _ia, _xa, _idb, _ib, _xb) with
-    i=indices, x=values; returns (_ida, _idb, _score) with _score the
-    UNROUNDED Euclidean distance."""
+    ``pairs`` must carry (_ida, _ia, _xa, _na, _idb, _ib, _xb, _nb)
+    with i=indices, x=values, n=the PRECOMPUTED squared norm (ADVICE
+    r11 #3: the norm is a per-ROW scalar — computing it JVM-side once
+    in the vecs frame and carrying it as a cheap payload column beats
+    recomputing ``x @ x`` per candidate PAIR, where an item colliding
+    in many buckets paid its norm once per collision; only the
+    index-intersection dot remains per-pair work). Returns
+    (_ida, _idb, _score) with _score the UNROUNDED Euclidean
+    distance."""
     import numpy as np
     import pandas as pd
 
@@ -470,6 +476,8 @@ def _arrow_scored_sparse_pairs(pairs: DataFrame) -> DataFrame:
             if not len(pdf):
                 continue
             out = np.empty(len(pdf), dtype=np.float64)
+            na = pdf["_na"].to_numpy()
+            nb = pdf["_nb"].to_numpy()
             cols = zip(
                 pdf["_ia"].to_numpy(),
                 pdf["_xa"].to_numpy(),
@@ -484,13 +492,50 @@ def _arrow_scored_sparse_pairs(pairs: DataFrame) -> DataFrame:
                     assume_unique=True, return_indices=True,
                 )
                 dot = float(xa[pa] @ xb[pb]) if len(pa) else 0.0
-                sq = float(xa @ xa) + float(xb @ xb) - 2.0 * dot
+                sq = float(na[i]) + float(nb[i]) - 2.0 * dot
                 out[i] = np.sqrt(max(sq, 0.0))
             yield pd.DataFrame(
                 {"_ida": pdf["_ida"], "_idb": pdf["_idb"], "_score": out}
             )
 
     return pairs.mapInPandas(score, out_schema)
+
+
+def _sparse_unwrap(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, vec, idx, val, nsq) from an MLlib-vector column, JVM-side:
+    ``unwrap_udt`` keeps sparse vectors sparse (indices/values arrays,
+    nothing densifies).
+
+    - dense UDT rows (type=1) carry null indices — synthesize the full
+      index range so the sparse scorer handles both layouts. Zero-size
+      guard (ADVICE r11 #1): ``sequence(0, -1)`` steps DOWNWARD to the
+      malformed [0, -1] for an empty dense vector, which would desync
+      idx/val lengths and crash the Arrow scorer worker-side — an
+      empty vector gets an empty index array instead (LSH fit rejects
+      zero-dim inputs anyway, but a clean empty row beats a worker
+      crash).
+    - ``nsq`` is the squared norm ONCE per row (ADVICE r11 #3): a
+      cheap scalar payload through the candidate join, so a hot item
+      colliding in many buckets never recomputes ``x @ x`` per pair.
+    """
+    vecs0 = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    u = F.unwrap_udt("vec")
+    dense_idx = F.when(
+        F.size(u["values"]) == 0, F.array().cast("array<int>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(u["values"]) - 1),
+            lambda i: i.cast("int"),
+        )
+    )
+    sq_norm = F.aggregate(u["values"], F.lit(0.0), lambda a, x: a + x * x)
+    return vecs0.select(
+        "id",
+        "vec",
+        F.when(u["type"] == 1, dense_idx).otherwise(u["indices"]).alias("idx"),
+        u["values"].alias("val"),
+        sq_norm.alias("nsq"),
+    )
 
 
 def lsh_similarity_join(
@@ -503,6 +548,7 @@ def lsh_similarity_join(
     seed: int = 42,
     vector_input: bool = False,
     rows_per_band: int = 1,
+    n_salt: int = 16,
 ) -> DataFrame:
     """Approximate all-pairs similarity via BRP-LSH bucketing (MLlib
     hash functions, OWNED candidate join — see ``_lsh_candidate_pairs``
@@ -533,6 +579,15 @@ def lsh_similarity_join(
     single-projection behavior. Applies to both the array path and
     ``vector_input=True``.
 
+    ``n_salt`` (ADVICE r11 #2 made it PUBLIC here): the candidate
+    join's deterministic salt fan-out replicates the right side — with
+    its carried payload (the full vector; for ``vector_input`` the
+    idx/val arrays) — ``n_salt`` times through the shuffle. 16 spreads
+    the measured hot-bucket mass at the rehearsal decades; LOWER it
+    when vectors are wide enough that replication bytes, not bucket
+    skew, are the binding cost (the documented remedy is now reachable
+    without editing library code).
+
     ``vector_input=True`` means ``vec_col`` already holds MLlib vectors
     (e.g. sparse TF-IDF from ``llmdata.vectorize``) — hashing keeps
     the vectors sparse, and scoring unwraps them JVM-side into
@@ -549,22 +604,7 @@ def lsh_similarity_join(
     from pyspark.ml.functions import array_to_vector
 
     if vector_input:
-        vecs0 = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-        u = F.unwrap_udt("vec")
-        # dense UDT rows (type=1) carry null indices — synthesize the
-        # full index range so the sparse scorer handles both layouts
-        dense_idx = F.transform(
-            F.sequence(F.lit(0), F.size(u["values"]) - 1),
-            lambda i: i.cast("int"),
-        )
-        vecs = vecs0.select(
-            "id",
-            "vec",
-            F.when(u["type"] == 1, dense_idx)
-            .otherwise(u["indices"])
-            .alias("idx"),
-            u["values"].alias("val"),
-        )
+        vecs = _sparse_unwrap(df, id_col, vec_col)
         pairs = _lsh_candidate_pairs(
             vecs,
             bucket_length,
@@ -572,14 +612,17 @@ def lsh_similarity_join(
             seed,
             ordered=True,
             rows_per_band=rows_per_band,
-            payload=("idx", "val"),
+            n_salt=n_salt,
+            payload=("idx", "val", "nsq"),
         ).select(
             "_ida",
             F.col("_idx_a").alias("_ia"),
             F.col("_val_a").alias("_xa"),
+            F.col("_nsq_a").alias("_na"),
             "_idb",
             F.col("_idx_b").alias("_ib"),
             F.col("_val_b").alias("_xb"),
+            F.col("_nsq_b").alias("_nb"),
         )
         return (
             _arrow_scored_sparse_pairs(pairs)
@@ -604,6 +647,7 @@ def lsh_similarity_join(
         seed,
         ordered=True,
         rows_per_band=rows_per_band,
+        n_salt=n_salt,
     )
     # strict < matches approxSimilarityJoin ("distance smaller than
     # the threshold"); filter on the UNROUNDED distance like MLlib,
@@ -633,6 +677,7 @@ def lsh_pairs_topk(
     distance_threshold: float = 1.2,
     seed: int = 42,
     rows_per_band: int = 1,
+    n_salt: int = 16,
 ) -> DataFrame:
     """Bounded-output per-item neighbor mining: every corpus item gets
     at most ``k`` nearest neighbors (by exact cosine) drawn from its
@@ -695,6 +740,8 @@ def lsh_pairs_topk(
     0.032x/0.0149x at the 20k/200k decades (SCALING.md ladder). The
     query-bounded ``ann_topk``/IVF/PQ tiers remain the scale path for
     loose-regime high recall under an IO budget.
+    ``n_salt`` (ADVICE r11 #2): the candidate join's salt/replication
+    knob, plumbed through — see ``lsh_similarity_join``.
     Deterministic: seeded hyperplanes, scores rounded to 6 decimals
     before ranking, ties broken by neighbor id.
 
@@ -761,6 +808,7 @@ def lsh_pairs_topk(
         seed,
         ordered=True,
         rows_per_band=rows_per_band,
+        n_salt=n_salt,
     )
     # on unit vectors dist < t  <=>  cos > 1 - t^2/2 (dist^2 = 2(1-cos)):
     # the same strict-< radius approxSimilarityJoin applied, expressed

@@ -573,3 +573,62 @@ def test_ann_lsh_sample_run_equals_full_run_restriction(spark):
         ).collect()
     }
     assert full == sample and len(full) > 0
+
+
+def test_sparse_unwrap_zero_size_dense_and_norm_payload(spark):
+    """ADVICE r11 #1 + #3: a zero-size dense vector must unwrap to an
+    EMPTY index array (sequence(0,-1) would produce the malformed
+    [0,-1] and desync idx/val in the Arrow scorer), and the squared
+    norm is carried as a per-row scalar payload."""
+    from pyspark.ml.linalg import Vectors, VectorUDT
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from sales_forecast_pyspark_spark.llmdata.similarity import (
+        _sparse_unwrap,
+    )
+
+    schema = StructType(
+        [StructField("vec_id", LongType()), StructField("v", VectorUDT())]
+    )
+    rows = [
+        (0, Vectors.dense([])),  # degenerate zero-size dense vector
+        (1, Vectors.dense([3.0, 4.0])),
+        (2, Vectors.sparse(2, [1], [2.0])),
+    ]
+    got = {
+        r["id"]: r
+        for r in _sparse_unwrap(
+            spark.createDataFrame(rows, schema), "vec_id", "v"
+        ).collect()
+    }
+    assert list(got[0]["idx"]) == [] and list(got[0]["val"]) == []
+    assert got[0]["nsq"] == 0.0
+    assert list(got[1]["idx"]) == [0, 1] and got[1]["nsq"] == 25.0
+    assert list(got[2]["idx"]) == [1] and got[2]["nsq"] == 4.0
+
+
+def test_lsh_join_result_set_is_salt_invariant(spark):
+    """ADVICE r11 #2: n_salt is now a public knob on both pair
+    operators; the deterministic salt only spreads hot buckets — the
+    RESULT SET must be identical at any fan-out."""
+    from sales_forecast_pyspark_spark.llmdata.similarity import (
+        lsh_pairs_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").filter(
+        F.col("vec_id") < 300
+    )
+    a = {
+        tuple(r)
+        for r in lsh_similarity_join(emb, distance_threshold=1.2).collect()
+    }
+    b = {
+        tuple(r)
+        for r in lsh_similarity_join(
+            emb, distance_threshold=1.2, n_salt=3
+        ).collect()
+    }
+    assert a == b and len(a) > 0
+    c = {tuple(r) for r in lsh_pairs_topk(emb, k=3).collect()}
+    d = {tuple(r) for r in lsh_pairs_topk(emb, k=3, n_salt=3).collect()}
+    assert c == d and len(c) > 0
