@@ -3246,9 +3246,18 @@ def _forecast_tree(spark: SparkSession, sf_dir: str, preset_name: str) -> DataFr
         else gbt_preset("qty", max_bins=4096)
     )
     res = train_and_eval(preset_name, train_p, test_p, preset)
-    return res.predictions.select(
+    out = res.predictions.select(
         "country", "stock", "ds", "qty", F.round("prediction", 4).alias("pred_qty")
     )
+    # frozen-fixture quality flags in-row (VERDICT r11 ask #5): the
+    # same preset on the golden fixture, MAE/RMSE/R² vs pinned goldens
+    # — a silent MLlib tree change flips a visible fixture_*_ok column
+    # at the next driver check instead of hiding as a bench mystery
+    from sales_forecast_pyspark_spark.forecast.golden import tree_quality_audit
+
+    return _anchored_audit_crossjoin(
+        out, tree_quality_audit(spark, preset_name)
+    ).orderBy("country", "stock", "ds")
 
 
 @register(

@@ -51,10 +51,16 @@ GOLDEN_VECTOR_WIDTH = 73  # the reference's flagship width (py:1006-1059)
 from sales_forecast_pyspark_spark.forecast.golden import (  # noqa: E402
     GOLDEN_KPI,
     GOLDEN_LR,
+    GOLDEN_TREE,
 )
 
-GOLDEN_RF = {"mae": 2.5073574659026687, "rmse": 3.2058076964549698, "r2": 0.9828731263115069}
-GOLDEN_GBT = {"mae": 5.586342154949263, "rmse": 7.458318310612279, "r2": 0.9072988782670831}
+# r12: tree goldens moved into the package next to GOLDEN_LR — the
+# registered forecast_rf/forecast_gbt driver rows compare against the
+# same numbers via tree_quality_audit (one source of truth). Verified
+# identical to the values this file pinned since r05 (max_bins
+# 4096 vs 10000 is a no-op at the fixture's 12-stock cardinality).
+GOLDEN_RF = GOLDEN_TREE["rf"]
+GOLDEN_GBT = GOLDEN_TREE["gbt"]
 
 
 @pytest.fixture(scope="module")
@@ -180,3 +186,21 @@ def test_model_quality_audit_row_all_flags_green(spark):
         "mae_ok", "rmse_ok", "r2_ok", "kpi_ok", "base_ok", "beats_baseline"
     ):
         assert r[flag] is True, (flag, r.asDict())
+
+
+def test_tree_quality_audit_rows_all_flags_green(spark):
+    """VERDICT r11 ask #5: the frozen-fixture tree audits joined into
+    the forecast_rf/forecast_gbt driver rows must agree with this
+    suite — every fixture_*_ok flag true. If a tree golden moves, this
+    fails alongside test_golden_tree_model_metrics, and the DRIVER
+    rows' booleans flip too, which is the point."""
+    from sales_forecast_pyspark_spark.forecast.golden import (
+        tree_quality_audit,
+    )
+
+    for preset in ("rf", "gbt"):
+        rows = tree_quality_audit(spark, preset).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        for flag in ("fixture_mae_ok", "fixture_rmse_ok", "fixture_r2_ok"):
+            assert r[flag] is True, (preset, flag, r.asDict())
