@@ -355,15 +355,23 @@ def tfidf_banding_audit(
         F.lit(float(bits)),
     )
     p = F.lit(1.0) - F.pow(F.lit(1.0) - p_band, F.lit(float(bands)))
-    t_agg = truth.select(p.alias("_p")).agg(
+    # ONE left join + ONE aggregate: a two-branch shape (truth.agg ×
+    # semi-join.agg + crossJoin) embeds the truth self-join subtree
+    # twice per audit instance — and the anchored crossjoin then
+    # doubles the instances
+    flagged = truth.select("doc_a", "doc_b", p.alias("_p")).join(
+        cand_s.withColumn("_hit", F.lit(1)).hint("merge"),
+        ["doc_a", "doc_b"],
+        "left",
+    )
+    return flagged.agg(
         F.count(F.lit(1)).alias("sample_truth_pairs"),
+        F.coalesce(F.sum("_hit"), F.lit(0)).alias("sample_found_pairs"),
         F.coalesce(F.sum("_p"), F.lit(0.0)).alias("_exp"),
-        F.coalesce(F.sum(F.col("_p") * (1 - F.col("_p"))), F.lit(0.0)).alias("_var"),
-    )
-    f_agg = truth.join(cand_s.hint("merge"), ["doc_a", "doc_b"], "left_semi").agg(
-        F.count(F.lit(1)).alias("sample_found_pairs")
-    )
-    return t_agg.crossJoin(F.broadcast(f_agg)).select(
+        F.coalesce(F.sum(F.col("_p") * (1 - F.col("_p"))), F.lit(0.0)).alias(
+            "_var"
+        ),
+    ).select(
         "sample_truth_pairs",
         "sample_found_pairs",
         F.round(F.col("_exp"), 2).alias("sample_expected_pairs"),

@@ -1772,15 +1772,19 @@ def q_ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scales with the sample instead of re-executing the corpus LSH
     # subtree via `out` (the embedding_near_dups rationale)
     found_sample = lsh_similarity_join(sample, distance_threshold=dist_t).select(
-        "id_a", "id_b"
+        "id_a", "id_b", F.lit(1).alias("_hit")
     )
-    missed = truth.join(found_sample, ["id_a", "id_b"], "left_anti")
+    # ONE left join + ONE aggregate (not truth.agg × anti-join.agg +
+    # crossJoin): the two-branch shape embeds the sample LSH subtree
+    # twice per audit instance, and the anchored crossjoin doubles the
+    # instances
     audit = (
-        truth.agg(F.count(F.lit(1)).alias("sample_truth_pairs"))
-        .crossJoin(
-            F.broadcast(
-                missed.agg(F.count(F.lit(1)).alias("sample_missed_pairs"))
-            )
+        truth.join(found_sample, ["id_a", "id_b"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("sample_truth_pairs"),
+            (
+                F.count(F.lit(1)) - F.coalesce(F.sum("_hit"), F.lit(0))
+            ).alias("sample_missed_pairs"),
         )
         .select(
             "sample_truth_pairs",
