@@ -663,15 +663,22 @@ def adapt_band_geometry(
        the adapted geometry inside the >= 0.96 contract.
 
     Geometry is UNCHANGED when the base already fits (a no-op call
-    must not silently re-tune a caller-pinned geometry). Emits a LOUD
-    ``UserWarning`` when it adapts (the audit trail for why a run used
-    a different geometry), and another when even ``max_rows`` cannot
-    meet the bound (then AND-width alone cannot: tighten the radius
-    threshold or use the query-bounded ANN tiers; bands stay at the
-    caller's base — adding OR-bands would only add load). Widening is
-    safe in the TIGHT regime this knob exists for and recall-fatal in
-    loose regimes, which is why adaptation is opt-in via
-    ``max_pairs_per_item`` and never a default."""
+    must not silently re-tune a caller-pinned geometry) — and ALSO
+    when even ``max_rows`` cannot meet the bound. The unreachable
+    regime is diagnostic, not a dial to lean on: bounds go unreachable
+    on LOOSE corpora, where the ladder flattens (measured r12 on real
+    sf0.1 hashed TF-IDF: 6,792 → 1,714 pairs/item across five widths —
+    4× relief where the tight fixture gets 5.9× in two steps) and
+    every extra AND-row pays the full p^r recall price for weak load
+    relief; widening to ``max_rows`` there would maximize recall
+    damage while still missing the budget. So the chooser holds the
+    caller's base geometry, and the LOUD ``UserWarning`` says what the
+    load is and what actually helps (tighten the radius threshold, or
+    move to the query-bounded ANN tiers). When it DOES adapt, the same
+    warning is the audit trail for why a run used a different
+    geometry. Widening is safe in the TIGHT regime this knob exists
+    for and recall-fatal in loose regimes, which is why adaptation is
+    opt-in via ``max_pairs_per_item`` and never a default."""
     import warnings
 
     ladder = lsh_band_load_ladder(
@@ -692,12 +699,14 @@ def adapt_band_geometry(
             f"adapt_band_geometry: even rows_per_band={max_rows} estimates "
             f"{ladder[chosen]:.0f} candidate pairs/item > bound "
             f"{max_pairs_per_item} (ladder {est}); AND-width alone cannot "
-            f"meet the bound — tighten the radius threshold or use the "
-            f"query-bounded ANN tiers",
+            f"meet the bound — the flat ladder marks a LOOSE corpus where "
+            f"widening pays full recall price for weak relief, so the base "
+            f"geometry is kept ({ladder[base_rows]:.0f}/item); tighten the "
+            f"radius threshold or use the query-bounded ANN tiers",
             UserWarning,
             stacklevel=2,
         )
-        return bands, max_rows
+        return bands, base_rows
     if chosen == base_rows:
         return bands, base_rows
     per_band = ladder[chosen] / bands

@@ -300,10 +300,14 @@ def test_density_adaptation_is_noop_when_bound_met(tight):
         ) == (16, 6)
 
 
-def test_density_adaptation_warns_when_bound_unreachable(tight):
+def test_density_adaptation_holds_base_when_bound_unreachable(tight):
     """When even max_rows cannot meet the bound, the chooser must say
-    so loudly and hold the caller's bands (adding OR-bands would only
-    add load)."""
+    so loudly and hold the caller's BASE geometry: unreachable bounds
+    mark loose corpora (flat ladder — measured r12 on real sf0.1
+    TF-IDF: 4x relief over five widths vs the tight fixture's 5.9x in
+    two), where widening pays the full p^r recall price for weak load
+    relief. Maximum damage for a budget still missed is the wrong
+    trade; the warning names the real remedies."""
     from sales_forecast_pyspark_spark.llmdata.similarity import (
         adapt_band_geometry,
     )
@@ -319,4 +323,4 @@ def test_density_adaptation_warns_when_bound_unreachable(tight):
         bands, rows = adapt_band_geometry(
             vecs, 16, 6, 0.2, 42, max_pairs_per_item=1, max_rows=8
         )
-    assert (bands, rows) == (16, 8)
+    assert (bands, rows) == (16, 6)
