@@ -545,6 +545,7 @@ def lsh_band_load_ladder(
     bucket_length: float,
     seed: int,
     sample_mod: int = 20,
+    max_slice: int = 50_000,
 ) -> dict[int, float]:
     """Estimated candidate pairs PER ITEM at each AND-width, from a
     deterministic ~1/``sample_mod`` id-hash slice (VERDICT r11 ask #3:
@@ -563,7 +564,12 @@ def lsh_band_load_ladder(
     mass, divided by the (slice-estimated) corpus size to get
     pairs/item — the ladder's own unit (6.4M candidates at 20k vectors
     = 320/item). Slices under 200 ids fall back to the full frame
-    (the estimate must not be noisier than the thing it tunes).
+    (the estimate must not be noisier than the thing it tunes);
+    slices over ``max_slice`` ids are re-sliced by a second hash
+    filter down to ~that size (a FIXED-cost estimate at any corpus
+    scale: 5% of a billion-row corpus is itself a corpus-scale job,
+    and ~50k ids already puts millions of collisions in every
+    realistic bucket mass — the p² scaling just grows).
 
     Caveats, documented not hidden: the estimator's hyperplane draw
     (one fit at ``bands × max(rows)``) differs from the draw the
@@ -590,6 +596,18 @@ def lsh_band_load_ladder(
         slice_df = vecs.select("id", "vec")
         n_slice = slice_df.count()
         sample_mod = 1
+    elif n_slice > max_slice:
+        # second-stage hash cut: fixed estimate cost at any corpus
+        # scale; a different lit salt keeps the two filters independent
+        k = -(-n_slice // max_slice)  # ceil
+        slice_df = slice_df.filter(
+            F.pmod(
+                F.xxhash64(F.lit("band-density-2"), F.col("id")), F.lit(k)
+            )
+            == 0
+        )
+        n_slice = slice_df.count()
+        sample_mod = sample_mod * k
     if n_slice < 2:
         return {r: 0.0 for r in rows_options}
     lsh = BucketedRandomProjectionLSH(

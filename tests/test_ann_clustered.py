@@ -324,3 +324,28 @@ def test_density_adaptation_holds_base_when_bound_unreachable(tight):
             vecs, 16, 6, 0.2, 42, max_pairs_per_item=1, max_rows=8
         )
     assert (bands, rows) == (16, 6)
+
+
+def test_band_load_ladder_slice_cap_keeps_estimates(tight):
+    """The estimator's cost must be FIXED at any corpus scale: slices
+    above max_slice are cut again by a second independent hash filter.
+    The capped estimate must track the full-frame one (measured: within
+    ~6% at a forced 4x cut on this fixture)."""
+    from pyspark.ml.functions import array_to_vector
+
+    from sales_forecast_pyspark_spark.llmdata.similarity import (
+        lsh_band_load_ladder,
+    )
+
+    vecs = tight.select(
+        F.col("vec_id").alias("id"),
+        array_to_vector(F.col("embedding").cast("array<double>")).alias(
+            "vec"
+        ),
+    )
+    full = lsh_band_load_ladder(vecs, 16, [6], 0.2, 42, sample_mod=1)
+    capped = lsh_band_load_ladder(
+        vecs, 16, [6], 0.2, 42, sample_mod=1, max_slice=500
+    )
+    assert capped[6] > 0
+    assert full[6] / 2 <= capped[6] <= full[6] * 2
