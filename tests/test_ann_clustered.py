@@ -349,3 +349,40 @@ def test_band_load_ladder_slice_cap_keeps_estimates(tight):
     )
     assert capped[6] > 0
     assert full[6] / 2 <= capped[6] <= full[6] * 2
+
+
+def test_density_adaptation_on_threshold_join_keeps_truth_subset(tight):
+    """The lsh_similarity_join adapt branch (dense path): the bound
+    triggers the same chooser, and because the radius verify is exact,
+    the adapted result is still a SUBSET of the numpy all-pairs truth.
+    Recall pin is 0.94 here (measured 0.949 at the adapted 19x8 vs
+    0.98 at the planted 16x6): a THRESHOLD mine's truth set includes
+    every pair hugging the radius (cos ~0.94, where p^8 bites), unlike
+    the top-k contract whose nearest-neighbor pairs sit deeper in the
+    cluster (0.976 measured at the same adapted geometry) — the ~3pp
+    is the priced side of the opt-in load bound, visible in the
+    warning, not a silent loss."""
+    from sales_forecast_pyspark_spark.llmdata.similarity import (
+        lsh_similarity_join,
+    )
+
+    pts = _points(0.04)
+    sims = pts @ pts.T
+    cos_floor = 1.0 - 0.35 * 0.35 / 2.0
+    ii, jj = np.where(np.triu(sims > cos_floor, k=1))
+    truth = set(zip(ii.tolist(), jj.tolist()))
+
+    with pytest.warns(UserWarning, match=r"adapting \(bands x rows\)"):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in lsh_similarity_join(
+                tight,
+                distance_threshold=0.35,
+                num_hash_tables=16,
+                bucket_length=0.2,
+                rows_per_band=6,
+                max_pairs_per_item=150,
+            ).collect()
+        }
+    assert got <= truth
+    assert len(got) / len(truth) >= 0.94
