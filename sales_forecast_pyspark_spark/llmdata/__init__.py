@@ -28,6 +28,10 @@ from sales_forecast_pyspark_spark.llmdata.multimodal import (
     resize_images,
     sample_frames,
 )
+from sales_forecast_pyspark_spark.llmdata.ann_index import (
+    build_ivfpq_index,
+    query_ivfpq_index,
+)
 from sales_forecast_pyspark_spark.llmdata.similarity import (
     cosine_topk,
     dequantize_embeddings,
@@ -63,6 +67,8 @@ from sales_forecast_pyspark_spark.llmdata.text import (
 __all__ = [
     "STOPWORD_PATTERN",
     "attach_binary",
+    "build_ivfpq_index",
+    "query_ivfpq_index",
     "chunk_documents",
     "connected_components",
     "cosine_topk",

@@ -1378,62 +1378,25 @@ def pq_topk(
     )
 
 
-def ivfpq_topk(
+def _ivfpq_fit(
     df: DataFrame,
-    queries: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    k: int = 5,
-    n_centroids: int = 16,
-    n_probe: int = 6,
-    m: int = 8,
-    codebook_k: int = 256,
-    refine_factor: int = 32,
-    seed: int = 42,
-) -> DataFrame:
-    """IVF-PQ approximate top-k — the composition of the two scale
-    tiers into the standard billion-scale layout (FAISS's IVFPQ;
-    Jégou et al. TPAMI 2011, public literature): a coarse KMeans
-    quantizer restricts each query to ``n_probe`` cells (IVF), and
-    within probed cells the RESIDUALS (vector − its cell centroid) are
-    PQ-encoded and scored with per-(query, cell) ADC lookup tables.
-    Residual encoding is what makes the composition better than either
-    tier alone: residuals concentrate near zero, so the same codebook
-    budget quantizes them much more finely than raw vectors.
-
-    Scale shape: the corpus stores (cell, m code bytes) per vector;
-    a query touches ~n_probe/n_centroids of the corpus, reads only
-    codes, and computes m lookups per candidate; the
-    k x refine_factor survivors are re-ranked with exact cosine.
-    Defaults follow ``pq_topk``'s r09 codebook sweep (codebook_k=256,
-    refine_factor=32) plus the r09 probe ladder, resolved in r11
-    (VERDICT r09 ask #4 / r10 ask #3) as the operator's CONTRACT:
-
-    - **n_probe defaults to 6** (was 4): 4 probes measured pooled
-      recall 0.55 on the structureless audit corpus — one bad seeded-
-      KMeans draw from the 0.5 tier bar — while 6 probes measure 0.61
-      (20k) / 0.59 (200k), margin the default must own rather than
-      every caller re-discovering it. ADC-cost delta: 6/16 vs 4/16 of
-      the corpus scanned per query, i.e. 1.5x ADC mass — still
-      cell-restricted and 32x smaller rows than the float tier.
-    - **The contracted tier bar is pooled recall >= 0.5, not >= 0.7.**
-      The probe ladder showed coverage buys recall sublinearly on a
-      densifying structureless corpus (probe 6->8->10 measured
-      0.59->0.64->0.65 at 200k, with probe 10/16 already scanning 62%
-      of the corpus — at that point plain ``pq_topk`` is strictly
-      better at 0.74 for a FULL scan of 8-byte codes). So the ladder's
-      division of labor is pinned: **IVF-PQ is the minimum-IO >=0.5
-      tier; pq_topk is the >=0.7 tier**; workloads needing both high
-      recall and sub-scan IO need real cluster structure (where probed
-      cells actually contain the neighbors) — the audit columns
-      measure every production corpus in-row either way.
-
-    Codebooks are shared across cells (trained on the pooled
-    residuals), so the broadcast state is m x codebook_k centroids +
-    n_centroids cell centers regardless of corpus size.
-
-    Output and determinism match ``pq_topk`` (seeded, neighbor-id tie
-    order, refined scores are true cosines)."""
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    m: int,
+    codebook_k: int,
+    seed: int,
+):
+    """The IVF-PQ BUILD stage, shared verbatim by ``ivfpq_topk``
+    (fit-and-query in one call) and ``llmdata.ann_index`` (fit once,
+    persist, query many — the billion-scale usage). Returns
+    (cells, codebooks, encoded corpus, d, sub): coarse KMeans cell
+    centers, shared residual codebooks (seeded ``seed + 1 + j`` per
+    subspace), and (neighbor_id, v, cell, codes) rows. Seeded and
+    input-deterministic, so the two callers produce identical indexes
+    from identical inputs (parity pinned in tests/test_ann_index.py).
+    The corpus and assignment frames are cached (each is read by the
+    coarse fit, the m codebook fits, and the encode pass)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -1498,7 +1461,68 @@ def ivfpq_topk(
         F.array(*[F.col(f"_c{j}") for j in range(m)]).alias("codes"),
     )
     cb = spark.createDataFrame(codebooks, "j int, code int, cen array<double>")
+    return cells, cb, enc, d, sub
 
+
+def ivfpq_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 6,
+    m: int = 8,
+    codebook_k: int = 256,
+    refine_factor: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the composition of the two scale
+    tiers into the standard billion-scale layout (FAISS's IVFPQ;
+    Jégou et al. TPAMI 2011, public literature): a coarse KMeans
+    quantizer restricts each query to ``n_probe`` cells (IVF), and
+    within probed cells the RESIDUALS (vector − its cell centroid) are
+    PQ-encoded and scored with per-(query, cell) ADC lookup tables.
+    Residual encoding is what makes the composition better than either
+    tier alone: residuals concentrate near zero, so the same codebook
+    budget quantizes them much more finely than raw vectors.
+
+    Scale shape: the corpus stores (cell, m code bytes) per vector;
+    a query touches ~n_probe/n_centroids of the corpus, reads only
+    codes, and computes m lookups per candidate; the
+    k x refine_factor survivors are re-ranked with exact cosine.
+    Defaults follow ``pq_topk``'s r09 codebook sweep (codebook_k=256,
+    refine_factor=32) plus the r09 probe ladder, resolved in r11
+    (VERDICT r09 ask #4 / r10 ask #3) as the operator's CONTRACT:
+
+    - **n_probe defaults to 6** (was 4): 4 probes measured pooled
+      recall 0.55 on the structureless audit corpus — one bad seeded-
+      KMeans draw from the 0.5 tier bar — while 6 probes measure 0.61
+      (20k) / 0.59 (200k), margin the default must own rather than
+      every caller re-discovering it. ADC-cost delta: 6/16 vs 4/16 of
+      the corpus scanned per query, i.e. 1.5x ADC mass — still
+      cell-restricted and 32x smaller rows than the float tier.
+    - **The contracted tier bar is pooled recall >= 0.5, not >= 0.7.**
+      The probe ladder showed coverage buys recall sublinearly on a
+      densifying structureless corpus (probe 6->8->10 measured
+      0.59->0.64->0.65 at 200k, with probe 10/16 already scanning 62%
+      of the corpus — at that point plain ``pq_topk`` is strictly
+      better at 0.74 for a FULL scan of 8-byte codes). So the ladder's
+      division of labor is pinned: **IVF-PQ is the minimum-IO >=0.5
+      tier; pq_topk is the >=0.7 tier**; workloads needing both high
+      recall and sub-scan IO need real cluster structure (where probed
+      cells actually contain the neighbors) — the audit columns
+      measure every production corpus in-row either way.
+
+    Codebooks are shared across cells (trained on the pooled
+    residuals), so the broadcast state is m x codebook_k centroids +
+    n_centroids cell centers regardless of corpus size.
+
+    Output and determinism match ``pq_topk`` (seeded, neighbor-id tie
+    order, refined scores are true cosines)."""
+    cells, cb, enc, d, sub = _ivfpq_fit(
+        df, id_col, vec_col, n_centroids, m, codebook_k, seed
+    )
     q0 = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv0"),
