@@ -29,6 +29,7 @@ from sales_forecast_pyspark_spark.llmdata.multimodal import (
     sample_frames,
 )
 from sales_forecast_pyspark_spark.llmdata.ann_index import (
+    append_to_ivfpq_index,
     build_ivfpq_index,
     query_ivfpq_index,
 )
@@ -67,6 +68,7 @@ from sales_forecast_pyspark_spark.llmdata.text import (
 __all__ = [
     "STOPWORD_PATTERN",
     "attach_binary",
+    "append_to_ivfpq_index",
     "build_ivfpq_index",
     "query_ivfpq_index",
     "chunk_documents",

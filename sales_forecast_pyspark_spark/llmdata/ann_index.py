@@ -90,6 +90,120 @@ def build_ivfpq_index(
     return meta
 
 
+def append_to_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Encode NEW vectors with the index's EXISTING quantizers and
+    append them — the incremental-ingest flow for a growing corpus
+    (pairs with ``incremental_ingest_dedup``): no KMeans refit, no
+    touch of already-written partitions beyond parquet append.
+
+    Encoding is a single Arrow-batched pass (the declared-Python-
+    boundary class): the cell centers and residual codebooks are
+    kilobytes of broadcast state baked into the closure as numpy
+    arrays, and per batch the cell assignment + per-subspace code
+    argmin are two dense matrix products — the same math
+    ``_ivfpq_fit``'s KMeans ``transform`` applies, so re-encoding a
+    vector the index already saw yields bit-identical (cell, codes)
+    (test-pinned). Returns the number of rows appended. Zero-norm
+    vectors are dropped (no direction), matching the build.
+
+    Drift honesty: appended vectors are quantized by the ORIGINAL
+    codebooks. That is exactly how production IVF-PQ serves a growing
+    corpus between periodic rebuilds, and exactly its known limit — if
+    the data distribution drifts, residuals grow and ADC error with
+    them; the in-row recall audits (``topk_recall_audit``) are the
+    drift detector, and ``build_ivfpq_index`` to a fresh path is the
+    rebuild."""
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    meta = spark.read.parquet(os.path.join(path, "meta")).first().asDict()
+    d, sub, m = meta["d"], meta["sub"], meta["m"]
+    cells = spark.read.parquet(os.path.join(path, "cells")).collect()
+    cb = spark.read.parquet(os.path.join(path, "codebooks")).collect()
+    cell_mat = np.stack(
+        [np.asarray(r["cv"]) for r in sorted(cells, key=lambda r: r["cell"])]
+    )
+    books = []
+    for j in range(m):
+        rows = sorted((r for r in cb if r["j"] == j), key=lambda r: r["code"])
+        books.append(np.stack([np.asarray(r["cen"]) for r in rows]))
+
+    src = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("v0"),
+    )
+    in_d = src.select(F.size("v0").alias("_d")).first()
+    if in_d is not None and in_d["_d"] != d:
+        raise ValueError(
+            f"append dimension {in_d['_d']} != index dimension {d}"
+        )
+
+    out_schema = (
+        f"neighbor_id {dict(src.dtypes)['neighbor_id']}, "
+        "v array<double>, cell int, codes array<int>"
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["v0"].to_numpy()).astype(np.float64)
+            norms = np.sqrt(np.einsum("ij,ij->i", x, x))
+            keep = norms > 0
+            if not keep.any():
+                continue
+            pdf = pdf[keep]
+            x = x[keep] / norms[keep, None]
+            # nearest cell by squared L2: argmin(|x|^2 - 2 x.c + |c|^2)
+            cd = -2.0 * (x @ cell_mat.T) + np.einsum(
+                "ij,ij->i", cell_mat, cell_mat
+            )
+            cell = np.argmin(cd, axis=1)
+            resid = x - cell_mat[cell]
+            codes = np.empty((len(x), m), dtype=np.int64)
+            for j in range(m):
+                r = resid[:, j * sub : (j + 1) * sub]
+                bd = -2.0 * (r @ books[j].T) + np.einsum(
+                    "ij,ij->i", books[j], books[j]
+                )
+                codes[:, j] = np.argmin(bd, axis=1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "v": list(x),
+                    "cell": cell.astype("int32"),
+                    "codes": list(codes),
+                }
+            )
+
+    enc = src.mapInPandas(encode, out_schema)
+    enc.cache()
+    n_new = enc.count()
+    enc.select("neighbor_id", "cell", "codes").write.mode("append").partitionBy(
+        "cell"
+    ).parquet(os.path.join(path, "codes"))
+    (
+        enc.select("neighbor_id", "v")
+        .sortWithinPartitions("neighbor_id")
+        .write.mode("append")
+        .parquet(os.path.join(path, "vectors"))
+    )
+    meta["n_vectors"] = meta["n_vectors"] + n_new
+    spark.createDataFrame(
+        [tuple(meta.values())],
+        "d int, sub int, m int, codebook_k int, n_centroids int, "
+        "seed int, n_vectors long",
+    ).write.mode("overwrite").parquet(os.path.join(path, "meta"))
+    enc.unpersist()
+    return n_new
+
+
 def query_ivfpq_index(
     spark: SparkSession,
     path: str,
