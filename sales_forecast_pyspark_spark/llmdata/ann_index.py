@@ -16,6 +16,7 @@ shared ``_ivfpq_fit`` build stage, similarity.py):
   | ``cells`` | (cell, cv) | n_centroids rows — broadcast state |
   | ``codebooks`` | (j, code, cen) | m × codebook_k rows — broadcast state |
   | ``meta`` | 1 row (d, sub, m, codebook_k, n_centroids, seed, n_vectors) | geometry contract; ``query_ivfpq_index`` refuses a mismatched query dimension loudly |
+  | ``stats`` | (cell, n_rows, mean_qerr) | build-time per-cell quantization-error BASELINE — the reference point ``ivfpq_index_stats`` compares against to decide when incremental appends have drifted far enough to warrant a rebuild |
 
 - ``query_ivfpq_index(spark, path, queries, ...)`` replays the exact
   query math of ``ivfpq_topk`` (probe → per-(query, cell) residual ADC
@@ -42,6 +43,187 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sales_forecast_pyspark_spark.llmdata.similarity import _ivfpq_fit
+
+
+def _load_quantizers(spark: SparkSession, path: str):
+    """Load the stored geometry contract plus the (kilobyte-scale)
+    quantizer state as numpy arrays — the broadcast closure both the
+    incremental encoder and the drift scan bake into their Arrow
+    batches. Returns (meta dict, cell_mat [n_centroids × d],
+    books list of m [codebook_k × sub] arrays)."""
+    import numpy as np
+
+    meta = spark.read.parquet(os.path.join(path, "meta")).first().asDict()
+    cells = spark.read.parquet(os.path.join(path, "cells")).collect()
+    cb = spark.read.parquet(os.path.join(path, "codebooks")).collect()
+    cell_mat = np.stack(
+        [np.asarray(r["cv"]) for r in sorted(cells, key=lambda r: r["cell"])]
+    )
+    books = []
+    for j in range(meta["m"]):
+        rows = sorted((r for r in cb if r["j"] == j), key=lambda r: r["code"])
+        books.append(np.stack([np.asarray(r["cen"]) for r in rows]))
+    return meta, cell_mat, books
+
+
+def _cell_error_scan(spark: SparkSession, path: str) -> DataFrame:
+    """Per-cell (n_rows, mean_qerr) over the CURRENT index contents,
+    where qerr is the squared L2 reconstruction error of a stored
+    vector against its own (cell centroid + PQ codeword) decode — the
+    quantity ADC scoring degrades with, so its growth is the direct
+    measure of codebook staleness.
+
+    Scale shape: one O(N) maintenance scan — vectors ⋈ codes on the
+    id (a shuffle join over the index's own tables, run at rebuild-
+    decision cadence, never on the query path), per-row math in one
+    Arrow-batched pass with the kilobyte quantizer state in the
+    closure (two gathers + one row-wise sum of squares), then a
+    JVM-side per-cell aggregate. The per-row error sum is exact-
+    decimal so the report hashes identically however partitions land.
+    """
+    import numpy as np
+    import pandas as pd
+
+    meta, cell_mat, books = _load_quantizers(spark, path)
+    m = meta["m"]
+    codes = spark.read.parquet(os.path.join(path, "codes")).select(
+        "neighbor_id", "cell", "codes"
+    )
+    vectors = spark.read.parquet(os.path.join(path, "vectors"))
+    joined = vectors.join(codes, "neighbor_id")
+
+    def qerr(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            cell = pdf["cell"].to_numpy()
+            code_mat = np.stack(pdf["codes"].to_numpy())
+            resid = x - cell_mat[cell]
+            rec = np.concatenate(
+                [books[j][code_mat[:, j]] for j in range(m)], axis=1
+            )
+            err = ((resid - rec) ** 2).sum(axis=1)
+            # round per row BEFORE the distributed sum: each row's qerr
+            # is order-independent, so the decimal aggregate downstream
+            # is bit-stable across partitionings
+            yield pd.DataFrame(
+                {"cell": cell.astype("int32"), "qerr": np.round(err, 12)}
+            )
+
+    per_row = joined.mapInPandas(qerr, "cell int, qerr double")
+    return per_row.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (
+            F.sum(F.col("qerr").cast("decimal(30,15)"))
+            / F.count(F.lit(1))
+        )
+        .cast("double")
+        .alias("mean_qerr"),
+    )
+
+
+def ivfpq_index_stats(
+    spark: SparkSession,
+    path: str,
+    err_drift_factor: float = 1.5,
+    rows_drift_factor: float = 4.0,
+    global_err_factor: float = 3.0,
+) -> DataFrame:
+    """Per-cell drift report for a persisted IVF-PQ index — the
+    REBUILD TRIGGER that pairs with ``append_to_ivfpq_index``'s
+    documented limit (appended vectors are quantized by the ORIGINAL
+    codebooks; if the data distribution drifts, residuals grow and ADC
+    error with them).
+
+    Compares the current per-cell mean reconstruction error and row
+    count against the build-time baseline stored in the ``stats``
+    table. The baseline is the codebooks' TRAINING error, which
+    understates held-out error by the generalization gap — measured
+    ×2.0–2.4 uniformly across cells on the smallest fixture (500
+    vectors, codebook_k=256 ≈ corpus size, the worst overfit regime;
+    the gap shrinks toward 1 as N/codebook_k grows). Raw
+    current/baseline ratios therefore drift upward on perfectly
+    healthy same-distribution appends, so the per-cell signal is
+    SELF-NORMALIZED: the uniform gap cancels out of the ratio between
+    a cell and the median cell. Three channels flag a cell:
+
+    - **localized drift** (``err_drift_factor``): its err_ratio
+      exceeds the factor × the MEDIAN err_ratio across cells — a
+      distribution shift concentrated in part of the space (new
+      content type, new modality) raises some cells' error far above
+      the pack while the generalization gap moves every cell equally;
+    - **global drift** (``global_err_factor``): the median err_ratio
+      itself exceeds the factor — a wholesale shift raises every
+      cell, so no cell stands out from the median, but the median
+      stands out from build time (the factor defaults above the
+      measured worst-case generalization gap, so a fresh same-
+      distribution index can't trip it);
+    - **occupancy skew** (``rows_drift_factor``): its row count grew
+      past the factor × the build-time count — probes over a bloated
+      cell scan far more codes than the build's n_probe/n_centroids
+      IO contract priced in, and a skewed cell is the shuffle
+      straggler at 100 TB.
+
+    Output: one row per cell — (cell, n_rows, build_rows, mean_qerr,
+    build_mean_qerr, err_ratio, err_rel, rows_ratio,
+    global_err_ratio, drift_flag), ordered by cell.
+    ``any(drift_flag)`` is the rebuild signal; a cell missing from
+    either side (impossible under append-only growth, possible under
+    manual partition surgery) fails loud as drift_flag=true rather
+    than vanishing from the report. Cost: one O(N) maintenance scan
+    (see ``_cell_error_scan``) + joins against n_centroids-row
+    frames."""
+    base = spark.read.parquet(os.path.join(path, "stats")).select(
+        "cell",
+        F.col("n_rows").alias("build_rows"),
+        F.col("mean_qerr").alias("build_mean_qerr"),
+    )
+    cur = _cell_error_scan(spark, path)
+    rep = cur.join(base, "cell", "full")
+    raw_ratio = F.when(
+        F.col("build_mean_qerr") > 0,
+        F.col("mean_qerr") / F.col("build_mean_qerr"),
+    )
+    rep = rep.withColumn("_err_ratio", raw_ratio)
+    # median over <= n_centroids rows (exact percentile, deterministic)
+    med = rep.agg(
+        F.expr("percentile(_err_ratio, 0.5)").alias("_med_ratio")
+    )
+    rep = rep.crossJoin(F.broadcast(med)).withColumn(
+        "_med_ratio", F.coalesce(F.col("_med_ratio"), F.lit(1.0))
+    )
+    err_rel = F.col("_err_ratio") / F.col("_med_ratio")
+    local_drift = F.when(
+        F.col("build_mean_qerr") > 0, err_rel > F.lit(err_drift_factor)
+    ).otherwise(F.col("mean_qerr") > 1e-9)
+    global_drift = F.col("_med_ratio") > F.lit(global_err_factor)
+    rows_drift = F.when(
+        F.col("build_rows") > 0,
+        F.col("n_rows") / F.col("build_rows") > F.lit(rows_drift_factor),
+    ).otherwise(F.col("n_rows") > 0)
+    return (
+        rep.select(
+            "cell",
+            "n_rows",
+            "build_rows",
+            F.round("mean_qerr", 9).alias("mean_qerr"),
+            F.round("build_mean_qerr", 9).alias("build_mean_qerr"),
+            F.round("_err_ratio", 6).alias("err_ratio"),
+            F.round(err_rel, 6).alias("err_rel"),
+            F.when(
+                F.col("build_rows") > 0,
+                F.round(F.col("n_rows") / F.col("build_rows"), 6),
+            ).alias("rows_ratio"),
+            F.round("_med_ratio", 6).alias("global_err_ratio"),
+            (
+                F.coalesce(local_drift, F.lit(True))
+                | global_drift
+                | F.coalesce(rows_drift, F.lit(True))
+            ).alias("drift_flag"),
+        )
+        .orderBy("cell")
+    )
 
 
 def build_ivfpq_index(
@@ -87,6 +269,14 @@ def build_ivfpq_index(
         "d int, sub int, m int, codebook_k int, n_centroids int, "
         "seed int, n_vectors long",
     ).write.mode("overwrite").parquet(os.path.join(path, "meta"))
+    # Build-time drift baseline: per-cell row count + mean quantization
+    # error, computed by the SAME scan ivfpq_index_stats replays later
+    # (one code path, so baseline and report can never disagree on the
+    # error definition). Reads back the tables just written — one extra
+    # O(N) pass on the build-once side of the ledger.
+    _cell_error_scan(spark, path).write.mode("overwrite").parquet(
+        os.path.join(path, "stats")
+    )
     return meta
 
 
@@ -122,17 +312,8 @@ def append_to_ivfpq_index(
     import pandas as pd
 
     spark = df.sparkSession
-    meta = spark.read.parquet(os.path.join(path, "meta")).first().asDict()
+    meta, cell_mat, books = _load_quantizers(spark, path)
     d, sub, m = meta["d"], meta["sub"], meta["m"]
-    cells = spark.read.parquet(os.path.join(path, "cells")).collect()
-    cb = spark.read.parquet(os.path.join(path, "codebooks")).collect()
-    cell_mat = np.stack(
-        [np.asarray(r["cv"]) for r in sorted(cells, key=lambda r: r["cell"])]
-    )
-    books = []
-    for j in range(m):
-        rows = sorted((r for r in cb if r["j"] == j), key=lambda r: r["code"])
-        books.append(np.stack([np.asarray(r["cen"]) for r in rows]))
 
     src = df.select(
         F.col(id_col).alias("neighbor_id"),

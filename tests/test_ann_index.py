@@ -150,3 +150,108 @@ def test_append_rejects_mismatched_dimension(spark, emb, index_path):
     ).filter(F.col("vec_id") < 3)
     with pytest.raises(ValueError, match="append dimension 32 != index"):
         append_to_ivfpq_index(bad, index_path)
+
+
+def test_fresh_index_reports_no_drift(spark, emb, index_path):
+    """Right after build, the report replays the SAME scan the build
+    stored as baseline — every ratio is exactly 1.0, no flag set.
+    (One code path for baseline + report means they cannot disagree on
+    the error definition.)"""
+    from sales_forecast_pyspark_spark.llmdata import ivfpq_index_stats
+
+    rows = ivfpq_index_stats(spark, index_path).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["drift_flag"] is False, r
+        assert r["n_rows"] == r["build_rows"]
+        assert r["err_ratio"] == pytest.approx(1.0, abs=1e-6)
+        assert r["rows_ratio"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_same_distribution_append_stays_green(spark, emb, tmp_path_factory):
+    """Appending MORE of the same distribution is the healthy
+    incremental-ingest regime: quantization error per cell stays at
+    the build-time level, occupancy grows proportionally — no rebuild
+    signal."""
+    from sales_forecast_pyspark_spark.llmdata import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        ivfpq_index_stats,
+    )
+
+    path = str(tmp_path_factory.mktemp("ivfpq_green") / "idx")
+    build_ivfpq_index(emb.filter(F.col("vec_id") < 400), path)
+    append_to_ivfpq_index(emb.filter(F.col("vec_id") >= 400), path)
+    rows = ivfpq_index_stats(spark, path).collect()
+    assert len(rows) > 0
+    assert not any(r["drift_flag"] for r in rows), [
+        (r["cell"], r["err_ratio"], r["rows_ratio"])
+        for r in rows
+        if r["drift_flag"]
+    ]
+
+
+def test_drifted_append_trips_the_flag(spark, emb, tmp_path_factory):
+    """The failure mode the monitor exists for: appended vectors from
+    a DIFFERENT distribution (here an axis spike no gaussian-trained
+    codebook can reconstruct) are still encoded by the original
+    quantizers, so their reconstruction error — and the landing cell's
+    mean — jumps. The report must flag it, with the error channel
+    (not just occupancy) over its factor."""
+    from sales_forecast_pyspark_spark.llmdata import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        ivfpq_index_stats,
+    )
+
+    path = str(tmp_path_factory.mktemp("ivfpq_drift") / "idx")
+    build_ivfpq_index(emb.filter(F.col("vec_id") < 400), path)
+    spike = emb.filter(F.col("vec_id") < 100).select(
+        (F.col("vec_id") + 50_000).alias("vec_id"),
+        F.array(
+            *([F.lit(1.0)] + [F.lit(0.0)] * 63)
+        ).alias("embedding"),
+    )
+    assert append_to_ivfpq_index(spike, path) == 100
+    rows = ivfpq_index_stats(spark, path).collect()
+    flagged = [r for r in rows if r["drift_flag"]]
+    assert flagged, rows
+    # the LOCALIZED channel must fire: the spike cell's error stands
+    # out from the median cell (err_rel), not just from the build
+    # baseline (raw err_ratio moves ~2x on healthy appends too — the
+    # generalization gap the self-normalization exists to cancel)
+    assert any(
+        r["err_rel"] is not None and r["err_rel"] > 1.5 for r in flagged
+    ), [(r["cell"], r["err_rel"], r["rows_ratio"]) for r in flagged]
+
+
+def test_wholesale_shift_trips_the_global_channel(spark, emb, tmp_path_factory):
+    """A shift that raises EVERY cell's error equally defeats the
+    median-normalized per-cell channel by construction — that is what
+    the global channel exists for: the median err_ratio itself crosses
+    global_err_factor (3.0, above the ×2.0–2.4 generalization gap a
+    healthy same-size append measures at this worst-overfit fixture
+    scale). 400 axis spikes cycling through all 64 dims land across
+    the whole cell map and lift the median past the bar."""
+    from sales_forecast_pyspark_spark.llmdata import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        ivfpq_index_stats,
+    )
+
+    path = str(tmp_path_factory.mktemp("ivfpq_global") / "idx")
+    base = emb.filter(F.col("vec_id") < 400)
+    build_ivfpq_index(base, path)
+    spikes = base.select(
+        (F.col("vec_id") + 80_000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> "
+            "CASE WHEN i = int(vec_id % 64) THEN 1.0D ELSE 0.0D END)"
+        ).alias("embedding"),
+    )
+    assert append_to_ivfpq_index(spikes, path) == 400
+    rows = ivfpq_index_stats(spark, path).collect()
+    assert all(r["drift_flag"] for r in rows), [
+        r for r in rows if not r["drift_flag"]
+    ]
+    assert rows[0]["global_err_ratio"] > 3.0
