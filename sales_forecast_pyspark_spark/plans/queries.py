@@ -1475,46 +1475,16 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
 
 
-@register(
-    "ngram_containment_pairs",
-    """
-WITH tok AS (
-  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
-  FROM documents
-  WHERE length(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) > 0
-),
-shl AS (
-  SELECT doc_id, list_distinct(CASE WHEN length(toks) >= 3
-      THEN list_transform(range(1, length(toks) - 3 + 2), i -> array_to_string(list_slice(toks, i, i + 2), ' '))
-      ELSE [array_to_string(toks, ' ')] END) AS shingles
-  FROM tok
-),
-sh AS (SELECT doc_id, UNNEST(shingles) AS shingle FROM shl),
-cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-sp AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
-  GROUP BY 1, 2
-)
-SELECT doc_a, doc_b, shared, na.n AS n_a, nb.n AS n_b,
-       ROUND(CAST(shared AS DOUBLE) / na.n, 4) AS containment
-FROM sp
-JOIN cnt na ON sp.doc_a = na.doc_id
-JOIN cnt nb ON sp.doc_b = nb.doc_id
-WHERE ROUND(CAST(shared AS DOUBLE) / na.n, 4) >= 0.8
-ORDER BY doc_a, doc_b
-""",
-)
-def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Asymmetric containment near-dup (llmdata/dedup.py::
-    ngram_containment_pairs): C(A in B) = |A∩B|/|A| over 3-gram
-    shingles — catches short docs embedded in longer ones, where
-    Jaccard ~ |A|/|B| stays below any sane threshold and symmetric
-    dedup keeps both copies."""
-    from sales_forecast_pyspark_spark.llmdata.dedup import ngram_containment_pairs
-
-    docs = read_table(spark, sf_dir, "documents")
-    return ngram_containment_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+# `ngram_containment_pairs` RETIRED from the registry in r12 per
+# SCALING.md's retirement policy (second exercise of the ranked list,
+# slot spent on `ann_index_lifecycle`): it shared the exact co-shingle
+# self-join physical plan with the oracle-green `ngram_jaccard_pairs`
+# (deliberately un-benched for that same redundancy, see bench.py);
+# only the scoring expression differs, which
+# tests/test_llmdata.py pins (short-doc-in-long-doc containment where
+# Jaccard stays below threshold). The operator
+# (llmdata/dedup.py::ngram_containment_pairs) and its unit tests are
+# unchanged — only the driver-verification slot was reclaimed.
 
 
 @register(
@@ -2829,6 +2799,64 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread_scan(read_table(spark, sf_dir, "embeddings"), "vec_id")
     q = emb.filter(F.col("vec_id") < 20)
     return topk_recall_audit(ivfpq_topk(emb, q, k=5), cosine_topk(emb, q, k=5))
+
+
+@register("ann_index_lifecycle")  # rows-only: persisted KMeans quantizers + parquet
+# layout not SQL-expressible (slot reclaimed from ngram_containment_pairs, r12)
+def q_ann_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full lifecycle of the PERSISTED IVF-PQ index (llmdata/
+    ann_index.py) — the production serving shape ivfpq_topk's
+    fit-per-call form is not: build the index ONCE on 80% of the
+    corpus (vec_id % 5 != 0), incrementally append the remaining 20%
+    through the STORED quantizers (no refit, no rewrite of existing
+    cell partitions), then serve a query batch from the persisted
+    tables (probed cells reach the code scan as a static
+    PartitionFilter; the exact refine is a bounded broadcast join).
+
+    Self-validating on BOTH documented risk axes, in-row:
+    - recall: topk_recall_audit vs the brute-force truth over the full
+      corpus (recall_at_k / mean_recall / recall_ok, tier bar 0.5) —
+      served results must cover build AND appended vectors;
+    - drift: ivfpq_index_stats' three-channel rebuild trigger
+      (n_drifted_cells / max_err_rel / global_err_ratio /
+      drift_green), which for this same-distribution append must stay
+      green — the monitor's false-positive regime is exactly what the
+      driver re-measures each check.
+
+    The builder materializes the index eagerly (build + append are
+    writes), so it sits in the plan-sweep SKIP class with the other
+    fit-at-plan-time rows (scripts/audit_plans.py,
+    scripts/audit_static_broadcasts.py); the persisted read path's
+    plan shape is pinned by tests/test_ann_index.py instead."""
+    import tempfile
+
+    from sales_forecast_pyspark_spark.llmdata import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        ivfpq_index_stats,
+        query_ivfpq_index,
+    )
+    from sales_forecast_pyspark_spark.llmdata.similarity import (
+        cosine_topk,
+        topk_recall_audit,
+    )
+
+    emb = spread_scan(read_table(spark, sf_dir, "embeddings"), "vec_id")
+    path = tempfile.mkdtemp(prefix="spark_ivfpq_lifecycle_") + "/idx"
+    build_ivfpq_index(emb.filter(F.col("vec_id") % 5 != 0), path)
+    append_to_ivfpq_index(emb.filter(F.col("vec_id") % 5 == 0), path)
+    q = emb.filter(F.col("vec_id") < 20)
+    served = topk_recall_audit(
+        query_ivfpq_index(spark, path, q, k=5), cosine_topk(emb, q, k=5)
+    )
+    drift = ivfpq_index_stats(spark, path).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(F.col("drift_flag").cast("int")).alias("n_drifted_cells"),
+        F.round(F.max("err_rel"), 6).alias("max_err_rel"),
+        F.round(F.max("global_err_ratio"), 6).alias("global_err_ratio"),
+        (F.sum(F.col("drift_flag").cast("int")) == 0).alias("drift_green"),
+    )
+    return served.crossJoin(F.broadcast(drift))
 
 
 @register("ann_pairs_topk")  # rows-only: BRP-LSH buckets are not SQL-expressible

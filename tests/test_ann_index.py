@@ -255,3 +255,25 @@ def test_wholesale_shift_trips_the_global_channel(spark, emb, tmp_path_factory):
         r for r in rows if not r["drift_flag"]
     ]
     assert rows[0]["global_err_ratio"] > 3.0
+
+
+def test_lifecycle_driver_row_is_green(spark):
+    """The registered ann_index_lifecycle row (build 80% → append 20%
+    → serve → audit) must be green on BOTH its in-row audit axes at
+    the oracle SF: the served batch covers build and appended vectors
+    at the contracted recall tier, and the same-distribution append
+    must NOT trip the drift monitor (its false-positive regime)."""
+    from sales_forecast_pyspark_spark.plans.queries import QUERIES
+
+    r = (
+        QUERIES["ann_index_lifecycle"]
+        .builder(spark, SF_ORACLE)
+        .select(
+            "mean_recall", "recall_ok", "n_cells", "n_drifted_cells",
+            "max_err_rel", "global_err_ratio", "drift_green",
+        )
+        .first()
+    )
+    assert r["recall_ok"] is True and r["mean_recall"] >= 0.5
+    assert r["drift_green"] is True and r["n_drifted_cells"] == 0
+    assert r["n_cells"] == 16

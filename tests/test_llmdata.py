@@ -635,3 +635,38 @@ def test_tfidf_banding_audit_planted_dups_and_red_regimes(spark):
     assert r["sample_truth_pairs"] == 0
     assert r["sample_cand_recall"] is None
     assert r["sample_recall_ok"] is False
+
+
+def test_containment_catches_short_doc_embedded_in_long(spark):
+    """Pins the containment-specific scoring now that
+    `ngram_containment_pairs` is retired from the driver registry
+    (r12, SCALING.md retirement policy — the co-shingle self-join
+    physical plan stays pinned oracle-green by ngram_jaccard_pairs;
+    this test owns the part that differs, the asymmetric score): a
+    short doc fully embedded in a much longer one has containment 1.0
+    in the short→long direction while its Jaccard stays below any
+    dedup threshold, and the long→short direction scores |B∩A|/|B|,
+    not 1.0."""
+    from sales_forecast_pyspark_spark.llmdata import ngram_jaccard_pairs
+    from sales_forecast_pyspark_spark.llmdata.dedup import (
+        ngram_containment_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"word{i} filler{i} token{i}" for i in range(30))
+    rows = [(0, short), (1, f"{filler} {short} {filler}")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    cont = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in ngram_containment_pairs(docs, threshold=0.0).collect()
+    }
+    assert cont[(0, 1)] == 1.0  # every shingle of the short doc is in the long
+    assert cont[(1, 0)] < 0.1  # the long doc is NOT contained in the short
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    # symmetric Jaccard on the same pair sits below any sane dedup
+    # threshold — the blind spot the asymmetric lens exists for
+    assert jac[(0, 1)] < 0.1

@@ -21,7 +21,8 @@ SKIP = {
     "forecast_lr", "forecast_lr_full", "forecast_segmented",
     "forecast_eval_kpi", "lr_coefficients_top", "ann_ivf_topk",
     "dedup_clusters", "near_dedup_survivors", "forecast_rf",
-    "forecast_gbt", "ann_pq_topk", "ann_ivfpq_topk", "backtest_lr", "leakage_free_split", "model_quality_audit",
+    "forecast_gbt", "ann_pq_topk", "ann_ivfpq_topk", "backtest_lr",
+    "leakage_free_split", "model_quality_audit", "ann_index_lifecycle",
 }
 
 # BNLJ appears ONLY where a bounded side is deliberately broadcast:
