@@ -159,15 +159,27 @@ def ivfpq_index_stats(
       stands out from build time (the factor defaults above the
       measured worst-case generalization gap, so a fresh same-
       distribution index can't trip it);
-    - **occupancy skew** (``rows_drift_factor``): its row count grew
-      past the factor × the build-time count — probes over a bloated
-      cell scan far more codes than the build's n_probe/n_centroids
-      IO contract priced in, and a skewed cell is the shuffle
-      straggler at 100 TB.
+    - **append skew** (``rows_drift_factor``): appends landed on the
+      cell out of proportion to its build-time share. Distribution-
+      preserving appends scatter ∝ each cell's share, so the expected
+      append mass per cell is appended_total × build_share; a cell
+      whose actual appends exceed the factor × that expectation (plus
+      a Poisson-style materiality floor, 3·√expected + 5, so
+      few-row cells can't flag on count noise) is absorbing a hot
+      spot — probes over it scan far more codes than the build's
+      n_probe/n_centroids IO contract priced in, and the bloated cell
+      is the shuffle straggler at 100 TB. A naive n_rows/build_rows
+      ratio is the WRONG signal here: it flags every cell after
+      legitimate uniform 5× growth and misses a hot-spot cluster
+      hiding inside modest total growth; the skew-vs-expectation form
+      is growth-invariant in both directions (measured at the 20k
+      decade: a 4,000-row tight cluster landing on 2 of 16 cells
+      fires it, while 20,000 same-distribution appends stay green).
 
     Output: one row per cell — (cell, n_rows, build_rows, mean_qerr,
-    build_mean_qerr, err_ratio, err_rel, rows_ratio,
-    global_err_ratio, drift_flag), ordered by cell.
+    build_mean_qerr, err_ratio, err_rel, rows_ratio (informational:
+    raw growth, NOT a flag input), append_skew, global_err_ratio,
+    drift_flag), ordered by cell.
     ``any(drift_flag)`` is the rebuild signal; a cell missing from
     either side (impossible under append-only growth, possible under
     manual partition surgery) fails loud as drift_flag=true rather
@@ -186,9 +198,13 @@ def ivfpq_index_stats(
         F.col("mean_qerr") / F.col("build_mean_qerr"),
     )
     rep = rep.withColumn("_err_ratio", raw_ratio)
-    # median over <= n_centroids rows (exact percentile, deterministic)
+    # global state over <= n_centroids rows: median err ratio (exact
+    # percentile, deterministic) + total current/build row mass for the
+    # append-skew expectation
     med = rep.agg(
-        F.expr("percentile(_err_ratio, 0.5)").alias("_med_ratio")
+        F.expr("percentile(_err_ratio, 0.5)").alias("_med_ratio"),
+        F.sum(F.coalesce(F.col("n_rows"), F.lit(0))).alias("_tot_cur"),
+        F.sum(F.coalesce(F.col("build_rows"), F.lit(0))).alias("_tot_build"),
     )
     rep = rep.crossJoin(F.broadcast(med)).withColumn(
         "_med_ratio", F.coalesce(F.col("_med_ratio"), F.lit(1.0))
@@ -198,9 +214,28 @@ def ivfpq_index_stats(
         F.col("build_mean_qerr") > 0, err_rel > F.lit(err_drift_factor)
     ).otherwise(F.col("mean_qerr") > 1e-9)
     global_drift = F.col("_med_ratio") > F.lit(global_err_factor)
+    # append-skew channel: appends into this cell vs the expectation
+    # under distribution-preserving growth (appended_total x this
+    # cell's build share), with a Poisson-style materiality floor so
+    # few-row cells cannot flag on count noise
+    appended_total = F.greatest(
+        F.col("_tot_cur") - F.col("_tot_build"), F.lit(0)
+    )
+    appended_here = F.greatest(
+        F.coalesce(F.col("n_rows"), F.lit(0))
+        - F.coalesce(F.col("build_rows"), F.lit(0)),
+        F.lit(0),
+    )
+    expected_here = F.when(
+        F.col("_tot_build") > 0,
+        appended_total * F.col("build_rows") / F.col("_tot_build"),
+    ).otherwise(F.lit(0.0))
     rows_drift = F.when(
         F.col("build_rows") > 0,
-        F.col("n_rows") / F.col("build_rows") > F.lit(rows_drift_factor),
+        appended_here
+        > F.lit(rows_drift_factor) * expected_here
+        + 3 * F.sqrt(expected_here)
+        + F.lit(5),
     ).otherwise(F.col("n_rows") > 0)
     return (
         rep.select(
@@ -215,6 +250,10 @@ def ivfpq_index_stats(
                 F.col("build_rows") > 0,
                 F.round(F.col("n_rows") / F.col("build_rows"), 6),
             ).alias("rows_ratio"),
+            F.when(
+                expected_here > 0,
+                F.round(appended_here / expected_here, 6),
+            ).alias("append_skew"),
             F.round("_med_ratio", 6).alias("global_err_ratio"),
             (
                 F.coalesce(local_drift, F.lit(True))

@@ -277,3 +277,36 @@ def test_lifecycle_driver_row_is_green(spark):
     assert r["recall_ok"] is True and r["mean_recall"] >= 0.5
     assert r["drift_green"] is True and r["n_drifted_cells"] == 0
     assert r["n_cells"] == 16
+
+
+def test_hot_spot_append_trips_the_skew_channel(spark, emb, tmp_path_factory):
+    """Occupancy drift with NO quantization-error signal: appended
+    duplicates of an existing vector reconstruct exactly as well as
+    the build rows (err channels stay quiet), but they all land on one
+    cell — far beyond its expected share of the append mass — so the
+    append-skew channel must carry the flag alone. (A naive
+    n_rows/build_rows ratio misses hot spots inside modest growth and
+    flags healthy uniform growth; skew-vs-expected-share does
+    neither.)"""
+    from sales_forecast_pyspark_spark.llmdata import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        ivfpq_index_stats,
+    )
+
+    path = str(tmp_path_factory.mktemp("ivfpq_skew") / "idx")
+    base = emb.filter(F.col("vec_id") < 400)
+    build_ivfpq_index(base, path)
+    dup_src = base.filter(F.col("vec_id") == 7).first()
+    dups = spark.createDataFrame(
+        [(60_000 + i, dup_src["embedding"]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    assert append_to_ivfpq_index(dups, path) == 60
+    rows = ivfpq_index_stats(spark, path).collect()
+    flagged = [r for r in rows if r["drift_flag"]]
+    assert flagged, rows
+    assert any(
+        r["append_skew"] is not None and r["append_skew"] > 4.0
+        for r in flagged
+    ), [(r["cell"], r["append_skew"], r["err_rel"]) for r in flagged]
