@@ -31,6 +31,7 @@ from sales_forecast_pyspark_spark.llmdata.multimodal import (
 from sales_forecast_pyspark_spark.llmdata.ann_index import (
     append_to_ivfpq_index,
     build_ivfpq_index,
+    compact_ivfpq_index,
     ivfpq_index_stats,
     query_ivfpq_index,
 )
@@ -71,6 +72,7 @@ __all__ = [
     "attach_binary",
     "append_to_ivfpq_index",
     "build_ivfpq_index",
+    "compact_ivfpq_index",
     "ivfpq_index_stats",
     "query_ivfpq_index",
     "chunk_documents",

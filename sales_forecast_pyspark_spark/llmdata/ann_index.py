@@ -424,6 +424,121 @@ def append_to_ivfpq_index(
     return n_new
 
 
+def compact_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+) -> dict:
+    """Small-file compaction for a persisted IVF-PQ index — the
+    maintenance op that pairs with ``append_to_ivfpq_index``: every
+    append adds up-to-shuffle-partitions new files per touched cell
+    partition, so an hourly-ingest index accumulates thousands of
+    kilobyte files per cell whose per-file open/footer cost comes to
+    dominate the probed scan (the same failure mode
+    ``sources/sinks.py::compact_parquet`` exists for, specialized to
+    this index's two layout contracts):
+
+    - ``codes`` is rewritten cell-by-cell with a size-aware file
+      count (total bytes / n_centroids / target_file_mb, floor 1),
+      PRESERVING ``partitionBy(cell)`` — the static PartitionFilter
+      pruning that justifies the layout survives compaction
+      unchanged (plan-pinned in tests);
+    - ``vectors`` is rewritten range-partitioned on ``neighbor_id``
+      and re-sorted within files — appends interleave id ranges
+      across files, so compaction RESTORES the parquet min/max
+      row-group pruning the exact-refine point lookups rely on
+      (fresh-build quality or better, since ranges are now globally
+      disjoint).
+
+    Contents are untouched — query results are bit-identical before
+    and after (test-pinned), and the drift baseline in ``stats``
+    remains valid. The swap is write-to-staging + delete + rename via
+    the Hadoop FS API (staging dirs are underscore-prefixed, so
+    concurrent Spark readers never list them); the delete→rename
+    window is NOT atomic — production deployments wanting atomic
+    swap put the index tables behind a table format (Delta/Iceberg)
+    or flip a pointer to a fresh ``build_ivfpq_index`` path, which is
+    also the rebuild flow ``ivfpq_index_stats`` triggers. Returns
+    {table: (files_before, files_after)}."""
+    from py4j.java_gateway import java_import
+
+    jvm = spark.sparkContext._jvm
+    java_import(jvm, "org.apache.hadoop.fs.Path")
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+
+    def _fs(p):
+        return jvm.Path(p).getFileSystem(conf)
+
+    def _data_files(p):
+        fs = _fs(p)
+        it = fs.listFiles(jvm.Path(p), True)
+        n = 0
+        while it.hasNext():
+            f = it.next().getPath().getName()
+            if f.endswith(".parquet"):
+                n += 1
+        return n
+
+    def _swap(sub, write_to):
+        src = os.path.join(path, sub)
+        tmp = os.path.join(path, f"_{sub}__compact")
+        fs = _fs(src)
+        fs.delete(jvm.Path(tmp), True)
+        write_to(tmp)
+        fs.delete(jvm.Path(src), True)
+        fs.rename(jvm.Path(tmp), jvm.Path(src))
+
+    meta = spark.read.parquet(os.path.join(path, "meta")).first().asDict()
+    target_bytes = target_file_mb * 1024 * 1024
+    out = {}
+
+    codes_path = os.path.join(path, "codes")
+    before_codes = _data_files(codes_path)
+    codes_bytes = (
+        _fs(codes_path).getContentSummary(jvm.Path(codes_path)).getLength()
+    )
+    files_per_cell = max(
+        1, -(-codes_bytes // max(1, meta["n_centroids"]) // target_bytes)
+    )
+    codes = spark.read.parquet(codes_path)
+
+    def _write_codes(tmp):
+        # repartition on (cell, salt): each output task holds whole
+        # (cell, salt) groups, and partitionBy(cell) then emits at most
+        # files_per_cell files per cell — size-bounded without breaking
+        # the one-directory-per-cell pruning layout
+        (
+            codes.repartition(
+                F.col("cell"),
+                F.pmod(F.xxhash64("neighbor_id"), F.lit(files_per_cell)),
+            )
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(tmp)
+        )
+
+    _swap("codes", _write_codes)
+    out["codes"] = (before_codes, _data_files(codes_path))
+
+    vec_path = os.path.join(path, "vectors")
+    before_vecs = _data_files(vec_path)
+    vec_bytes = _fs(vec_path).getContentSummary(jvm.Path(vec_path)).getLength()
+    n_vec_files = max(1, -(-vec_bytes // target_bytes))
+    vectors = spark.read.parquet(vec_path)
+
+    def _write_vectors(tmp):
+        (
+            vectors.repartitionByRange(int(n_vec_files), "neighbor_id")
+            .sortWithinPartitions("neighbor_id")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+
+    _swap("vectors", _write_vectors)
+    out["vectors"] = (before_vecs, _data_files(vec_path))
+    return out
+
+
 def query_ivfpq_index(
     spark: SparkSession,
     path: str,

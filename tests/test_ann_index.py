@@ -310,3 +310,50 @@ def test_hot_spot_append_trips_the_skew_channel(spark, emb, tmp_path_factory):
         r["append_skew"] is not None and r["append_skew"] > 4.0
         for r in flagged
     ), [(r["cell"], r["append_skew"], r["err_rel"]) for r in flagged]
+
+
+def test_compaction_shrinks_files_and_preserves_everything(
+    spark, emb, tmp_path_factory
+):
+    """Five small appends fragment the cell partitions; compaction
+    must (a) cut the data-file count, (b) leave query results
+    BIT-IDENTICAL, (c) keep the partitionBy(cell) layout so the
+    static PartitionFilter pruning survives, and (d) leave the drift
+    baseline valid (contents unchanged ⇒ report ratios still exactly
+    those of the pre-compaction state)."""
+    from sales_forecast_pyspark_spark.llmdata import (
+        append_to_ivfpq_index,
+        compact_ivfpq_index,
+        ivfpq_index_stats,
+    )
+
+    path = str(tmp_path_factory.mktemp("ivfpq_compact") / "idx")
+    base = emb.filter(F.col("vec_id") < 400)
+    build_ivfpq_index(base, path)
+    for i in range(5):
+        batch = emb.filter(
+            (F.col("vec_id") >= 400 + i * 20) & (F.col("vec_id") < 420 + i * 20)
+        ).select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+        append_to_ivfpq_index(batch, path)
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    before_rows = query_ivfpq_index(spark, path, queries, k=5).collect()
+    before_report = ivfpq_index_stats(spark, path).collect()
+
+    counts = compact_ivfpq_index(spark, path)
+    assert counts["codes"][1] < counts["codes"][0], counts
+    assert counts["vectors"][1] < counts["vectors"][0], counts
+
+    after_rows = query_ivfpq_index(spark, path, queries, k=5).collect()
+    assert sorted(map(tuple, after_rows)) == sorted(map(tuple, before_rows))
+
+    plan = (
+        query_ivfpq_index(spark, path, queries, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [cell" in plan.replace("cell #", "cell#"), plan[:2000]
+
+    after_report = ivfpq_index_stats(spark, path).collect()
+    assert sorted(map(tuple, after_report)) == sorted(map(tuple, before_report))
