@@ -405,15 +405,22 @@ def append_to_ivfpq_index(
     enc = src.mapInPandas(encode, out_schema)
     enc.cache()
     n_new = enc.count()
-    enc.select("neighbor_id", "cell", "codes").write.mode("append").partitionBy(
-        "cell"
-    ).parquet(os.path.join(path, "codes"))
+    # Crash-consistency ordering: vectors BEFORE codes. An orphan
+    # vectors row (append died between the writes) is harmless — it is
+    # never ADC-scanned, so it can never surface; the reverse order
+    # would leave code rows whose exact-refine join silently drops
+    # them, i.e. an invisible recall loss. meta goes last so a torn
+    # append is at worst an undercount, never a claim of rows that
+    # are not fully queryable.
     (
         enc.select("neighbor_id", "v")
         .sortWithinPartitions("neighbor_id")
         .write.mode("append")
         .parquet(os.path.join(path, "vectors"))
     )
+    enc.select("neighbor_id", "cell", "codes").write.mode("append").partitionBy(
+        "cell"
+    ).parquet(os.path.join(path, "codes"))
     meta["n_vectors"] = meta["n_vectors"] + n_new
     spark.createDataFrame(
         [tuple(meta.values())],
