@@ -34,6 +34,7 @@ from sales_forecast_pyspark_spark.llmdata.ann_index import (
     compact_ivfpq_index,
     ivfpq_index_stats,
     query_ivfpq_index,
+    stream_append_to_ivfpq_index,
 )
 from sales_forecast_pyspark_spark.llmdata.similarity import (
     cosine_topk,
@@ -75,6 +76,7 @@ __all__ = [
     "compact_ivfpq_index",
     "ivfpq_index_stats",
     "query_ivfpq_index",
+    "stream_append_to_ivfpq_index",
     "chunk_documents",
     "connected_components",
     "cosine_topk",

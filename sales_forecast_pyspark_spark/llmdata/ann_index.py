@@ -66,6 +66,25 @@ def _load_quantizers(spark: SparkSession, path: str):
     return meta, cell_mat, books
 
 
+def _read_index_table(spark: SparkSession, path: str, table: str) -> DataFrame:
+    """An index table as its readers see it: the compacted BASE plus
+    any batch-versioned increments (``<table>_inc/b=<batch_id>``, the
+    idempotent landing zone of ``append_to_ivfpq_index(...,
+    batch_id=)`` / the streaming ingest). Filters (the probed-cell
+    IN-list) push through the union into BOTH scans, and the
+    increments keep the same ``cell`` partition layout as the base, so
+    partition pruning holds across the LSM-style split."""
+    from pyspark.errors import AnalysisException
+
+    base = spark.read.parquet(os.path.join(path, table))
+    cols = base.columns
+    try:
+        inc = spark.read.parquet(os.path.join(path, f"{table}_inc"))
+    except AnalysisException:
+        return base
+    return base.unionByName(inc.select(*cols))
+
+
 def _cell_error_scan(spark: SparkSession, path: str) -> DataFrame:
     """Per-cell (n_rows, mean_qerr) over the CURRENT index contents,
     where qerr is the squared L2 reconstruction error of a stored
@@ -86,10 +105,10 @@ def _cell_error_scan(spark: SparkSession, path: str) -> DataFrame:
 
     meta, cell_mat, books = _load_quantizers(spark, path)
     m = meta["m"]
-    codes = spark.read.parquet(os.path.join(path, "codes")).select(
+    codes = _read_index_table(spark, path, "codes").select(
         "neighbor_id", "cell", "codes"
     )
-    vectors = spark.read.parquet(os.path.join(path, "vectors"))
+    vectors = _read_index_table(spark, path, "vectors")
     joined = vectors.join(codes, "neighbor_id")
 
     def qerr(batches):
@@ -324,11 +343,29 @@ def append_to_ivfpq_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    batch_id: int | None = None,
 ) -> int:
     """Encode NEW vectors with the index's EXISTING quantizers and
     append them — the incremental-ingest flow for a growing corpus
     (pairs with ``incremental_ingest_dedup``): no KMeans refit, no
     touch of already-written partitions beyond parquet append.
+
+    With ``batch_id`` set, the append is IDEMPOTENT: the batch lands
+    in its own overwrite-mode increment directories
+    (``codes_inc/b=<id>``, ``vectors_inc/b=<id>`` — same ``cell``
+    partition layout as the base, so pruning holds), so a REPLAY of
+    the same batch overwrites itself instead of double-appending.
+    That is exactly the guarantee Structured Streaming's
+    at-least-once ``foreachBatch`` needs for exactly-once ingest
+    (``stream_append_to_ivfpq_index``; same versioned-state design as
+    ``streaming/stream_ops.py::maintain_partials_stream``). Readers
+    see base ∪ increments transparently; ``compact_ivfpq_index``
+    folds increments back into the base. Without ``batch_id`` the
+    rows append into the base tables directly (the ad-hoc one-shot
+    flow; replaying THAT duplicates, which is why the streaming path
+    always versions). ``meta.n_vectors`` is recomputed from the
+    stored code rows after the write rather than incremented, so it
+    is correct under replays and torn appends alike.
 
     Encoding is a single Arrow-batched pass (the declared-Python-
     boundary class): the cell centers and residual codebooks are
@@ -412,16 +449,31 @@ def append_to_ivfpq_index(
     # them, i.e. an invisible recall loss. meta goes last so a torn
     # append is at worst an undercount, never a claim of rows that
     # are not fully queryable.
+    if batch_id is None:
+        vec_dst, code_dst, mode = (
+            os.path.join(path, "vectors"),
+            os.path.join(path, "codes"),
+            "append",
+        )
+    else:
+        vec_dst, code_dst, mode = (
+            os.path.join(path, "vectors_inc", f"b={int(batch_id)}"),
+            os.path.join(path, "codes_inc", f"b={int(batch_id)}"),
+            "overwrite",
+        )
     (
         enc.select("neighbor_id", "v")
         .sortWithinPartitions("neighbor_id")
-        .write.mode("append")
-        .parquet(os.path.join(path, "vectors"))
+        .write.mode(mode)
+        .parquet(vec_dst)
     )
-    enc.select("neighbor_id", "cell", "codes").write.mode("append").partitionBy(
+    enc.select("neighbor_id", "cell", "codes").write.mode(mode).partitionBy(
         "cell"
-    ).parquet(os.path.join(path, "codes"))
-    meta["n_vectors"] = meta["n_vectors"] + n_new
+    ).parquet(code_dst)
+    # recount instead of increment: correct under replays (the same
+    # increment dir overwritten) and under torn appends (counts only
+    # what is actually stored)
+    meta["n_vectors"] = _read_index_table(spark, path, "codes").count()
     spark.createDataFrame(
         [tuple(meta.values())],
         "d int, sub int, m int, codebook_k int, n_centroids int, "
@@ -429,6 +481,49 @@ def append_to_ivfpq_index(
     ).write.mode("overwrite").parquet(os.path.join(path, "meta"))
     enc.unpersist()
     return n_new
+
+
+def stream_append_to_ivfpq_index(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Continuous ingest into a persisted IVF-PQ index — the
+    production loop that keeps the index current between rebuilds:
+    a stream of (id, embedding) rows lands batch-by-batch through
+    ``append_to_ivfpq_index(..., batch_id=)``.
+
+    Exactly-once without a transactional sink: ``foreachBatch`` is
+    at-least-once (a failure between the sink write and the
+    checkpoint commit replays the batch), and plain parquet append
+    would double-ingest on replay — so every batch writes its own
+    overwrite-mode increment directory keyed by ``batch_id``, and a
+    replay overwrites itself (the same versioned-state design as
+    ``maintain_partials_stream``; replay idempotence is test-pinned).
+    Serve-path cost of the increments tier is bounded by running
+    ``compact_ivfpq_index`` at maintenance cadence (folds increments
+    into the base and restores file sizing), and ``ivfpq_index_stats``
+    remains the rebuild trigger when the streamed distribution drifts
+    from the codebooks.
+
+    Uses ``trigger(availableNow=True)`` — drain everything available,
+    then stop — the rehearsal-friendly default the streaming tier
+    standardizes on; a deployment swaps in a processing-time trigger.
+    Returns the started StreamingQuery (caller awaits/stops)."""
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        append_to_ivfpq_index(
+            batch_df, path, id_col=id_col, vec_col=vec_col, batch_id=batch_id
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def compact_ivfpq_index(
@@ -457,16 +552,32 @@ def compact_ivfpq_index(
       (fresh-build quality or better, since ranges are now globally
       disjoint).
 
-    Contents are untouched — query results are bit-identical before
-    and after (test-pinned), and the drift baseline in ``stats``
-    remains valid. The swap is write-to-staging + delete + rename via
-    the Hadoop FS API (staging dirs are underscore-prefixed, so
-    concurrent Spark readers never list them); the delete→rename
-    window is NOT atomic — production deployments wanting atomic
-    swap put the index tables behind a table format (Delta/Iceberg)
-    or flip a pointer to a fresh ``build_ivfpq_index`` path, which is
-    also the rebuild flow ``ivfpq_index_stats`` triggers. Returns
-    {table: (files_before, files_after)}."""
+    Batch-versioned increments (the idempotent streaming-ingest
+    landing zone, ``<table>_inc/b=<id>``) are FOLDED into the base in
+    the same pass and their directories removed — compaction is the
+    LSM merge step that keeps the increments tier shallow. Contents
+    are untouched — query results are bit-identical before and after
+    (test-pinned), and the drift baseline in ``stats`` remains valid.
+    The swap is write-to-staging + delete + rename via the Hadoop FS
+    API (staging dirs are underscore-prefixed, so concurrent Spark
+    readers never list them); the delete→rename window is NOT atomic
+    — production deployments wanting atomic swap put the index tables
+    behind a table format (Delta/Iceberg) or flip a pointer to a
+    fresh ``build_ivfpq_index`` path, which is also the rebuild flow
+    ``ivfpq_index_stats`` triggers. Crash-safety of the fold: each
+    increment directory is dropped only AFTER the base that absorbed
+    it is in place (no window where increment data exists nowhere
+    readable), and the fold dedupes on the id — the index's declared
+    key — so the one bad window (crash after the swap, before the
+    increment delete: readers transiently see fold ∪ increment
+    duplicates) is SELF-HEALING: re-running compaction converges to
+    exact contents instead of folding the duplicates in permanently.
+    Single-maintainer assumption: do not run compaction concurrently
+    with ingest (a batch landing in the increments tier between the
+    fold's read and the increment delete would be dropped) — the same
+    rule every file-layout index maintenance has. Returns {table:
+    (files_before, files_after)} with increments counted on both
+    sides."""
     from py4j.java_gateway import java_import
 
     jvm = spark.sparkContext._jvm
@@ -497,17 +608,38 @@ def compact_ivfpq_index(
 
     meta = spark.read.parquet(os.path.join(path, "meta")).first().asDict()
     target_bytes = target_file_mb * 1024 * 1024
-    out = {}
 
+    def _dir_bytes(p):
+        fs = _fs(p)
+        hp = jvm.Path(p)
+        return fs.getContentSummary(hp).getLength() if fs.exists(hp) else 0
+
+    def _tier_files(table):
+        n = _data_files(os.path.join(path, table))
+        inc = os.path.join(path, f"{table}_inc")
+        if _fs(inc).exists(jvm.Path(inc)):
+            n += _data_files(inc)
+        return n
+
+    def _drop_inc(table):
+        inc = os.path.join(path, f"{table}_inc")
+        _fs(inc).delete(jvm.Path(inc), True)
+
+    out = {}
     codes_path = os.path.join(path, "codes")
-    before_codes = _data_files(codes_path)
-    codes_bytes = (
-        _fs(codes_path).getContentSummary(jvm.Path(codes_path)).getLength()
+    before_codes = _tier_files("codes")
+    codes_bytes = _dir_bytes(codes_path) + _dir_bytes(
+        os.path.join(path, "codes_inc")
     )
     files_per_cell = max(
         1, -(-codes_bytes // max(1, meta["n_centroids"]) // target_bytes)
     )
-    codes = spark.read.parquet(codes_path)
+    # fold base + increments, deduped on the declared key so a crashed
+    # prior compaction (transient fold ∪ increment duplicates) heals
+    # instead of compounding
+    codes = _read_index_table(spark, path, "codes").dropDuplicates(
+        ["neighbor_id"]
+    )
 
     def _write_codes(tmp):
         # repartition on (cell, salt): each output task holds whole
@@ -525,13 +657,18 @@ def compact_ivfpq_index(
         )
 
     _swap("codes", _write_codes)
+    _drop_inc("codes")
     out["codes"] = (before_codes, _data_files(codes_path))
 
     vec_path = os.path.join(path, "vectors")
-    before_vecs = _data_files(vec_path)
-    vec_bytes = _fs(vec_path).getContentSummary(jvm.Path(vec_path)).getLength()
+    before_vecs = _tier_files("vectors")
+    vec_bytes = _dir_bytes(vec_path) + _dir_bytes(
+        os.path.join(path, "vectors_inc")
+    )
     n_vec_files = max(1, -(-vec_bytes // target_bytes))
-    vectors = spark.read.parquet(vec_path)
+    vectors = _read_index_table(spark, path, "vectors").dropDuplicates(
+        ["neighbor_id"]
+    )
 
     def _write_vectors(tmp):
         (
@@ -542,6 +679,7 @@ def compact_ivfpq_index(
         )
 
     _swap("vectors", _write_vectors)
+    _drop_inc("vectors")
     out["vectors"] = (before_vecs, _data_files(vec_path))
     return out
 
@@ -564,8 +702,8 @@ def query_ivfpq_index(
     sub = meta["sub"]
     cells = spark.read.parquet(os.path.join(path, "cells"))
     cb = spark.read.parquet(os.path.join(path, "codebooks"))
-    codes = spark.read.parquet(os.path.join(path, "codes"))
-    vectors = spark.read.parquet(os.path.join(path, "vectors"))
+    codes = _read_index_table(spark, path, "codes")
+    vectors = _read_index_table(spark, path, "vectors")
 
     q0 = queries.select(
         F.col(id_col).alias("query_id"),

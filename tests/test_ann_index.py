@@ -357,3 +357,93 @@ def test_compaction_shrinks_files_and_preserves_everything(
 
     after_report = ivfpq_index_stats(spark, path).collect()
     assert sorted(map(tuple, after_report)) == sorted(map(tuple, before_report))
+
+
+def test_versioned_append_replay_is_idempotent(spark, emb, tmp_path_factory):
+    """batch_id-keyed appends land in overwrite-mode increment dirs:
+    replaying the same batch (foreachBatch's at-least-once failure
+    mode) overwrites itself instead of double-appending — contents,
+    meta count, and query results identical to a single application."""
+    from sales_forecast_pyspark_spark.llmdata import append_to_ivfpq_index
+
+    path = str(tmp_path_factory.mktemp("ivfpq_replay") / "idx")
+    base = emb.filter(F.col("vec_id") < 400)
+    build_ivfpq_index(base, path)
+    batch = emb.filter(F.col("vec_id") >= 400).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    append_to_ivfpq_index(batch, path, batch_id=0)
+    queries = emb.filter(F.col("vec_id") < 10)
+    once = sorted(
+        map(tuple, query_ivfpq_index(spark, path, queries, k=5).collect())
+    )
+    meta_once = spark.read.parquet(f"{path}/meta").first()["n_vectors"]
+
+    append_to_ivfpq_index(batch, path, batch_id=0)  # replay
+    again = sorted(
+        map(tuple, query_ivfpq_index(spark, path, queries, k=5).collect())
+    )
+    meta_again = spark.read.parquet(f"{path}/meta").first()["n_vectors"]
+    assert again == once
+    assert meta_once == meta_again == 500
+
+
+def test_streamed_ingest_matches_batch_append_and_compacts(
+    spark, emb, tmp_path_factory
+):
+    """End-to-end streaming ingest: a file-source stream drained with
+    availableNow must leave the index serving EXACTLY what a batch
+    append of the same rows yields; compaction then folds the
+    increment tier away (dirs removed) without changing results."""
+    import os
+
+    from sales_forecast_pyspark_spark.llmdata import (
+        append_to_ivfpq_index,
+        compact_ivfpq_index,
+        stream_append_to_ivfpq_index,
+    )
+
+    root = tmp_path_factory.mktemp("ivfpq_stream")
+    src_dir = str(root / "src")
+    new_rows = emb.filter(F.col("vec_id") >= 400).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    # several small files -> several micro-batches under maxFilesPerTrigger
+    new_rows.repartition(4).write.parquet(src_dir)
+
+    base = emb.filter(F.col("vec_id") < 400)
+    p_stream = str(root / "idx_stream")
+    build_ivfpq_index(base, p_stream)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = stream_append_to_ivfpq_index(
+        stream, p_stream, checkpoint_dir=str(root / "ckpt")
+    )
+    q.awaitTermination(120)
+    assert os.path.isdir(f"{p_stream}/codes_inc")  # landed as increments
+
+    p_batch = str(root / "idx_batch")
+    build_ivfpq_index(base, p_batch)
+    append_to_ivfpq_index(new_rows, p_batch)
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    streamed = sorted(
+        map(tuple, query_ivfpq_index(spark, p_stream, queries, k=5).collect())
+    )
+    batched = sorted(
+        map(tuple, query_ivfpq_index(spark, p_batch, queries, k=5).collect())
+    )
+    assert streamed == batched and len(streamed) == 50
+
+    counts = compact_ivfpq_index(spark, p_stream)
+    assert not os.path.isdir(f"{p_stream}/codes_inc")
+    assert not os.path.isdir(f"{p_stream}/vectors_inc")
+    assert counts["codes"][1] <= counts["codes"][0]
+    after = sorted(
+        map(tuple, query_ivfpq_index(spark, p_stream, queries, k=5).collect())
+    )
+    assert after == streamed
