@@ -85,31 +85,17 @@ def _read_index_table(spark: SparkSession, path: str, table: str) -> DataFrame:
     return base.unionByName(inc.select(*cols))
 
 
-def _cell_error_scan(spark: SparkSession, path: str) -> DataFrame:
-    """Per-cell (n_rows, mean_qerr) over the CURRENT index contents,
-    where qerr is the squared L2 reconstruction error of a stored
-    vector against its own (cell centroid + PQ codeword) decode — the
-    quantity ADC scoring degrades with, so its growth is the direct
-    measure of codebook staleness.
-
-    Scale shape: one O(N) maintenance scan — vectors ⋈ codes on the
-    id (a shuffle join over the index's own tables, run at rebuild-
-    decision cadence, never on the query path), per-row math in one
-    Arrow-batched pass with the kilobyte quantizer state in the
-    closure (two gathers + one row-wise sum of squares), then a
-    JVM-side per-cell aggregate. The per-row error sum is exact-
-    decimal so the report hashes identically however partitions land.
-    """
+def _qerr_per_row(frame: DataFrame, cell_mat, books, m: int) -> DataFrame:
+    """(cell, qerr) rows for any frame carrying (v, cell, codes): qerr
+    is the squared L2 reconstruction error of a stored vector against
+    its own (cell centroid + PQ codeword) decode — the quantity ADC
+    scoring degrades with, so its growth is the direct measure of
+    codebook staleness. One Arrow-batched pass with the kilobyte
+    quantizer state in the closure (two gathers + one row-wise sum of
+    squares); per-row, so the same mapper serves the full corpus scan
+    AND a single append batch's contribution."""
     import numpy as np
     import pandas as pd
-
-    meta, cell_mat, books = _load_quantizers(spark, path)
-    m = meta["m"]
-    codes = _read_index_table(spark, path, "codes").select(
-        "neighbor_id", "cell", "codes"
-    )
-    vectors = _read_index_table(spark, path, "vectors")
-    joined = vectors.join(codes, "neighbor_id")
 
     def qerr(batches):
         for pdf in batches:
@@ -125,21 +111,54 @@ def _cell_error_scan(spark: SparkSession, path: str) -> DataFrame:
             err = ((resid - rec) ** 2).sum(axis=1)
             # round per row BEFORE the distributed sum: each row's qerr
             # is order-independent, so the decimal aggregate downstream
-            # is bit-stable across partitionings
+            # is bit-stable across partitionings AND across the
+            # full-scan vs live-stats paths (decimal addition is
+            # associative — partial sums merge exactly)
             yield pd.DataFrame(
                 {"cell": cell.astype("int32"), "qerr": np.round(err, 12)}
             )
 
-    per_row = joined.mapInPandas(qerr, "cell int, qerr double")
+    return frame.select("v", "cell", "codes").mapInPandas(
+        qerr, "cell int, qerr double"
+    )
+
+
+def _cell_stat_agg(per_row: DataFrame) -> DataFrame:
+    """The ADDITIVE per-cell statistic: (cell, n_rows, sum_qerr) with
+    an exact-decimal sum — counts and sums merge across batches with
+    no loss, which is what lets every append fold its own kilobyte
+    contribution instead of the report re-scanning the corpus."""
     return per_row.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        (
-            F.sum(F.col("qerr").cast("decimal(30,15)"))
-            / F.count(F.lit(1))
-        )
-        .cast("double")
-        .alias("mean_qerr"),
+        F.sum(F.col("qerr").cast("decimal(30,15)"))
+        .cast("decimal(30,15)")
+        .alias("sum_qerr"),
     )
+
+
+def _merge_cell_stats(stats: DataFrame) -> DataFrame:
+    """Fold a union of additive stat frames back to one row per cell."""
+    return stats.groupBy("cell").agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("sum_qerr").cast("decimal(30,15)").alias("sum_qerr"),
+    )
+
+
+def _cell_error_scan(spark: SparkSession, path: str) -> DataFrame:
+    """Per-cell (n_rows, sum_qerr) recomputed from the DATA — the
+    reference implementation and recovery path: one O(N) maintenance
+    scan (vectors ⋈ codes on the id, a shuffle join over the index's
+    own tables, never on the query path). The default report path
+    (``ivfpq_index_stats``) instead folds the kilobyte-scale
+    ``stats_live`` tier that every append maintains — O(batches),
+    zero data scan — and is test-pinned bit-equal to this scan."""
+    meta, cell_mat, books = _load_quantizers(spark, path)
+    codes = _read_index_table(spark, path, "codes").select(
+        "neighbor_id", "cell", "codes"
+    )
+    vectors = _read_index_table(spark, path, "vectors")
+    joined = vectors.join(codes, "neighbor_id")
+    return _cell_stat_agg(_qerr_per_row(joined, cell_mat, books, meta["m"]))
 
 
 def ivfpq_index_stats(
@@ -148,6 +167,7 @@ def ivfpq_index_stats(
     err_drift_factor: float = 1.5,
     rows_drift_factor: float = 4.0,
     global_err_factor: float = 3.0,
+    full_scan: bool = False,
 ) -> DataFrame:
     """Per-cell drift report for a persisted IVF-PQ index — the
     REBUILD TRIGGER that pairs with ``append_to_ivfpq_index``'s
@@ -202,15 +222,37 @@ def ivfpq_index_stats(
     ``any(drift_flag)`` is the rebuild signal; a cell missing from
     either side (impossible under append-only growth, possible under
     manual partition surgery) fails loud as drift_flag=true rather
-    than vanishing from the report. Cost: one O(N) maintenance scan
-    (see ``_cell_error_scan``) + joins against n_centroids-row
-    frames."""
-    base = spark.read.parquet(os.path.join(path, "stats")).select(
+    than vanishing from the report.
+
+    Cost: by default ZERO data scan — the per-cell error statistic is
+    additive (count + exact-decimal error sum), so every append folds
+    its own kilobyte contribution into the ``stats_live`` tier
+    (batch-keyed and overwrite-idempotent exactly like the data
+    increments), and the report just merges O(batches) kilobyte
+    frames. Drift checks therefore run at INGEST cadence even at
+    corpus scales where an O(N) scan is an event. ``full_scan=True``
+    recomputes from the data instead (``_cell_error_scan``) — the
+    verification and recovery path, test-pinned bit-equal to the live
+    tier (decimal partial sums merge exactly; per-row qerr is rounded
+    before any sum)."""
+    base0 = spark.read.parquet(os.path.join(path, "stats"))
+    base = base0.select(
         "cell",
         F.col("n_rows").alias("build_rows"),
-        F.col("mean_qerr").alias("build_mean_qerr"),
+        (F.col("sum_qerr") / F.col("n_rows"))
+        .cast("double")
+        .alias("build_mean_qerr"),
     )
-    cur = _cell_error_scan(spark, path)
+    cur0 = (
+        _cell_error_scan(spark, path)
+        if full_scan
+        else _merge_cell_stats(_read_index_table(spark, path, "stats_live"))
+    )
+    cur = cur0.select(
+        "cell",
+        "n_rows",
+        (F.col("sum_qerr") / F.col("n_rows")).cast("double").alias("mean_qerr"),
+    )
     rep = cur.join(base, "cell", "full")
     raw_ratio = F.when(
         F.col("build_mean_qerr") > 0,
@@ -327,14 +369,20 @@ def build_ivfpq_index(
         "d int, sub int, m int, codebook_k int, n_centroids int, "
         "seed int, n_vectors long",
     ).write.mode("overwrite").parquet(os.path.join(path, "meta"))
-    # Build-time drift baseline: per-cell row count + mean quantization
-    # error, computed by the SAME scan ivfpq_index_stats replays later
-    # (one code path, so baseline and report can never disagree on the
-    # error definition). Reads back the tables just written — one extra
-    # O(N) pass on the build-once side of the ledger.
-    _cell_error_scan(spark, path).write.mode("overwrite").parquet(
-        os.path.join(path, "stats")
+    # Drift bookkeeping, two tables from ONE scan of the tables just
+    # written (one code path, so baseline and report can never disagree
+    # on the error definition; one extra O(N) pass on the build-once
+    # side of the ledger): `stats` is the FROZEN build-time baseline
+    # ivfpq_index_stats compares against, `stats_live` is the evolving
+    # additive tier every append folds its contribution into so the
+    # report never needs a data scan.
+    build_stats = _cell_error_scan(spark, path)
+    build_stats.cache()
+    build_stats.write.mode("overwrite").parquet(os.path.join(path, "stats"))
+    build_stats.write.mode("overwrite").parquet(
+        os.path.join(path, "stats_live")
     )
+    build_stats.unpersist()
     return meta
 
 
@@ -470,6 +518,28 @@ def append_to_ivfpq_index(
     enc.select("neighbor_id", "cell", "codes").write.mode(mode).partitionBy(
         "cell"
     ).parquet(code_dst)
+    # Fold this batch's drift-stat contribution into the live tier —
+    # the additive (n, Σqerr) statistic computed from the SAME cached
+    # enc frame just written, so ivfpq_index_stats never needs a data
+    # scan. Versioned batches land in their own overwrite-idempotent
+    # stats increment (replay folds once, exactly like the data);
+    # the ad-hoc path merges driver-side (≤ n_centroids rows). Stats
+    # write AFTER data writes: a torn append undercounts (stale
+    # report, healed by compaction's recompute or full_scan=True),
+    # never over-claims rows that are not stored.
+    batch_stats = _cell_stat_agg(_qerr_per_row(enc, cell_mat, books, m))
+    if batch_id is not None:
+        batch_stats.write.mode("overwrite").parquet(
+            os.path.join(path, "stats_live_inc", f"b={int(batch_id)}")
+        )
+    else:
+        live = os.path.join(path, "stats_live")
+        merged = _merge_cell_stats(
+            spark.read.parquet(live).unionByName(batch_stats)
+        ).collect()
+        spark.createDataFrame(
+            merged, "cell int, n_rows long, sum_qerr decimal(30,15)"
+        ).write.mode("overwrite").parquet(live)
     # recount instead of increment: correct under replays (the same
     # increment dir overwritten) and under torn appends (counts only
     # what is actually stored)
@@ -681,6 +751,17 @@ def compact_ivfpq_index(
     _swap("vectors", _write_vectors)
     _drop_inc("vectors")
     out["vectors"] = (before_vecs, _data_files(vec_path))
+
+    # Consolidate the drift-stat live tier by RECOMPUTING it from the
+    # just-folded data rather than folding the stat increments — the
+    # stats are aggregates (no per-row key to dedupe on), so recompute
+    # is the form that self-heals from any crash window: whatever
+    # state a torn compaction or torn append left, one clean
+    # compaction makes stats_live exactly agree with the data again.
+    _cell_error_scan(spark, path).write.mode("overwrite").parquet(
+        os.path.join(path, "stats_live")
+    )
+    _drop_inc("stats_live")
     return out
 
 

@@ -447,3 +447,41 @@ def test_streamed_ingest_matches_batch_append_and_compacts(
         map(tuple, query_ivfpq_index(spark, p_stream, queries, k=5).collect())
     )
     assert after == streamed
+
+
+def test_live_stats_tier_matches_full_scan_exactly(
+    spark, emb, tmp_path_factory
+):
+    """The report's default path folds the additive stats_live tier
+    (zero data scan); the contract is BIT-EQUALITY with the full
+    recompute after any mix of operations — decimal partial sums merge
+    exactly, per-row qerr is rounded before any sum, so the two paths
+    cannot diverge. Exercises: build → ad-hoc append → versioned
+    append → replay → compaction."""
+    from sales_forecast_pyspark_spark.llmdata import (
+        append_to_ivfpq_index,
+        compact_ivfpq_index,
+        ivfpq_index_stats,
+    )
+
+    path = str(tmp_path_factory.mktemp("ivfpq_live") / "idx")
+    build_ivfpq_index(emb.filter(F.col("vec_id") < 300), path)
+    append_to_ivfpq_index(
+        emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400)), path
+    )
+    batch = emb.filter(F.col("vec_id") >= 400).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    append_to_ivfpq_index(batch, path, batch_id=3)
+    append_to_ivfpq_index(batch, path, batch_id=3)  # replay
+
+    live = sorted(map(tuple, ivfpq_index_stats(spark, path).collect()))
+    full = sorted(
+        map(tuple, ivfpq_index_stats(spark, path, full_scan=True).collect())
+    )
+    assert live == full and len(live) == 16
+    assert sum(r[1] for r in live) == 500  # n_rows covers every stored row
+
+    compact_ivfpq_index(spark, path)
+    after = sorted(map(tuple, ivfpq_index_stats(spark, path).collect()))
+    assert after == live  # compaction recomputes, contents unchanged
