@@ -542,8 +542,15 @@ def append_to_ivfpq_index(
         ).write.mode("overwrite").parquet(live)
     # recount instead of increment: correct under replays (the same
     # increment dir overwritten) and under torn appends (counts only
-    # what is actually stored)
-    meta["n_vectors"] = _read_index_table(spark, path, "codes").count()
+    # what the stats tier has absorbed). Counting from the kilobyte
+    # live-stats tier, not the data: a codes-table count() is an
+    # O(files) job per batch, which would contradict the
+    # O(increment) append contract at ingest cadence.
+    meta["n_vectors"] = int(
+        _merge_cell_stats(_read_index_table(spark, path, "stats_live"))
+        .agg(F.coalesce(F.sum("n_rows"), F.lit(0)).alias("n"))
+        .first()["n"]
+    )
     spark.createDataFrame(
         [tuple(meta.values())],
         "d int, sub int, m int, codebook_k int, n_centroids int, "
