@@ -28,6 +28,12 @@ from sales_forecast_pyspark_spark.llmdata.multimodal import (
     resize_images,
     sample_frames,
 )
+from sales_forecast_pyspark_spark.llmdata.dedup_store import (
+    append_to_minhash_store,
+    build_minhash_store,
+    screen_against_minhash_store,
+    stream_ingest_dedup,
+)
 from sales_forecast_pyspark_spark.llmdata.ann_index import (
     append_to_ivfpq_index,
     build_ivfpq_index,
@@ -72,6 +78,10 @@ __all__ = [
     "STOPWORD_PATTERN",
     "attach_binary",
     "append_to_ivfpq_index",
+    "append_to_minhash_store",
+    "build_minhash_store",
+    "screen_against_minhash_store",
+    "stream_ingest_dedup",
     "build_ivfpq_index",
     "compact_ivfpq_index",
     "ivfpq_index_stats",

@@ -213,6 +213,58 @@ def ngram_jaccard_pairs(
     return _jaccard_on_pairs(sh, cands, id_col, threshold)
 
 
+def _minhash_signatures(
+    sh: DataFrame, id_col: str, num_hashes: int
+) -> DataFrame:
+    """(id, h0..h{num_hashes-1}) MinHash signature columns from an
+    exploded-shingle frame — one groupBy of partial mins. Hash columns
+    are projected BEFORE the groupBy: aggregate expressions are not
+    common-subexpression-eliminated against each other, and keeping
+    the per-hash expressions tiny keeps the 32-aggregate partial-min
+    codegen cheap (same hoist as vectorize.py::srp_signatures).
+    Shared by ``minhash_near_dedup`` (one-shot) and
+    ``llmdata/dedup_store.py`` (the persisted incremental form), so
+    the two produce identical signatures from identical text."""
+    hashed = sh.select(
+        id_col,
+        *[
+            F.xxhash64(F.lit(i), F.col("shingle")).alias(f"_x{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(F.col(f"_x{i}")).alias(f"h{i}") for i in range(num_hashes)]
+    )
+
+
+def _band_buckets(
+    sig: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band, bucket) LSH keys from signature columns: each band's
+    rows_per_band hashes collapse to one xxhash64 bucket key; a pair
+    colliding in ANY band is a candidate (P = 1-(1-j^r)^b)."""
+    rows_per_band = num_hashes // bands
+    return sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"h{b * rows_per_band + j}")
+                                for j in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+
 def minhash_near_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -239,37 +291,8 @@ def minhash_near_dedup(
         )
     rows_per_band = num_hashes // bands
     sh = _exploded_shingles(df, id_col, text_col, n)
-    # Hash columns are projected BEFORE the groupBy: aggregate
-    # expressions are not common-subexpression-eliminated against each
-    # other, and keeping the per-hash expressions tiny keeps the
-    # 32-aggregate partial-min codegen cheap (same hoist as
-    # vectorize.py::srp_signatures).
-    hashed = sh.select(
-        id_col,
-        *[
-            F.xxhash64(F.lit(i), F.col("shingle")).alias(f"_x{i}")
-            for i in range(num_hashes)
-        ],
-    )
-    sig = hashed.groupBy(id_col).agg(
-        *[F.min(F.col(f"_x{i}")).alias(f"h{i}") for i in range(num_hashes)]
-    )
-    band_buckets = sig.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"h{b * rows_per_band + j}") for j in range(rows_per_band)]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    sig = _minhash_signatures(sh, id_col, num_hashes)
+    band_buckets = _band_buckets(sig, id_col, num_hashes, bands)
     left = band_buckets.select(
         F.col(id_col).alias("doc_a"), "band", "bucket"
     )

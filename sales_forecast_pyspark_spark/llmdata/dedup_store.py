@@ -1,0 +1,380 @@
+"""Persisted MinHash signature store: incremental near-dedup at
+ingest cadence.
+
+``minhash_near_dedup`` re-signatures the ENTIRE corpus on every call —
+right for a one-shot sweep, wrong for the production shape where a
+~100 TB corpus grows batch by batch and each new batch must be screened
+against everything already accepted. This module persists the LSH state
+once and lets every subsequent batch pay only for itself (the near-dup
+analogue of ``ann_index.py``'s build-once/serve-many split; the exact-
+fingerprint analogue is the ``incremental_ingest_dedup`` registered
+row):
+
+- ``build_minhash_store(df, path, ...)`` signs the seed corpus with the
+  SAME signature pipeline as ``minhash_near_dedup`` (shared
+  ``_minhash_signatures`` / ``_band_buckets`` helpers — identical text
+  ⇒ identical signatures, test-pinned) and writes three tables:
+
+  | table | contents | layout rationale |
+  |---|---|---|
+  | ``signatures`` | (doc_id, sig array<long>, src_batch) | the estimate-verify surface — candidate pairs re-score from stored signatures, the corpus TEXT is never re-read |
+  | ``buckets`` | (doc_id, band, bucket, src_batch) | the join surface: screening is a (band, bucket) equality join, never all-pairs |
+  | ``meta`` | (n, num_hashes, bands, n_docs) | geometry contract — a screen/append always derives its hashing from the store, so mixed-geometry signatures cannot collide silently |
+
+- ``screen_against_minhash_store(batch, path, ...)`` signs the batch
+  with the store's geometry, joins batch buckets against store buckets,
+  and verifies candidates with the SIGNATURE-ESTIMATE Jaccard (fraction
+  of agreeing min-hashes — the standard unbiased estimator; stderr
+  ≈ √(j(1−j)/num_hashes), ~0.09 at 32 hashes, so thresholds are
+  screening gates, not exact measures — raise ``num_hashes`` at build
+  time to tighten). Returns (doc_id, dup_of, n_agree, est_jaccard)
+  for batch docs whose estimate clears the threshold.
+
+- ``append_to_minhash_store(df, path, batch_id=None)`` admits accepted
+  docs. With ``batch_id`` the append is IDEMPOTENT (overwrite-mode
+  increment dirs ``signatures_inc/b=<id>`` / ``buckets_inc/b=<id>``,
+  same versioned-increments design as the IVF-PQ index), and every row
+  carries ``src_batch`` — which is what makes the composed ingest loop
+  replay-safe: a replayed batch screens with ``exclude_batch=<its own
+  id>`` so it can never be screened out by its OWN first attempt.
+
+- ``stream_ingest_dedup(stream_df, path, survivors_dir, checkpoint)``
+  is the composed loop: per micro-batch, screen → drop in-batch dups
+  (keep the smallest id per connected bucket-mate group, matching the
+  greedy first-wins semantics of sequential ingest) → append survivors
+  to the store → publish survivors to ``survivors_dir/b=<id>``
+  (overwrite — idempotent). Exactly-once end to end without a
+  transactional sink, by the same argument as
+  ``stream_append_to_ivfpq_index``.
+
+At 100 TB: screening cost is |batch| signature builds + a bucket-key
+equality join against a bucketed/partitioned store + |candidates|
+signature comparisons — nothing rescans the corpus text; the store
+grows by kilobytes of signature per accepted doc. Banding recall is
+the standard 1-(1-j^r)^b curve (steep near j≈0.5 at 32/8 defaults):
+a true near-dup pair is missed with probability (1-j^r)^b, the
+documented trade every LSH dedup makes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sales_forecast_pyspark_spark.llmdata.dedup import (
+    _band_buckets,
+    _exploded_shingles,
+    _minhash_signatures,
+)
+
+
+def _sig_frame(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_hashes: int,
+) -> DataFrame:
+    """(doc_id, sig array<long>) for the input docs — the array form
+    the store persists (column-count independent of geometry)."""
+    sh = _exploded_shingles(df, id_col, text_col, n)
+    sig = _minhash_signatures(sh, id_col, num_hashes)
+    return sig.select(
+        F.col(id_col).alias("doc_id"),
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+
+
+def _sig_cols(sig_arr: DataFrame, num_hashes: int) -> DataFrame:
+    """Back from the stored array form to h0..h{k-1} columns (what the
+    shared banding helper consumes)."""
+    return sig_arr.select(
+        "doc_id",
+        *[F.col("sig")[i].alias(f"h{i}") for i in range(num_hashes)],
+    )
+
+
+def _read_store_table(spark: SparkSession, path: str, table: str) -> DataFrame:
+    """Base ∪ batch-versioned increments, same reader shape as the
+    IVF-PQ index tables."""
+    from pyspark.errors import AnalysisException
+
+    base = spark.read.parquet(os.path.join(path, table))
+    cols = base.columns
+    try:
+        inc = spark.read.parquet(os.path.join(path, f"{table}_inc"))
+    except AnalysisException:
+        return base
+    return base.unionByName(inc.select(*cols))
+
+
+def build_minhash_store(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> dict:
+    """Sign the seed corpus and persist the store under ``path``.
+    Returns the meta dict (also stored). Seed rows carry
+    ``src_batch = -1`` (pre-stream provenance)."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into bands "
+            f"({bands}); leftover hashes would be silently dropped"
+        )
+    spark = df.sparkSession
+    sig = _sig_frame(df, id_col, text_col, n, num_hashes)
+    sig.cache()
+    n_docs = sig.count()
+    sig.withColumn("src_batch", F.lit(-1).cast("long")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "signatures"))
+    (
+        _band_buckets(_sig_cols(sig, num_hashes), "doc_id", num_hashes, bands)
+        .withColumn("src_batch", F.lit(-1).cast("long"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "buckets"))
+    )
+    sig.unpersist()
+    meta = {
+        "n": n,
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "n_docs": n_docs,
+    }
+    spark.createDataFrame(
+        [tuple(meta.values())], "n int, num_hashes int, bands int, n_docs long"
+    ).write.mode("overwrite").parquet(os.path.join(path, "meta"))
+    return meta
+
+
+def screen_against_minhash_store(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    exclude_batch: int | None = None,
+) -> DataFrame:
+    """Which batch docs are near-dups of docs ALREADY IN THE STORE?
+    Signs the batch with the store's geometry (meta-derived — callers
+    cannot desynchronize hashing), candidates via the (band, bucket)
+    equality join, verification via signature-estimate Jaccard over
+    the stored arrays. Returns (doc_id, dup_of, n_agree, est_jaccard)
+    with est_jaccard ≥ threshold; a doc matching several store docs
+    returns several rows (callers typically care about existence).
+
+    ``exclude_batch`` ignores store rows whose ``src_batch`` equals
+    the given id — the replay guard: a re-delivered micro-batch must
+    not be screened out by the survivors its own first attempt
+    appended. Cost: |batch|-proportional signing + one equality join;
+    the corpus text is never read."""
+    spark = batch.sparkSession
+    meta = spark.read.parquet(os.path.join(path, "meta")).first().asDict()
+    num_hashes, bands = meta["num_hashes"], meta["bands"]
+
+    bsig = _sig_frame(batch, id_col, text_col, meta["n"], num_hashes)
+    bsig.cache()
+    b_buckets = _band_buckets(
+        _sig_cols(bsig, num_hashes), "doc_id", num_hashes, bands
+    )
+
+    s_buckets = _read_store_table(spark, path, "buckets")
+    s_sigs = _read_store_table(spark, path, "signatures")
+    if exclude_batch is not None:
+        s_buckets = s_buckets.filter(F.col("src_batch") != int(exclude_batch))
+        s_sigs = s_sigs.filter(F.col("src_batch") != int(exclude_batch))
+
+    # bucket-key equality join, merge-hinted for the same reason as
+    # minhash_near_dedup: both sides sit behind signature aggs +
+    # band explodes, so static size fiction must not pick an
+    # un-demotable broadcast
+    cand = (
+        b_buckets.select(F.col("doc_id"), "band", "bucket")
+        .join(
+            s_buckets.select(
+                F.col("doc_id").alias("dup_of"), "band", "bucket"
+            ).hint("merge"),
+            ["band", "bucket"],
+        )
+        .select("doc_id", "dup_of")
+        .distinct()
+    )
+    # estimate-verify from signatures: fraction of agreeing min-hashes
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig", "store_sig", lambda a, b: a == b),
+            lambda x: x,
+        )
+    )
+    return (
+        cand.join(bsig, "doc_id")
+        .join(
+            s_sigs.select(
+                F.col("doc_id").alias("dup_of"),
+                F.col("sig").alias("store_sig"),
+            ).hint("merge"),
+            "dup_of",
+        )
+        .select(
+            "doc_id",
+            "dup_of",
+            agree.alias("n_agree"),
+            F.round(agree / F.lit(num_hashes), 6).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def append_to_minhash_store(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_id: int | None = None,
+) -> int:
+    """Admit accepted docs into the store (sign with the store's
+    geometry, append signatures + buckets). With ``batch_id`` the
+    write is IDEMPOTENT — overwrite-mode increment dirs keyed by the
+    batch, so foreachBatch replays overwrite themselves — and rows
+    carry the batch as ``src_batch`` for the screen-time replay guard.
+    Returns the number of docs admitted. ``meta.n_docs`` is recounted
+    from stored signature rows (kilobytes per doc, one count job),
+    correct under replays."""
+    spark = df.sparkSession
+    meta = spark.read.parquet(os.path.join(path, "meta")).first().asDict()
+    num_hashes, bands = meta["num_hashes"], meta["bands"]
+
+    sig = _sig_frame(df, id_col, text_col, meta["n"], num_hashes)
+    sig.cache()
+    n_new = sig.count()
+    src = -1 if batch_id is None else int(batch_id)
+    if batch_id is None:
+        sig_dst = os.path.join(path, "signatures")
+        bkt_dst = os.path.join(path, "buckets")
+        mode = "append"
+    else:
+        sig_dst = os.path.join(path, "signatures_inc", f"b={int(batch_id)}")
+        bkt_dst = os.path.join(path, "buckets_inc", f"b={int(batch_id)}")
+        mode = "overwrite"
+    # signatures before buckets: an orphan signature row (torn append)
+    # is never joined as a candidate, while an orphan bucket row would
+    # produce candidates whose verify join silently drops them
+    sig.withColumn("src_batch", F.lit(src).cast("long")).write.mode(
+        mode
+    ).parquet(sig_dst)
+    (
+        _band_buckets(_sig_cols(sig, num_hashes), "doc_id", num_hashes, bands)
+        .withColumn("src_batch", F.lit(src).cast("long"))
+        .write.mode(mode)
+        .parquet(bkt_dst)
+    )
+    sig.unpersist()
+    meta["n_docs"] = _read_store_table(spark, path, "signatures").count()
+    spark.createDataFrame(
+        [tuple(meta.values())], "n int, num_hashes int, bands int, n_docs long"
+    ).write.mode("overwrite").parquet(os.path.join(path, "meta"))
+    return n_new
+
+
+def stream_ingest_dedup(
+    stream_df: DataFrame,
+    path: str,
+    survivors_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+):
+    """The composed incremental-dedup ingest loop: per micro-batch,
+    (1) screen the batch against everything already accepted, (2) drop
+    in-batch near-dups (keep the smallest id among bucket-mates whose
+    estimate clears the threshold — the greedy first-wins semantics a
+    sequential ingest would produce), (3) append the survivors to the
+    store, (4) publish the surviving rows to
+    ``survivors_dir/b=<batch_id>``.
+
+    Exactly-once end to end without a transactional sink: the store
+    append and the survivors publish are both overwrite-mode keyed by
+    batch_id (replays overwrite themselves), and the screen excludes
+    the current batch's own ``src_batch`` rows, so a replayed batch is
+    judged ONLY against prior state — the same verdict as its first
+    attempt, bit-for-bit (test-pinned). Uses availableNow (drain, then
+    stop); returns the started StreamingQuery."""
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
+        batch_df.cache()
+        # (1) near-dups of the accepted corpus
+        dup_of_store = (
+            screen_against_minhash_store(
+                batch_df,
+                path,
+                threshold=threshold,
+                exclude_batch=batch_id,
+            )
+            .select("doc_id")
+            .distinct()
+        )
+        # (2) in-batch near-dups: smallest id per colliding verified
+        # pair wins (matches sequential-ingest greedy semantics for
+        # the common planted-dup case; a chain a~b~c collapses to a)
+        meta = spark.read.parquet(os.path.join(path, "meta")).first().asDict()
+        bsig = _sig_frame(
+            batch_df, "doc_id", "text", meta["n"], meta["num_hashes"]
+        )
+        bb = _band_buckets(
+            _sig_cols(bsig, meta["num_hashes"]), "doc_id", meta["num_hashes"],
+            meta["bands"],
+        )
+        agree = F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda x: x
+            )
+        )
+        in_batch_losers = (
+            bb.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+            .join(
+                bb.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+                .hint("merge"),
+                ["band", "bucket"],
+            )
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+            .join(bsig.select(F.col("doc_id").alias("doc_a"),
+                              F.col("sig").alias("sig_a")), "doc_a")
+            .join(bsig.select(F.col("doc_id").alias("doc_b"),
+                              F.col("sig").alias("sig_b")), "doc_b")
+            .filter(agree / F.lit(meta["num_hashes"]) >= threshold)
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+        )
+        survivors = (
+            batch_df.join(dup_of_store, "doc_id", "left_anti")
+            .join(in_batch_losers, "doc_id", "left_anti")
+        )
+        survivors.cache()
+        # (3) admit survivors, idempotently under this batch id
+        append_to_minhash_store(survivors, path, batch_id=batch_id)
+        # (4) publish — overwrite-mode per batch, idempotent
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(survivors_dir, f"b={int(batch_id)}")
+        )
+        survivors.unpersist()
+        batch_df.unpersist()
+
+    return (
+        stream_df.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

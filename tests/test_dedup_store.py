@@ -1,0 +1,181 @@
+"""Persisted MinHash signature store (llmdata/dedup_store.py):
+signature parity with the one-shot operator, screening correctness on
+planted dups, replay-safe append provenance, and the composed
+exactly-once streaming ingest-dedup loop.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sales_forecast_pyspark_spark.llmdata import (
+    append_to_minhash_store,
+    build_minhash_store,
+    screen_against_minhash_store,
+    stream_ingest_dedup,
+)
+
+from tests.conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_ORACLE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+
+@pytest.fixture(scope="module")
+def store_path(spark, docs, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("mh_store") / "store")
+    meta = build_minhash_store(docs.filter(F.col("doc_id") < 400), path)
+    assert meta["n_docs"] == 400
+    return path
+
+
+def test_store_signatures_match_one_shot_operator(spark, docs, store_path):
+    """Identical text through the store and through minhash_near_dedup's
+    pipeline must produce IDENTICAL signatures — both route through the
+    shared _minhash_signatures helper; this pins that the store's
+    array packing did not fork the math."""
+    from sales_forecast_pyspark_spark.llmdata.dedup import (
+        _exploded_shingles,
+        _minhash_signatures,
+    )
+
+    sample = docs.filter(F.col("doc_id") < 50)
+    direct = {
+        r["doc_id"]: tuple(r[f"h{i}"] for i in range(32))
+        for r in _minhash_signatures(
+            _exploded_shingles(sample, "doc_id", "text", 3), "doc_id", 32
+        ).collect()
+    }
+    stored = {
+        r["doc_id"]: tuple(r["sig"])
+        for r in spark.read.parquet(f"{store_path}/signatures")
+        .filter(F.col("doc_id") < 50)
+        .collect()
+    }
+    assert stored == direct and len(stored) == 50
+
+
+def test_screen_flags_exact_dup_and_passes_unrelated(spark, docs, store_path):
+    """A batch containing an exact copy of a stored doc, a lightly
+    mutated copy, and an unrelated doc: the copy screens out at
+    est_jaccard 1.0, the mutation screens out above threshold, the
+    unrelated doc passes."""
+    stored_text = docs.filter(F.col("doc_id") == 7).first()["text"]
+    batch = spark.createDataFrame(
+        [
+            (90_001, stored_text),  # exact dup of stored doc 7
+            (90_002, stored_text + " trailing mutation tokens appended"),
+            (90_003, "completely unrelated text about nothing stored"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = screen_against_minhash_store(batch, store_path, threshold=0.5)
+    got = {
+        r["doc_id"]: (r["dup_of"], r["est_jaccard"]) for r in hits.collect()
+    }
+    assert got[90_001][0] == 7 and got[90_001][1] == 1.0
+    assert 90_002 in got and got[90_002][1] >= 0.5
+    assert 90_003 not in got
+
+
+def test_append_then_screen_finds_new_docs_and_replay_guard(
+    spark, docs, tmp_path_factory
+):
+    """(a) docs admitted via append are found by later screens;
+    (b) exclude_batch hides exactly the rows a given batch appended —
+    the replay guard — while everything older still screens."""
+    path = str(tmp_path_factory.mktemp("mh_app") / "store")
+    build_minhash_store(docs.filter(F.col("doc_id") < 200), path)
+    newdoc = docs.filter(F.col("doc_id") == 450).select(
+        F.lit(80_000).cast("long").alias("doc_id"), "text"
+    )
+    assert append_to_minhash_store(newdoc, path, batch_id=5) == 1
+
+    probe = newdoc.select(F.lit(80_001).cast("long").alias("doc_id"), "text")
+    found = screen_against_minhash_store(probe, path, threshold=0.9).collect()
+    assert any(r["dup_of"] == 80_000 for r in found)
+    # replay guard: screening AS batch 5 must not see batch 5's rows
+    hidden = screen_against_minhash_store(
+        probe, path, threshold=0.9, exclude_batch=5
+    ).collect()
+    assert not any(r["dup_of"] == 80_000 for r in hidden)
+
+    # idempotent replay of the same append: store state unchanged
+    n_sigs = spark.read.parquet(f"{path}/signatures_inc").count()
+    append_to_minhash_store(newdoc, path, batch_id=5)
+    assert spark.read.parquet(f"{path}/signatures_inc").count() == n_sigs
+    assert (
+        spark.read.parquet(f"{path}/meta").first()["n_docs"] == 201
+    )
+
+
+def test_stream_ingest_dedup_end_to_end(spark, docs, tmp_path_factory):
+    """The composed loop over a multi-batch drain: a later batch's dup
+    of an earlier batch's survivor is screened out, in-batch dups
+    collapse to the smallest id, and the survivors output contains
+    exactly the accepted docs."""
+    root = tmp_path_factory.mktemp("mh_stream")
+    path = str(root / "store")
+    build_minhash_store(docs.filter(F.col("doc_id") < 100), path)
+
+    t7 = docs.filter(F.col("doc_id") == 7).first()["text"]
+    # synthetic fresh texts: the driver corpus plants near-dup
+    # FAMILIES across the id range (doc 450 is a 0.94-estimate dup of
+    # seed doc 92 — verified), so "fresh" must be constructed, not
+    # sampled from the corpus
+    fresh_a = " ".join(f"aurora{i} basalt{i} cinder{i}" for i in range(40))
+    fresh_b = " ".join(f"quartz{i} lagoon{i} meteor{i}" for i in range(40))
+    # file 1 (one micro-batch): a dup of the seed corpus, a fresh doc,
+    # and an in-batch dup pair of another fresh doc
+    b1 = spark.createDataFrame(
+        [
+            (1_001, t7),  # dup of seed doc 7 -> screened
+            (1_002, fresh_a),  # fresh -> survives
+            (1_003, fresh_b),  # fresh, smaller id -> survives
+            (1_004, fresh_b),  # in-batch dup of 1_003 -> screened
+        ],
+        "doc_id long, text string",
+    )
+    # file 2 (later micro-batch): a dup of batch 1's survivor
+    b2 = spark.createDataFrame(
+        [(2_001, fresh_a)],  # dup of admitted 1_002 -> screened
+        "doc_id long, text string",
+    )
+    src = str(root / "src")
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream_ingest_dedup(
+        stream,
+        path,
+        survivors_dir=str(root / "out"),
+        checkpoint_dir=str(root / "ckpt"),
+        threshold=0.5,
+    )
+    q.awaitTermination(180)
+
+    out = spark.read.parquet(str(root / "out"))
+    survivors = {r["doc_id"] for r in out.select("doc_id").collect()}
+    # NOTE: file order into micro-batches follows modification time;
+    # both orders are valid dedup outcomes for the cross-batch dup
+    # (first-wins), but the planted ids make either order checkable
+    assert 1_001 not in survivors  # seed dup always screened
+    assert 1_004 not in survivors  # in-batch dup always screened
+    assert (1_002 in survivors) != (2_001 in survivors)  # first-wins
+    assert 1_003 in survivors
+    # the store admitted exactly the survivors
+    n_docs = spark.read.parquet(f"{path}/meta").first()["n_docs"]
+    assert n_docs == 100 + len(survivors)
