@@ -31,6 +31,7 @@ from sales_forecast_pyspark_spark.llmdata.multimodal import (
 from sales_forecast_pyspark_spark.llmdata.dedup_store import (
     append_to_minhash_store,
     build_minhash_store,
+    compact_minhash_store,
     screen_against_minhash_store,
     stream_ingest_dedup,
 )
@@ -80,6 +81,7 @@ __all__ = [
     "append_to_ivfpq_index",
     "append_to_minhash_store",
     "build_minhash_store",
+    "compact_minhash_store",
     "screen_against_minhash_store",
     "stream_ingest_dedup",
     "build_ivfpq_index",

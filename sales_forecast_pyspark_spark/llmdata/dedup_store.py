@@ -378,3 +378,99 @@ def stream_ingest_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_minhash_store(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+) -> dict:
+    """Fold the batch-versioned increments into the base tables — the
+    LSM merge for the signature store, same role and same crash
+    posture as ``compact_ivfpq_index``: after thousands of streamed
+    batches the per-batch increment dirs dominate listing cost, so
+    maintenance folds them into size-targeted base files (buckets
+    re-sorted by (band, bucket) for row-group locality on the join
+    key; signatures by doc_id). Dedupe on the declared keys
+    ((doc_id, band, bucket) / doc_id) makes a crashed prior fold
+    self-heal on re-run; ``src_batch`` provenance is PRESERVED so the
+    replay guard keeps working for any batch id that could still be
+    re-delivered. Single-maintainer rule as ever: no ingest
+    concurrent with compaction. Returns {table: (files_before,
+    files_after)}."""
+    from py4j.java_gateway import java_import
+
+    jvm = spark.sparkContext._jvm
+    java_import(jvm, "org.apache.hadoop.fs.Path")
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+
+    def _fs(p):
+        return jvm.Path(p).getFileSystem(conf)
+
+    def _data_files(p):
+        fs = _fs(p)
+        if not fs.exists(jvm.Path(p)):
+            return 0
+        it = fs.listFiles(jvm.Path(p), True)
+        n = 0
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                n += 1
+        return n
+
+    def _dir_bytes(p):
+        fs = _fs(p)
+        hp = jvm.Path(p)
+        return fs.getContentSummary(hp).getLength() if fs.exists(hp) else 0
+
+    def _swap(sub, write_to):
+        src = os.path.join(path, sub)
+        tmp = os.path.join(path, f"_{sub}__compact")
+        fs = _fs(src)
+        fs.delete(jvm.Path(tmp), True)
+        write_to(tmp)
+        fs.delete(jvm.Path(src), True)
+        fs.rename(jvm.Path(tmp), jvm.Path(src))
+        fs.delete(jvm.Path(os.path.join(path, f"{sub}_inc")), True)
+
+    target_bytes = target_file_mb * 1024 * 1024
+    out = {}
+
+    sig_path = os.path.join(path, "signatures")
+    before_sig = _data_files(sig_path) + _data_files(f"{sig_path}_inc")
+    sig_bytes = _dir_bytes(sig_path) + _dir_bytes(f"{sig_path}_inc")
+    n_sig_files = max(1, -(-sig_bytes // target_bytes))
+    sigs = _read_store_table(spark, path, "signatures").dropDuplicates(
+        ["doc_id"]
+    )
+
+    def _write_sigs(tmp):
+        (
+            sigs.repartitionByRange(int(n_sig_files), "doc_id")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+
+    _swap("signatures", _write_sigs)
+    out["signatures"] = (before_sig, _data_files(sig_path))
+
+    bkt_path = os.path.join(path, "buckets")
+    before_bkt = _data_files(bkt_path) + _data_files(f"{bkt_path}_inc")
+    bkt_bytes = _dir_bytes(bkt_path) + _dir_bytes(f"{bkt_path}_inc")
+    n_bkt_files = max(1, -(-bkt_bytes // target_bytes))
+    bkts = _read_store_table(spark, path, "buckets").dropDuplicates(
+        ["doc_id", "band", "bucket"]
+    )
+
+    def _write_bkts(tmp):
+        (
+            bkts.repartitionByRange(int(n_bkt_files), "band", "bucket")
+            .sortWithinPartitions("band", "bucket")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+
+    _swap("buckets", _write_bkts)
+    out["buckets"] = (before_bkt, _data_files(bkt_path))
+    return out

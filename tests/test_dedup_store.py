@@ -179,3 +179,52 @@ def test_stream_ingest_dedup_end_to_end(spark, docs, tmp_path_factory):
     # the store admitted exactly the survivors
     n_docs = spark.read.parquet(f"{path}/meta").first()["n_docs"]
     assert n_docs == 100 + len(survivors)
+
+
+def test_store_compaction_folds_increments_and_preserves_screening(
+    spark, docs, tmp_path_factory
+):
+    """After several batch-keyed appends, compaction must remove the
+    increment dirs, cut the file count, preserve src_batch provenance,
+    and leave screening verdicts identical."""
+    import os as _os
+
+    from sales_forecast_pyspark_spark.llmdata import compact_minhash_store
+
+    path = str(tmp_path_factory.mktemp("mh_compact") / "store")
+    build_minhash_store(docs.filter(F.col("doc_id") < 200), path)
+    for b in range(4):
+        batch = docs.filter(
+            (F.col("doc_id") >= 200 + b * 25) & (F.col("doc_id") < 225 + b * 25)
+        ).select((F.col("doc_id") + 50_000).alias("doc_id"), "text")
+        append_to_minhash_store(batch, path, batch_id=b)
+
+    probe = docs.filter(F.col("doc_id") == 210).select(
+        F.lit(70_000).cast("long").alias("doc_id"), "text"
+    )
+    before = sorted(
+        map(
+            tuple,
+            screen_against_minhash_store(probe, path, threshold=0.9).collect(),
+        )
+    )
+    assert any(r[1] == 50_210 for r in before)  # finds the appended doc
+
+    counts = compact_minhash_store(spark, path)
+    assert not _os.path.isdir(f"{path}/signatures_inc")
+    assert not _os.path.isdir(f"{path}/buckets_inc")
+    assert counts["signatures"][1] < counts["signatures"][0]
+    assert counts["buckets"][1] < counts["buckets"][0]
+
+    after = sorted(
+        map(
+            tuple,
+            screen_against_minhash_store(probe, path, threshold=0.9).collect(),
+        )
+    )
+    assert after == before
+    # provenance survives the fold: the replay guard still hides batch 2
+    hidden = screen_against_minhash_store(
+        probe, path, threshold=0.9, exclude_batch=0
+    ).collect()
+    assert not any(r["dup_of"] == 50_210 for r in hidden)
