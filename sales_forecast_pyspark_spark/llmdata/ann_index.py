@@ -7,7 +7,7 @@ batches. This module splits the operator at its natural seam (the
 shared ``_ivfpq_fit`` build stage, similarity.py):
 
 - ``build_ivfpq_index(df, path, ...)`` runs the seeded fit and writes
-  four parquet tables under ``path``:
+  the parquet tables under ``path``:
 
   | table | contents | layout rationale |
   |---|---|---|
@@ -16,7 +16,16 @@ shared ``_ivfpq_fit`` build stage, similarity.py):
   | ``cells`` | (cell, cv) | n_centroids rows — broadcast state |
   | ``codebooks`` | (j, code, cen) | m × codebook_k rows — broadcast state |
   | ``meta`` | 1 row (d, sub, m, codebook_k, n_centroids, seed, n_vectors) | geometry contract; ``query_ivfpq_index`` refuses a mismatched query dimension loudly |
-  | ``stats`` | (cell, n_rows, mean_qerr) | build-time per-cell quantization-error BASELINE — the reference point ``ivfpq_index_stats`` compares against to decide when incremental appends have drifted far enough to warrant a rebuild |
+  | ``stats`` | (cell, n_rows, sum_qerr) | FROZEN build-time per-cell quantization-error baseline — what ``ivfpq_index_stats`` compares against |
+  | ``stats_live`` (+ ``stats_live_inc/b=<id>``) | (cell, n_rows, sum_qerr) | the EVOLVING additive tier every append folds its contribution into, so the drift report needs zero data scan |
+
+- ``codes_inc/b=<id>`` / ``vectors_inc/b=<id>`` are the batch-keyed
+  OVERWRITE-mode increments of the streaming ingest
+  (``stream_append_to_ivfpq_index`` → ``append_to_ivfpq_index(...,
+  batch_id=)``) — replays overwrite themselves, which is what turns
+  foreachBatch's at-least-once into exactly-once; readers union base ∪
+  increments transparently and ``compact_ivfpq_index`` is the LSM
+  merge that folds them back into size-targeted base files.
 
 - ``query_ivfpq_index(spark, path, queries, ...)`` replays the exact
   query math of ``ivfpq_topk`` (probe → per-(query, cell) residual ADC
@@ -26,6 +35,11 @@ shared ``_ivfpq_fit`` build stage, similarity.py):
   PLAN differs deliberately — the ADC scan touches 8-byte code rows
   only (the float vectors never ride the probed scan), and the refine
   joins the bounded candidate set back to the vectors table.
+
+- ``ivfpq_index_stats`` is the three-channel rebuild trigger
+  (median-normalized per-cell error, global gap, append skew vs
+  expected share) — O(batches) kilobyte merges by default,
+  ``full_scan=True`` for the recompute-from-data recovery path.
 
 At 100 TB: build cost is the m+1 seeded KMeans fits plus one encode
 pass (once); per-query-batch cost is n_probe/n_centroids of the code
