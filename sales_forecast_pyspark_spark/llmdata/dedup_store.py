@@ -176,10 +176,24 @@ def screen_against_minhash_store(
     the corpus text is never read."""
     spark = batch.sparkSession
     meta = spark.read.parquet(os.path.join(path, "meta")).first().asDict()
-    num_hashes, bands = meta["num_hashes"], meta["bands"]
-
-    bsig = _sig_frame(batch, id_col, text_col, meta["n"], num_hashes)
+    bsig = _sig_frame(batch, id_col, text_col, meta["n"], meta["num_hashes"])
     bsig.cache()
+    return _screen_signed(spark, path, bsig, meta, threshold, exclude_batch)
+
+
+def _screen_signed(
+    spark: SparkSession,
+    path: str,
+    bsig: DataFrame,
+    meta: dict,
+    threshold: float,
+    exclude_batch: int | None,
+) -> DataFrame:
+    """Screening body over an ALREADY-SIGNED batch — split out so the
+    streaming loop can sign a micro-batch once and reuse the cached
+    signatures for both the store screen and the in-batch dedup
+    (and unpersist them when the batch completes)."""
+    num_hashes, bands = meta["num_hashes"], meta["bands"]
     b_buckets = _band_buckets(
         _sig_cols(bsig, num_hashes), "doc_id", num_hashes, bands
     )
@@ -248,10 +262,25 @@ def append_to_minhash_store(
     correct under replays."""
     spark = df.sparkSession
     meta = spark.read.parquet(os.path.join(path, "meta")).first().asDict()
-    num_hashes, bands = meta["num_hashes"], meta["bands"]
-
-    sig = _sig_frame(df, id_col, text_col, meta["n"], num_hashes)
+    sig = _sig_frame(df, id_col, text_col, meta["n"], meta["num_hashes"])
     sig.cache()
+    n_new = _append_signed(spark, sig, path, meta, batch_id)
+    sig.unpersist()
+    return n_new
+
+
+def _append_signed(
+    spark: SparkSession,
+    sig: DataFrame,
+    path: str,
+    meta: dict,
+    batch_id: int | None,
+) -> int:
+    """Append body over an ALREADY-SIGNED (doc_id, sig) frame — split
+    out so the streaming loop can admit survivors from the signatures
+    it already computed for screening, instead of re-shingling the
+    surviving text a second time."""
+    num_hashes, bands = meta["num_hashes"], meta["bands"]
     n_new = sig.count()
     src = -1 if batch_id is None else int(batch_id)
     if batch_id is None:
@@ -265,16 +294,16 @@ def append_to_minhash_store(
     # signatures before buckets: an orphan signature row (torn append)
     # is never joined as a candidate, while an orphan bucket row would
     # produce candidates whose verify join silently drops them
-    sig.withColumn("src_batch", F.lit(src).cast("long")).write.mode(
-        mode
-    ).parquet(sig_dst)
+    sig.select("doc_id", "sig").withColumn(
+        "src_batch", F.lit(src).cast("long")
+    ).write.mode(mode).parquet(sig_dst)
     (
         _band_buckets(_sig_cols(sig, num_hashes), "doc_id", num_hashes, bands)
         .withColumn("src_batch", F.lit(src).cast("long"))
         .write.mode(mode)
         .parquet(bkt_dst)
     )
-    sig.unpersist()
+    meta = dict(meta)
     meta["n_docs"] = _read_store_table(spark, path, "signatures").count()
     spark.createDataFrame(
         [tuple(meta.values())], "n int, num_hashes int, bands int, n_docs long"
@@ -313,24 +342,25 @@ def stream_ingest_dedup(
             F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
         )
         batch_df.cache()
-        # (1) near-dups of the accepted corpus
+        # sign the micro-batch ONCE; the same cached signatures feed
+        # the store screen, the in-batch dedup, AND the survivor
+        # admission (no re-shingling, and unpersisted when the batch
+        # completes — no cache accretion across thousands of batches)
+        meta = spark.read.parquet(os.path.join(path, "meta")).first().asDict()
+        bsig = _sig_frame(
+            batch_df, "doc_id", "text", meta["n"], meta["num_hashes"]
+        )
+        bsig.cache()
+        # (1) near-dups of the accepted corpus (own batch excluded —
+        # the replay guard)
         dup_of_store = (
-            screen_against_minhash_store(
-                batch_df,
-                path,
-                threshold=threshold,
-                exclude_batch=batch_id,
-            )
+            _screen_signed(spark, path, bsig, meta, threshold, batch_id)
             .select("doc_id")
             .distinct()
         )
         # (2) in-batch near-dups: smallest id per colliding verified
         # pair wins (matches sequential-ingest greedy semantics for
         # the common planted-dup case; a chain a~b~c collapses to a)
-        meta = spark.read.parquet(os.path.join(path, "meta")).first().asDict()
-        bsig = _sig_frame(
-            batch_df, "doc_id", "text", meta["n"], meta["num_hashes"]
-        )
         bb = _band_buckets(
             _sig_cols(bsig, meta["num_hashes"]), "doc_id", meta["num_hashes"],
             meta["bands"],
@@ -363,13 +393,21 @@ def stream_ingest_dedup(
             .join(in_batch_losers, "doc_id", "left_anti")
         )
         survivors.cache()
-        # (3) admit survivors, idempotently under this batch id
-        append_to_minhash_store(survivors, path, batch_id=batch_id)
+        # (3) admit survivors from their ALREADY-COMPUTED signatures,
+        # idempotently under this batch id
+        _append_signed(
+            spark,
+            bsig.join(survivors.select("doc_id"), "doc_id"),
+            path,
+            meta,
+            batch_id,
+        )
         # (4) publish — overwrite-mode per batch, idempotent
         survivors.write.mode("overwrite").parquet(
             os.path.join(survivors_dir, f"b={int(batch_id)}")
         )
         survivors.unpersist()
+        bsig.unpersist()
         batch_df.unpersist()
 
     return (
