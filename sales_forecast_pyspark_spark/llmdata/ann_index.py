@@ -84,19 +84,11 @@ def _read_index_table(spark: SparkSession, path: str, table: str) -> DataFrame:
     """An index table as its readers see it: the compacted BASE plus
     any batch-versioned increments (``<table>_inc/b=<batch_id>``, the
     idempotent landing zone of ``append_to_ivfpq_index(...,
-    batch_id=)`` / the streaming ingest). Filters (the probed-cell
-    IN-list) push through the union into BOTH scans, and the
-    increments keep the same ``cell`` partition layout as the base, so
-    partition pruning holds across the LSM-style split."""
-    from pyspark.errors import AnalysisException
+    batch_id=)`` / the streaming ingest). Shared LSM plumbing —
+    ``llmdata/lsm.py`` — used identically by the MinHash store."""
+    from sales_forecast_pyspark_spark.llmdata import lsm
 
-    base = spark.read.parquet(os.path.join(path, table))
-    cols = base.columns
-    try:
-        inc = spark.read.parquet(os.path.join(path, f"{table}_inc"))
-    except AnalysisException:
-        return base
-    return base.unionByName(inc.select(*cols))
+    return lsm.read_tiered(spark, path, table)
 
 
 def _qerr_per_row(frame: DataFrame, cell_mat, books, m: int) -> DataFrame:
@@ -352,8 +344,16 @@ def build_ivfpq_index(
 ) -> dict:
     """Fit the IVF-PQ index on ``df`` and persist it under ``path``.
     Returns the meta dict (also stored). Overwrites an existing index
-    at the same path (parquet overwrite semantics, atomic per table)."""
+    at the same path (parquet overwrite semantics, atomic per table;
+    increment tiers and the fold ledger of any prior incarnation are
+    dropped — a rebuild starts from a clean tier map)."""
+    from sales_forecast_pyspark_spark.llmdata import lsm
+
     spark = df.sparkSession
+    for t in ("codes", "vectors", "stats_live"):
+        lsm.drop_inc(spark, path, t)
+    jvm, fs = lsm._jvm_fs(spark, path)
+    fs.delete(jvm.Path(os.path.join(path, "folded_batches")), True)
     cells, cb, enc, d, sub = _ivfpq_fit(
         df, id_col, vec_col, n_centroids, m, codebook_k, seed
     )
@@ -449,7 +449,17 @@ def append_to_ivfpq_index(
     import numpy as np
     import pandas as pd
 
+    from sales_forecast_pyspark_spark.llmdata import lsm
+
     spark = df.sparkSession
+    # replay-after-fold guard (code-review r12): if a past compaction
+    # already folded this batch into the base, its increments are gone
+    # but its ROWS are not — re-appending them would serve duplicates.
+    # The fold ledger makes the replay the no-op it must be.
+    if batch_id is not None and int(batch_id) in lsm.folded_batches(
+        spark, path
+    ):
+        return 0
     meta, cell_mat, books = _load_quantizers(spark, path)
     d, sub, m = meta["d"], meta["sub"], meta["m"]
 
@@ -669,65 +679,33 @@ def compact_ivfpq_index(
     rule every file-layout index maintenance has. Returns {table:
     (files_before, files_after)} with increments counted on both
     sides."""
-    from py4j.java_gateway import java_import
-
-    jvm = spark.sparkContext._jvm
-    java_import(jvm, "org.apache.hadoop.fs.Path")
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-
-    def _fs(p):
-        return jvm.Path(p).getFileSystem(conf)
-
-    def _data_files(p):
-        fs = _fs(p)
-        it = fs.listFiles(jvm.Path(p), True)
-        n = 0
-        while it.hasNext():
-            f = it.next().getPath().getName()
-            if f.endswith(".parquet"):
-                n += 1
-        return n
-
-    def _swap(sub, write_to):
-        src = os.path.join(path, sub)
-        tmp = os.path.join(path, f"_{sub}__compact")
-        fs = _fs(src)
-        fs.delete(jvm.Path(tmp), True)
-        write_to(tmp)
-        fs.delete(jvm.Path(src), True)
-        fs.rename(jvm.Path(tmp), jvm.Path(src))
+    from sales_forecast_pyspark_spark.llmdata import lsm
 
     meta = spark.read.parquet(os.path.join(path, "meta")).first().asDict()
     target_bytes = target_file_mb * 1024 * 1024
-
-    def _dir_bytes(p):
-        fs = _fs(p)
-        hp = jvm.Path(p)
-        return fs.getContentSummary(hp).getLength() if fs.exists(hp) else 0
-
-    def _tier_files(table):
-        n = _data_files(os.path.join(path, table))
-        inc = os.path.join(path, f"{table}_inc")
-        if _fs(inc).exists(jvm.Path(inc)):
-            n += _data_files(inc)
-        return n
-
-    def _drop_inc(table):
-        inc = os.path.join(path, f"{table}_inc")
-        _fs(inc).delete(jvm.Path(inc), True)
+    # snapshot the batch ids this fold will absorb BEFORE folding —
+    # recorded in the fold ledger afterwards so a replay of any of them
+    # (crashed-uncommitted batch re-delivered after this compaction)
+    # is a no-op in append_to_ivfpq_index instead of a duplicate
+    folding = (
+        lsm.list_inc_batches(spark, path, "codes")
+        | lsm.list_inc_batches(spark, path, "vectors")
+        | lsm.list_inc_batches(spark, path, "stats_live")
+    )
 
     out = {}
     codes_path = os.path.join(path, "codes")
-    before_codes = _tier_files("codes")
-    codes_bytes = _dir_bytes(codes_path) + _dir_bytes(
-        os.path.join(path, "codes_inc")
-    )
+    before_codes = lsm.tier_files(spark, path, "codes")
+    codes_bytes = lsm.tier_bytes(spark, path, "codes")
     files_per_cell = max(
         1, -(-codes_bytes // max(1, meta["n_centroids"]) // target_bytes)
     )
-    # fold base + increments, deduped on the declared key so a crashed
-    # prior compaction (transient fold ∪ increment duplicates) heals
-    # instead of compounding
+    # fold base + increments, deduped on the declared key. The only
+    # duplicates this can see are bit-identical rows from a crashed
+    # prior fold's swap-but-not-drop window (the ledger makes
+    # replay-after-fold a no-op, and re-appending an EXISTING id is a
+    # documented contract violation), so an arbitrary per-key pick is
+    # safe — both copies are the same row.
     codes = _read_index_table(spark, path, "codes").dropDuplicates(
         ["neighbor_id"]
     )
@@ -747,15 +725,11 @@ def compact_ivfpq_index(
             .parquet(tmp)
         )
 
-    _swap("codes", _write_codes)
-    _drop_inc("codes")
-    out["codes"] = (before_codes, _data_files(codes_path))
+    lsm.swap_dir(spark, path, "codes", _write_codes)
 
     vec_path = os.path.join(path, "vectors")
-    before_vecs = _tier_files("vectors")
-    vec_bytes = _dir_bytes(vec_path) + _dir_bytes(
-        os.path.join(path, "vectors_inc")
-    )
+    before_vecs = lsm.tier_files(spark, path, "vectors")
+    vec_bytes = lsm.tier_bytes(spark, path, "vectors")
     n_vec_files = max(1, -(-vec_bytes // target_bytes))
     vectors = _read_index_table(spark, path, "vectors").dropDuplicates(
         ["neighbor_id"]
@@ -769,9 +743,17 @@ def compact_ivfpq_index(
             .parquet(tmp)
         )
 
-    _swap("vectors", _write_vectors)
-    _drop_inc("vectors")
-    out["vectors"] = (before_vecs, _data_files(vec_path))
+    lsm.swap_dir(spark, path, "vectors", _write_vectors)
+
+    # ledger BEFORE the increment drops: if we crash in between, the
+    # batches are marked folded while their increments still exist —
+    # readers see transient duplicates that the next fold's key dedupe
+    # heals, and the append-side no-op verdict is already correct
+    lsm.record_folded(spark, path, folding)
+    lsm.drop_inc(spark, path, "codes")
+    lsm.drop_inc(spark, path, "vectors")
+    out["codes"] = (before_codes, lsm.data_files(spark, codes_path))
+    out["vectors"] = (before_vecs, lsm.data_files(spark, vec_path))
 
     # Consolidate the drift-stat live tier by RECOMPUTING it from the
     # just-folded data rather than folding the stat increments — the
@@ -779,10 +761,25 @@ def compact_ivfpq_index(
     # is the form that self-heals from any crash window: whatever
     # state a torn compaction or torn append left, one clean
     # compaction makes stats_live exactly agree with the data again.
-    _cell_error_scan(spark, path).write.mode("overwrite").parquet(
-        os.path.join(path, "stats_live")
+    fresh = _cell_error_scan(spark, path)
+    fresh.cache()
+    fresh.write.mode("overwrite").parquet(os.path.join(path, "stats_live"))
+    lsm.drop_inc(spark, path, "stats_live")
+    # refresh meta.n_vectors from the same recompute (code-review r12):
+    # the fold may have removed transient duplicates a prior append's
+    # recount had absorbed, and meta must agree with the data the
+    # function just made consistent
+    meta["n_vectors"] = int(
+        fresh.agg(F.coalesce(F.sum("n_rows"), F.lit(0)).alias("n")).first()[
+            "n"
+        ]
     )
-    _drop_inc("stats_live")
+    fresh.unpersist()
+    spark.createDataFrame(
+        [tuple(meta.values())],
+        "d int, sub int, m int, codebook_k int, n_centroids int, "
+        "seed int, n_vectors long",
+    ).write.mode("overwrite").parquet(os.path.join(path, "meta"))
     return out
 
 

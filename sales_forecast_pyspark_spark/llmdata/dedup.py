@@ -289,7 +289,6 @@ def minhash_near_dedup(
             f"num_hashes ({num_hashes}) must divide evenly into bands "
             f"({bands}); leftover hashes would be silently dropped"
         )
-    rows_per_band = num_hashes // bands
     sh = _exploded_shingles(df, id_col, text_col, n)
     sig = _minhash_signatures(sh, id_col, num_hashes)
     band_buckets = _band_buckets(sig, id_col, num_hashes, bands)

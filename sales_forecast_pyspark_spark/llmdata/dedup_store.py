@@ -97,17 +97,27 @@ def _sig_cols(sig_arr: DataFrame, num_hashes: int) -> DataFrame:
 
 
 def _read_store_table(spark: SparkSession, path: str, table: str) -> DataFrame:
-    """Base ∪ batch-versioned increments, same reader shape as the
-    IVF-PQ index tables."""
-    from pyspark.errors import AnalysisException
+    """Base ∪ batch-versioned increments — the shared LSM reader
+    (``llmdata/lsm.py``), identical to the IVF-PQ index's."""
+    from sales_forecast_pyspark_spark.llmdata import lsm
 
-    base = spark.read.parquet(os.path.join(path, table))
-    cols = base.columns
-    try:
-        inc = spark.read.parquet(os.path.join(path, f"{table}_inc"))
-    except AnalysisException:
-        return base
-    return base.unionByName(inc.select(*cols))
+    return lsm.read_tiered(spark, path, table)
+
+
+def _doc_count(spark: SparkSession, path: str) -> int:
+    """Total admitted docs from the kilobyte ``doc_counts`` ledger —
+    one row per build/append, additive and replay-idempotent (versioned
+    appends overwrite their own ``doc_counts_inc/b=<id>`` row). The
+    alternative — counting the signatures table — is an O(files) job
+    per batch, the exact pattern ann_index.py rejects for
+    ``meta.n_vectors`` (code-review r12)."""
+    from sales_forecast_pyspark_spark.llmdata import lsm
+
+    return int(
+        lsm.read_tiered(spark, path, "doc_counts")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("t"))
+        .first()["t"]
+    )
 
 
 def build_minhash_store(
@@ -127,7 +137,15 @@ def build_minhash_store(
             f"num_hashes ({num_hashes}) must divide evenly into bands "
             f"({bands}); leftover hashes would be silently dropped"
         )
+    from sales_forecast_pyspark_spark.llmdata import lsm
+
     spark = df.sparkSession
+    # rebuild-in-place starts from a clean tier map: drop any prior
+    # incarnation's increment dirs and fold ledger
+    for t in ("signatures", "buckets", "doc_counts"):
+        lsm.drop_inc(spark, path, t)
+    jvm, fs = lsm._jvm_fs(spark, path)
+    fs.delete(jvm.Path(os.path.join(path, "folded_batches")), True)
     sig = _sig_frame(df, id_col, text_col, n, num_hashes)
     sig.cache()
     n_docs = sig.count()
@@ -141,6 +159,9 @@ def build_minhash_store(
         .parquet(os.path.join(path, "buckets"))
     )
     sig.unpersist()
+    spark.createDataFrame(
+        [(n_docs, -1)], "n long, src_batch long"
+    ).write.mode("overwrite").parquet(os.path.join(path, "doc_counts"))
     meta = {
         "n": n,
         "num_hashes": num_hashes,
@@ -176,8 +197,13 @@ def screen_against_minhash_store(
     the corpus text is never read."""
     spark = batch.sparkSession
     meta = spark.read.parquet(os.path.join(path, "meta")).first().asDict()
+    # deliberately NOT cached: the returned frame is lazy, so a cache
+    # here could never be unpersisted and a long-lived driver screening
+    # many batches would accrete one pinned frame per call (code-review
+    # r12). The cost is signing the batch twice inside the one action —
+    # batches are small by contract; the streaming loop, which screens
+    # at cadence, uses _screen_signed with an explicitly managed cache.
     bsig = _sig_frame(batch, id_col, text_col, meta["n"], meta["num_hashes"])
-    bsig.cache()
     return _screen_signed(spark, path, bsig, meta, threshold, exclude_batch)
 
 
@@ -280,6 +306,16 @@ def _append_signed(
     out so the streaming loop can admit survivors from the signatures
     it already computed for screening, instead of re-shingling the
     surviving text a second time."""
+    from sales_forecast_pyspark_spark.llmdata import lsm
+
+    # replay-after-fold guard (code-review r12, same as the IVF-PQ
+    # index): a batch a past compaction already folded into the base
+    # must not re-append — its rows are in the base (with src_batch
+    # provenance preserved), only its increment dirs are gone
+    if batch_id is not None and int(batch_id) in lsm.folded_batches(
+        spark, path
+    ):
+        return 0
     num_hashes, bands = meta["num_hashes"], meta["bands"]
     n_new = sig.count()
     src = -1 if batch_id is None else int(batch_id)
@@ -303,8 +339,21 @@ def _append_signed(
         .write.mode(mode)
         .parquet(bkt_dst)
     )
+    # fold this batch's count into the kilobyte ledger (versioned →
+    # its own overwrite-idempotent row; ad-hoc → base append), then
+    # derive n_docs from the ledger — O(ledger), not O(files)
+    if batch_id is None:
+        spark.createDataFrame(
+            [(n_new, -1)], "n long, src_batch long"
+        ).write.mode("append").parquet(os.path.join(path, "doc_counts"))
+    else:
+        spark.createDataFrame(
+            [(n_new, int(batch_id))], "n long, src_batch long"
+        ).write.mode("overwrite").parquet(
+            os.path.join(path, "doc_counts_inc", f"b={int(batch_id)}")
+        )
     meta = dict(meta)
-    meta["n_docs"] = _read_store_table(spark, path, "signatures").count()
+    meta["n_docs"] = _doc_count(spark, path)
     spark.createDataFrame(
         [tuple(meta.values())], "n int, num_hashes int, bands int, n_docs long"
     ).write.mode("overwrite").parquet(os.path.join(path, "meta"))
@@ -434,49 +483,24 @@ def compact_minhash_store(
     self-heal on re-run; ``src_batch`` provenance is PRESERVED so the
     replay guard keeps working for any batch id that could still be
     re-delivered. Single-maintainer rule as ever: no ingest
-    concurrent with compaction. Returns {table: (files_before,
+    concurrent with compaction; the fold ledger (``llmdata/lsm.py``)
+    covers the one case the rule cannot — a crashed-uncommitted batch
+    re-delivered AFTER its increments were folded — by making the
+    replayed append a no-op. Returns {table: (files_before,
     files_after)}."""
-    from py4j.java_gateway import java_import
-
-    jvm = spark.sparkContext._jvm
-    java_import(jvm, "org.apache.hadoop.fs.Path")
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-
-    def _fs(p):
-        return jvm.Path(p).getFileSystem(conf)
-
-    def _data_files(p):
-        fs = _fs(p)
-        if not fs.exists(jvm.Path(p)):
-            return 0
-        it = fs.listFiles(jvm.Path(p), True)
-        n = 0
-        while it.hasNext():
-            if it.next().getPath().getName().endswith(".parquet"):
-                n += 1
-        return n
-
-    def _dir_bytes(p):
-        fs = _fs(p)
-        hp = jvm.Path(p)
-        return fs.getContentSummary(hp).getLength() if fs.exists(hp) else 0
-
-    def _swap(sub, write_to):
-        src = os.path.join(path, sub)
-        tmp = os.path.join(path, f"_{sub}__compact")
-        fs = _fs(src)
-        fs.delete(jvm.Path(tmp), True)
-        write_to(tmp)
-        fs.delete(jvm.Path(src), True)
-        fs.rename(jvm.Path(tmp), jvm.Path(src))
-        fs.delete(jvm.Path(os.path.join(path, f"{sub}_inc")), True)
+    from sales_forecast_pyspark_spark.llmdata import lsm
 
     target_bytes = target_file_mb * 1024 * 1024
+    folding = (
+        lsm.list_inc_batches(spark, path, "signatures")
+        | lsm.list_inc_batches(spark, path, "buckets")
+        | lsm.list_inc_batches(spark, path, "doc_counts")
+    )
     out = {}
 
     sig_path = os.path.join(path, "signatures")
-    before_sig = _data_files(sig_path) + _data_files(f"{sig_path}_inc")
-    sig_bytes = _dir_bytes(sig_path) + _dir_bytes(f"{sig_path}_inc")
+    before_sig = lsm.tier_files(spark, path, "signatures")
+    sig_bytes = lsm.tier_bytes(spark, path, "signatures")
     n_sig_files = max(1, -(-sig_bytes // target_bytes))
     sigs = _read_store_table(spark, path, "signatures").dropDuplicates(
         ["doc_id"]
@@ -490,12 +514,11 @@ def compact_minhash_store(
             .parquet(tmp)
         )
 
-    _swap("signatures", _write_sigs)
-    out["signatures"] = (before_sig, _data_files(sig_path))
+    lsm.swap_dir(spark, path, "signatures", _write_sigs)
 
     bkt_path = os.path.join(path, "buckets")
-    before_bkt = _data_files(bkt_path) + _data_files(f"{bkt_path}_inc")
-    bkt_bytes = _dir_bytes(bkt_path) + _dir_bytes(f"{bkt_path}_inc")
+    before_bkt = lsm.tier_files(spark, path, "buckets")
+    bkt_bytes = lsm.tier_bytes(spark, path, "buckets")
     n_bkt_files = max(1, -(-bkt_bytes // target_bytes))
     bkts = _read_store_table(spark, path, "buckets").dropDuplicates(
         ["doc_id", "band", "bucket"]
@@ -509,6 +532,28 @@ def compact_minhash_store(
             .parquet(tmp)
         )
 
-    _swap("buckets", _write_bkts)
-    out["buckets"] = (before_bkt, _data_files(bkt_path))
+    lsm.swap_dir(spark, path, "buckets", _write_bkts)
+
+    # ledger before the increment drops (same crash posture as the
+    # index compactor: marked-folded-but-present increments read as
+    # transient duplicates the next fold's key dedupe heals)
+    lsm.record_folded(spark, path, folding)
+    lsm.drop_inc(spark, path, "signatures")
+    lsm.drop_inc(spark, path, "buckets")
+    out["signatures"] = (before_sig, lsm.data_files(spark, sig_path))
+    out["buckets"] = (before_bkt, lsm.data_files(spark, bkt_path))
+
+    # consolidate the count ledger by RECOUNTING the just-deduped base
+    # (aggregates cannot be deduped by key, so recompute is the
+    # self-healing form), and refresh meta.n_docs to agree with it
+    n_docs = spark.read.parquet(sig_path).count()
+    spark.createDataFrame(
+        [(n_docs, -1)], "n long, src_batch long"
+    ).write.mode("overwrite").parquet(os.path.join(path, "doc_counts"))
+    lsm.drop_inc(spark, path, "doc_counts")
+    meta = spark.read.parquet(os.path.join(path, "meta")).first().asDict()
+    meta["n_docs"] = n_docs
+    spark.createDataFrame(
+        [tuple(meta.values())], "n int, num_hashes int, bands int, n_docs long"
+    ).write.mode("overwrite").parquet(os.path.join(path, "meta"))
     return out

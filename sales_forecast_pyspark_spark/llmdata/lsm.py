@@ -1,0 +1,158 @@
+"""Shared LSM-layout plumbing for the persisted stores (the IVF-PQ
+index in ``ann_index.py``, the MinHash signature store in
+``dedup_store.py``). Both follow the same tier map — compacted BASE
+parquet tables + batch-keyed OVERWRITE-mode increment dirs
+(``<table>_inc/b=<id>``) — so the reader, the Hadoop-FS helpers, the
+staged swap, and the folded-batch ledger live once here; a fix to the
+swap or the ledger semantics cannot drift between the two stores
+(code-review r12 finding: the first copies had already diverged on an
+``fs.exists`` guard).
+
+The FOLDED-BATCH LEDGER closes the one real exactly-once hole the
+increments design leaves open: a streaming batch that wrote its
+increments but died before the CHECKPOINT commit is replayed on
+restart — that is the normal, handled case (the replay overwrites its
+own increment dirs). But if COMPACTION ran in between (the stream was
+stopped, so the documented no-concurrent-ingest rule was formally
+satisfied), the batch's rows are already folded into the base and its
+increment dirs deleted; a naive replay would re-append them and
+readers would serve duplicates until the next fold. Compaction
+therefore records every batch id it folds in a tiny append-only
+``folded_batches`` table, and the versioned append path checks it
+first: a replay of a folded batch is a NO-OP. The ledger is one row
+per folded batch — kilobytes over the life of an index.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_tiered(spark: SparkSession, path: str, table: str) -> DataFrame:
+    """A store table as its readers see it: the compacted BASE plus any
+    batch-versioned increments. Filters push through the union into
+    both scans; increments keep the base's partition layout, so
+    partition pruning holds across the split."""
+    from pyspark.errors import AnalysisException
+
+    base = spark.read.parquet(os.path.join(path, table))
+    cols = base.columns
+    try:
+        inc = spark.read.parquet(os.path.join(path, f"{table}_inc"))
+    except AnalysisException:
+        return base
+    return base.unionByName(inc.select(*cols))
+
+
+def _jvm_fs(spark: SparkSession, p: str):
+    from py4j.java_gateway import java_import
+
+    jvm = spark.sparkContext._jvm
+    java_import(jvm, "org.apache.hadoop.fs.Path")
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    return jvm, jvm.Path(p).getFileSystem(conf)
+
+
+def data_files(spark: SparkSession, p: str) -> int:
+    """Count .parquet data files under ``p`` (0 if the dir is absent)."""
+    jvm, fs = _jvm_fs(spark, p)
+    if not fs.exists(jvm.Path(p)):
+        return 0
+    it = fs.listFiles(jvm.Path(p), True)
+    n = 0
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            n += 1
+    return n
+
+
+def dir_bytes(spark: SparkSession, p: str) -> int:
+    """Total bytes under ``p`` (0 if absent) — drives size-targeted
+    file counts in the compactors."""
+    jvm, fs = _jvm_fs(spark, p)
+    hp = jvm.Path(p)
+    return fs.getContentSummary(hp).getLength() if fs.exists(hp) else 0
+
+
+def tier_files(spark: SparkSession, path: str, table: str) -> int:
+    """Data files across base + increments of one table."""
+    return data_files(spark, os.path.join(path, table)) + data_files(
+        spark, os.path.join(path, f"{table}_inc")
+    )
+
+
+def tier_bytes(spark: SparkSession, path: str, table: str) -> int:
+    return dir_bytes(spark, os.path.join(path, table)) + dir_bytes(
+        spark, os.path.join(path, f"{table}_inc")
+    )
+
+
+def swap_dir(spark: SparkSession, path: str, sub: str, write_to) -> None:
+    """Staged rewrite of ``path/sub``: write to an underscore-prefixed
+    staging dir (invisible to concurrent Spark readers), then delete +
+    rename. The delete→rename window is NOT atomic — the stores
+    document a table format / fresh-build pointer flip as the
+    production answer. Does NOT touch increment dirs; callers drop
+    those via ``drop_inc`` once the absorbing base is in place."""
+    src = os.path.join(path, sub)
+    tmp = os.path.join(path, f"_{sub}__compact")
+    jvm, fs = _jvm_fs(spark, src)
+    fs.delete(jvm.Path(tmp), True)
+    write_to(tmp)
+    fs.delete(jvm.Path(src), True)
+    fs.rename(jvm.Path(tmp), jvm.Path(src))
+
+
+def drop_inc(spark: SparkSession, path: str, table: str) -> None:
+    inc = os.path.join(path, f"{table}_inc")
+    jvm, fs = _jvm_fs(spark, inc)
+    fs.delete(jvm.Path(inc), True)
+
+
+def list_inc_batches(spark: SparkSession, path: str, table: str) -> set[int]:
+    """Batch ids with increment dirs present (``<table>_inc/b=<id>``)."""
+    inc = os.path.join(path, f"{table}_inc")
+    jvm, fs = _jvm_fs(spark, inc)
+    if not fs.exists(jvm.Path(inc)):
+        return set()
+    out = set()
+    for st in fs.listStatus(jvm.Path(inc)):
+        name = st.getPath().getName()
+        if name.startswith("b="):
+            try:
+                out.add(int(name[2:]))
+            except ValueError:
+                pass
+    return out
+
+
+def folded_batches(spark: SparkSession, path: str) -> set[int]:
+    """Batch ids already folded into the base by a past compaction —
+    the versioned append's replay guard."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        rows = spark.read.parquet(
+            os.path.join(path, "folded_batches")
+        ).collect()
+    except AnalysisException:
+        return set()
+    return {r["batch_id"] for r in rows}
+
+
+def record_folded(
+    spark: SparkSession, path: str, batch_ids: set[int]
+) -> None:
+    """Append the just-folded batch ids to the ledger. Called AFTER the
+    base swaps absorb the increments and BEFORE the increment dirs are
+    dropped: a crash before the record leaves the increments on disk
+    (transient duplicates, healed by the next fold's key dedupe); a
+    crash after it leaves at worst an id marked folded whose increment
+    dir still exists — the replay no-op is then exactly right."""
+    if not batch_ids:
+        return
+    spark.createDataFrame(
+        [(int(b),) for b in sorted(batch_ids)], "batch_id long"
+    ).write.mode("append").parquet(os.path.join(path, "folded_batches"))

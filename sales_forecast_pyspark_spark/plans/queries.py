@@ -2842,6 +2842,17 @@ def q_ann_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = spread_scan(read_table(spark, sf_dir, "embeddings"), "vec_id")
+    # reap PRIOR checks' index dirs before building this one (the
+    # returned frame reads the new dir lazily, so the current dir can
+    # only be cleaned by the NEXT run) — repeated driver checks must
+    # not accumulate indexes in /tmp (code-review r12)
+    import glob
+    import shutil
+
+    for old in glob.glob(
+        os.path.join(tempfile.gettempdir(), "spark_ivfpq_lifecycle_*")
+    ):
+        shutil.rmtree(old, ignore_errors=True)
     path = tempfile.mkdtemp(prefix="spark_ivfpq_lifecycle_") + "/idx"
     build_ivfpq_index(emb.filter(F.col("vec_id") % 5 != 0), path)
     append_to_ivfpq_index(emb.filter(F.col("vec_id") % 5 == 0), path)

@@ -485,3 +485,44 @@ def test_live_stats_tier_matches_full_scan_exactly(
     compact_ivfpq_index(spark, path)
     after = sorted(map(tuple, ivfpq_index_stats(spark, path).collect()))
     assert after == live  # compaction recomputes, contents unchanged
+
+
+def test_replay_after_fold_is_a_noop(spark, emb, tmp_path_factory):
+    """The exactly-once hole compaction alone leaves open: a batch
+    whose increments were FOLDED (and deleted) before its checkpoint
+    committed gets re-delivered — the fold ledger must make the
+    replayed append a no-op instead of re-appending already-folded
+    rows as duplicates, and meta must agree with the data
+    throughout."""
+    from sales_forecast_pyspark_spark.llmdata import (
+        append_to_ivfpq_index,
+        compact_ivfpq_index,
+        ivfpq_index_stats,
+    )
+
+    path = str(tmp_path_factory.mktemp("ivfpq_fold_replay") / "idx")
+    build_ivfpq_index(emb.filter(F.col("vec_id") < 400), path)
+    batch = emb.filter(F.col("vec_id") >= 400).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    assert append_to_ivfpq_index(batch, path, batch_id=9) == 100
+    compact_ivfpq_index(spark, path)  # folds batch 9, deletes its incs
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    folded = sorted(
+        map(tuple, query_ivfpq_index(spark, path, queries, k=5).collect())
+    )
+    # the simulated restart replays batch 9
+    assert append_to_ivfpq_index(batch, path, batch_id=9) == 0
+    import os as _os
+
+    assert not _os.path.isdir(f"{path}/codes_inc")  # nothing re-landed
+    replayed = sorted(
+        map(tuple, query_ivfpq_index(spark, path, queries, k=5).collect())
+    )
+    assert replayed == folded
+    meta = spark.read.parquet(f"{path}/meta").first()
+    assert meta["n_vectors"] == 500
+    live = ivfpq_index_stats(spark, path).collect()
+    assert sum(r["n_rows"] for r in live) == 500
+    assert not any(r["drift_flag"] for r in live)

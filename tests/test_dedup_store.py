@@ -228,3 +228,47 @@ def test_store_compaction_folds_increments_and_preserves_screening(
         probe, path, threshold=0.9, exclude_batch=0
     ).collect()
     assert not any(r["dup_of"] == 50_210 for r in hidden)
+
+
+def test_replay_after_fold_is_a_noop(spark, docs, tmp_path_factory):
+    """Same exactly-once hole as the index: a batch folded by
+    compaction and then re-delivered must no-op via the fold ledger —
+    no duplicate signatures, stable n_docs, identical screen verdicts
+    (src_batch provenance survives the fold, so the replay's own
+    exclude_batch guard still works too)."""
+    from sales_forecast_pyspark_spark.llmdata import compact_minhash_store
+
+    path = str(tmp_path_factory.mktemp("mh_fold_replay") / "store")
+    build_minhash_store(docs.filter(F.col("doc_id") < 200), path)
+    batch = docs.filter(
+        (F.col("doc_id") >= 200) & (F.col("doc_id") < 250)
+    ).select((F.col("doc_id") + 50_000).alias("doc_id"), "text")
+    assert append_to_minhash_store(batch, path, batch_id=4) == 50
+    compact_minhash_store(spark, path)
+
+    probe = docs.filter(F.col("doc_id") == 210).select(
+        F.lit(70_000).cast("long").alias("doc_id"), "text"
+    )
+    before = sorted(
+        map(
+            tuple,
+            screen_against_minhash_store(probe, path, threshold=0.9).collect(),
+        )
+    )
+    assert append_to_minhash_store(batch, path, batch_id=4) == 0  # replay
+    import os as _os
+
+    assert not _os.path.isdir(f"{path}/signatures_inc")
+    after = sorted(
+        map(
+            tuple,
+            screen_against_minhash_store(probe, path, threshold=0.9).collect(),
+        )
+    )
+    assert after == before
+    assert spark.read.parquet(f"{path}/meta").first()["n_docs"] == 250
+    # and the replayed batch's own guard still hides its folded rows
+    hidden = screen_against_minhash_store(
+        probe, path, threshold=0.9, exclude_batch=4
+    ).collect()
+    assert not any(r["dup_of"] == 50_210 for r in hidden)
