@@ -3,7 +3,7 @@
 
 The batch tiers got measured rehearsal decades in r08
 (scripts/scale_rehearsal.py); this script extends the same discipline
-to the three production-shaped streaming paths, which until now were
+to the production-shaped streaming paths, which until now were
 covered by pytest equivalence at sf0.001 only:
 
 1. ``windowed_totals`` — the built-in watermarked tumbling-window
@@ -29,6 +29,16 @@ covered by pytest equivalence at sf0.001 only:
    state finalizes bit-equal to a one-shot batch rebuild — asserted
    here via an exceptAll diff at full scale, the same gate the sf0.001
    pytest pins.
+
+4. ``index_ingest`` — exactly-once streaming append into the persisted
+   IVF-PQ index (batch-versioned increments). Claims: the drained index
+   serves exactly what a batch append serves, the O(batches) live-stats
+   report stays bit-equal to the full scan, same-distribution drift
+   reads green.
+5. ``dedup_ingest`` — the composed incremental-dedup loop against a
+   persisted MinHash store over a half-dup / half-constructed-fresh
+   stream. Claims: exact dedup (every re-keyed dup screened, every
+   disjoint-shingle fresh doc survives) and batch-proportional cost.
 
 Usage (generate rehearsal data first — scripts/scale_rehearsal.py gen):
 
@@ -258,10 +268,147 @@ def run_partials_fold(spark, sf_dir, files_per_trigger) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+
+
+def run_index_ingest(spark, sf_dir, files_per_trigger) -> dict:
+    """Streaming ingest into the persisted IVF-PQ index
+    (stream_append_to_ivfpq_index): a same-distribution re-keyed copy
+    of the embeddings table streams into an index built on the
+    originals. Scale claims measured: per-batch cost is flat in corpus
+    size (encode + increment writes touch only the batch), the drained
+    index serves EXACTLY what a batch append of the same rows serves,
+    the O(batches) live-stats report stays bit-equal to the full scan,
+    and the same-distribution drift report is green."""
+    from sales_forecast_pyspark_spark.llmdata import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        ivfpq_index_stats,
+        query_ivfpq_index,
+        stream_append_to_ivfpq_index,
+    )
+    from sales_forecast_pyspark_spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    new_rows = emb.select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_rehearsal_idx_")
+    try:
+        src = os.path.join(tmp, "src")
+        new_rows.repartition(8).write.parquet(src)
+        p_stream = os.path.join(tmp, "idx_stream")
+        build_ivfpq_index(emb, p_stream)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", str(files_per_trigger))
+            .parquet(src)
+        )
+        _raise_progress_retention(spark)
+        t0 = time.time()
+        q = stream_append_to_ivfpq_index(
+            stream, p_stream, checkpoint_dir=os.path.join(tmp, "ckpt")
+        )
+        q.awaitTermination()
+        wall = time.time() - t0
+        out = {"path": "index_ingest", "wall_s": round(wall, 2)}
+        out.update(_progress_stats(_collect_progress(q)))
+        # foreachBatch runs several actions per batch (dimension-check
+        # first(), encode, counts), and FileStreamSource's numInputRows
+        # aggregates the source rows each of them touched — measured
+        # 2250 for a 2000-row batch. Report the SOURCE truth instead.
+        out["input_rows"] = spark.read.parquet(src).count()
+        # equivalence vs a batch append of the same rows
+        p_batch = os.path.join(tmp, "idx_batch")
+        build_ivfpq_index(emb, p_batch)
+        append_to_ivfpq_index(new_rows, p_batch)
+        queries = emb.limit(200)
+        out["matches_batch_append"] = _frames_equal(
+            query_ivfpq_index(spark, p_stream, queries, k=5),
+            query_ivfpq_index(spark, p_batch, queries, k=5),
+        )
+        live = ivfpq_index_stats(spark, p_stream)
+        full = ivfpq_index_stats(spark, p_stream, full_scan=True)
+        out["live_stats_match_full_scan"] = _frames_equal(live, full)
+        out["drift_flags"] = sum(
+            r["drift_flag"] for r in live.collect()
+        )
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def run_dedup_ingest(spark, sf_dir, files_per_trigger) -> dict:
+    """The composed incremental-dedup loop (stream_ingest_dedup) over a
+    half-dup / half-fresh incoming stream against a store seeded with
+    the documents table. Scale claims measured: per-batch cost is flat
+    in corpus size (the screen is a bucket-equality join + estimate
+    verify, never a corpus re-shingle), every re-keyed dup of the seed
+    corpus is screened, and every constructed-fresh doc (disjoint
+    shingle sets by construction) survives — exact survivor counts,
+    not a tolerance."""
+    from sales_forecast_pyspark_spark.llmdata import (
+        build_minhash_store,
+        stream_ingest_dedup,
+    )
+    from sales_forecast_pyspark_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.select((F.col("doc_id") + 500_000).alias("doc_id"), "text")
+    fresh = docs.select(
+        (F.col("doc_id") + 900_000).alias("doc_id"),
+        F.expr(
+            "array_join(transform(sequence(1, 60), "
+            "i -> concat('w', doc_id, 'x', i)), ' ')"
+        ).alias("text"),
+    )
+    n_dups, n_fresh = dups.count(), fresh.count()
+    tmp = tempfile.mkdtemp(prefix="stream_rehearsal_mh_")
+    try:
+        src = os.path.join(tmp, "src")
+        dups.unionByName(fresh).repartition(8).write.parquet(src)
+        store = os.path.join(tmp, "store")
+        build_minhash_store(docs, store)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", str(files_per_trigger))
+            .parquet(src)
+        )
+        _raise_progress_retention(spark)
+        t0 = time.time()
+        q = stream_ingest_dedup(
+            stream,
+            store,
+            survivors_dir=os.path.join(tmp, "out"),
+            checkpoint_dir=os.path.join(tmp, "ckpt"),
+            threshold=0.5,
+        )
+        q.awaitTermination()
+        wall = time.time() - t0
+        out = {"path": "dedup_ingest", "wall_s": round(wall, 2)}
+        out.update(_progress_stats(_collect_progress(q)))
+        survivors = spark.read.parquet(os.path.join(tmp, "out"))
+        n_surv = survivors.count()
+        n_fresh_surv = survivors.filter(F.col("doc_id") >= 900_000).count()
+        out["incoming_dups"] = n_dups
+        out["incoming_fresh"] = n_fresh
+        out["survivors"] = n_surv
+        # exact contract: all fresh survive, all dups screened
+        out["dedup_exactness"] = bool(
+            n_surv == n_fresh and n_fresh_surv == n_fresh
+        )
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 PATHS = {
     "windowed_totals": run_windowed,
     "attribution": run_attribution,
     "partials_fold": run_partials_fold,
+    "index_ingest": run_index_ingest,
+    "dedup_ingest": run_dedup_ingest,
 }
 
 
