@@ -240,7 +240,12 @@ def ivfpq_index_stats(
     recomputes from the data instead (``_cell_error_scan``) — the
     verification and recovery path, test-pinned bit-equal to the live
     tier (decimal partial sums merge exactly; per-row qerr is rounded
-    before any sum)."""
+    before any sum). A live-vs-full divergence is itself a diagnostic:
+    the full scan joins vectors ⋈ codes on the id, so appending a
+    DUPLICATE id (the one contract violation the store cannot see
+    cheaply) fans that join out and inflates the scan's counts while
+    the live tier stays per-batch-true — the 10× streaming rehearsal
+    caught a harness id-collision exactly this way."""
     base0 = spark.read.parquet(os.path.join(path, "stats"))
     base = base0.select(
         "cell",

@@ -289,8 +289,15 @@ def run_index_ingest(spark, sf_dir, files_per_trigger) -> dict:
     from sales_forecast_pyspark_spark.sources.readers import read_table
 
     emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # collision-FREE re-key: negative ids can never collide with any
+    # base id at any scale. A fixed positive offset collided with the
+    # 10x generator's own key offsets (base ids reach 9e7) — and the
+    # live-vs-full-scan flag below caught it: duplicate ids fan out the
+    # full scan's vectors ⋈ codes join while the live tier stays right,
+    # so that bit-equality flag doubles as an id-is-key-contract
+    # violation detector.
     new_rows = emb.select(
-        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+        (-F.col("vec_id") - 1).alias("vec_id"), "embedding"
     )
     tmp = tempfile.mkdtemp(prefix="stream_rehearsal_idx_")
     try:
@@ -354,9 +361,12 @@ def run_dedup_ingest(spark, sf_dir, files_per_trigger) -> dict:
     from sales_forecast_pyspark_spark.sources.readers import read_table
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    dups = docs.select((F.col("doc_id") + 500_000).alias("doc_id"), "text")
+    # collision-free re-keys (see index_ingest): dups on -id-1, fresh
+    # on -id-200_000_000 — disjoint from the base AND from each other
+    # at any generator scale
+    dups = docs.select((-F.col("doc_id") - 1).alias("doc_id"), "text")
     fresh = docs.select(
-        (F.col("doc_id") + 900_000).alias("doc_id"),
+        (-F.col("doc_id") - 200_000_000).alias("doc_id"),
         F.expr(
             "array_join(transform(sequence(1, 60), "
             "i -> concat('w', doc_id, 'x', i)), ' ')"
@@ -390,7 +400,9 @@ def run_dedup_ingest(spark, sf_dir, files_per_trigger) -> dict:
         out.update(_progress_stats(_collect_progress(q)))
         survivors = spark.read.parquet(os.path.join(tmp, "out"))
         n_surv = survivors.count()
-        n_fresh_surv = survivors.filter(F.col("doc_id") >= 900_000).count()
+        n_fresh_surv = survivors.filter(
+            F.col("doc_id") <= -200_000_000
+        ).count()
         out["incoming_dups"] = n_dups
         out["incoming_fresh"] = n_fresh
         out["survivors"] = n_surv
