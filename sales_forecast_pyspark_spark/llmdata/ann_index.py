@@ -357,8 +357,7 @@ def build_ivfpq_index(
     spark = df.sparkSession
     for t in ("codes", "vectors", "stats_live"):
         lsm.drop_inc(spark, path, t)
-    jvm, fs = lsm._jvm_fs(spark, path)
-    fs.delete(jvm.Path(os.path.join(path, "folded_batches")), True)
+    lsm.drop_ledger(spark, path)
     cells, cb, enc, d, sub = _ivfpq_fit(
         df, id_col, vec_col, n_centroids, m, codebook_k, seed
     )
@@ -688,15 +687,15 @@ def compact_ivfpq_index(
 
     meta = spark.read.parquet(os.path.join(path, "meta")).first().asDict()
     target_bytes = target_file_mb * 1024 * 1024
-    # snapshot the batch ids this fold will absorb BEFORE folding —
-    # recorded in the fold ledger afterwards so a replay of any of them
-    # (crashed-uncommitted batch re-delivered after this compaction)
-    # is a no-op in append_to_ivfpq_index instead of a duplicate
-    folding = (
-        lsm.list_inc_batches(spark, path, "codes")
-        | lsm.list_inc_batches(spark, path, "vectors")
-        | lsm.list_inc_batches(spark, path, "stats_live")
-    )
+    # snapshot the COMPLETE batch ids this fold will absorb BEFORE
+    # folding — recorded in the fold ledger afterwards so a replay of
+    # any of them (crashed-uncommitted batch re-delivered after this
+    # compaction) is a no-op in append_to_ivfpq_index instead of a
+    # duplicate. Completeness test = presence in stats_live_inc, the
+    # LAST table the append writes: recording a union would mark a
+    # TORN batch folded and its replay would never write the missing
+    # tables (see lsm.record_folded's contract)
+    folding = lsm.list_inc_batches(spark, path, "stats_live")
 
     out = {}
     codes_path = os.path.join(path, "codes")
@@ -768,8 +767,13 @@ def compact_ivfpq_index(
     # compaction makes stats_live exactly agree with the data again.
     fresh = _cell_error_scan(spark, path)
     fresh.cache()
-    fresh.write.mode("overwrite").parquet(os.path.join(path, "stats_live"))
+    # increments BEFORE the base overwrite: a crash in between leaves
+    # an UNDERCOUNT (stale base, no increments) — the module invariant
+    # — where the reverse order would double-count every folded batch
+    # (full-recount base PLUS still-present increments) and could raise
+    # spurious skew flags (code-review r12, second pass)
     lsm.drop_inc(spark, path, "stats_live")
+    fresh.write.mode("overwrite").parquet(os.path.join(path, "stats_live"))
     # refresh meta.n_vectors from the same recompute (code-review r12):
     # the fold may have removed transient duplicates a prior append's
     # recount had absorbed, and meta must agree with the data the
@@ -915,6 +919,17 @@ def query_ivfpq_index(
     out = (
         vectors.join(F.broadcast(cand), "neighbor_id")
         .select("query_id", "neighbor_id", cos.alias("cos_sim"))
+        # full-row dedupe over the BOUNDED refine set: duplicate
+        # vector rows for an id can exist transiently (a torn batch's
+        # orphans folded into the base before its replay completes it,
+        # healed at the next compaction) and would otherwise fan the
+        # join out into the same neighbor at two ranks. Duplicates are
+        # bit-identical by contract (same id ⇒ same vector ⇒ same
+        # cosine), so whole-row distinct removes exactly them and is a
+        # no-op on a healthy index. (Key-subset dropDuplicates here
+        # trips a Catalyst column-pruning internal error under
+        # exceptAll — whole-row distinct does not.)
+        .dropDuplicates()
         .withColumn("rank", F.row_number().over(w_cos))
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")

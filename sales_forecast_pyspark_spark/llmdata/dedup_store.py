@@ -144,8 +144,7 @@ def build_minhash_store(
     # incarnation's increment dirs and fold ledger
     for t in ("signatures", "buckets", "doc_counts"):
         lsm.drop_inc(spark, path, t)
-    jvm, fs = lsm._jvm_fs(spark, path)
-    fs.delete(jvm.Path(os.path.join(path, "folded_batches")), True)
+    lsm.drop_ledger(spark, path)
     sig = _sig_frame(df, id_col, text_col, n, num_hashes)
     sig.cache()
     n_docs = sig.count()
@@ -491,11 +490,11 @@ def compact_minhash_store(
     from sales_forecast_pyspark_spark.llmdata import lsm
 
     target_bytes = target_file_mb * 1024 * 1024
-    folding = (
-        lsm.list_inc_batches(spark, path, "signatures")
-        | lsm.list_inc_batches(spark, path, "buckets")
-        | lsm.list_inc_batches(spark, path, "doc_counts")
-    )
+    # COMPLETE batches only (lsm.record_folded's contract): presence in
+    # doc_counts_inc — the LAST table the append writes — implies the
+    # batch's signatures and buckets landed too; a torn batch stays
+    # un-folded so its replay can complete it
+    folding = lsm.list_inc_batches(spark, path, "doc_counts")
     out = {}
 
     sig_path = os.path.join(path, "signatures")
@@ -547,10 +546,13 @@ def compact_minhash_store(
     # (aggregates cannot be deduped by key, so recompute is the
     # self-healing form), and refresh meta.n_docs to agree with it
     n_docs = spark.read.parquet(sig_path).count()
+    # increments before the base overwrite — crash in between reads as
+    # an undercount, never a double-count (same ordering rule as the
+    # index's stats_live consolidation)
+    lsm.drop_inc(spark, path, "doc_counts")
     spark.createDataFrame(
         [(n_docs, -1)], "n long, src_batch long"
     ).write.mode("overwrite").parquet(os.path.join(path, "doc_counts"))
-    lsm.drop_inc(spark, path, "doc_counts")
     meta = spark.read.parquet(os.path.join(path, "meta")).first().asDict()
     meta["n_docs"] = n_docs
     spark.createDataFrame(

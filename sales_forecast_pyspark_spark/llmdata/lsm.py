@@ -128,6 +128,13 @@ def list_inc_batches(spark: SparkSession, path: str, table: str) -> set[int]:
     return out
 
 
+def drop_ledger(spark: SparkSession, path: str) -> None:
+    """Remove the fold ledger — rebuild-in-place resets it together
+    with the increment tiers (one helper, both stores, no drift)."""
+    jvm, fs = _jvm_fs(spark, path)
+    fs.delete(jvm.Path(os.path.join(path, "folded_batches")), True)
+
+
 def folded_batches(spark: SparkSession, path: str) -> set[int]:
     """Batch ids already folded into the base by a past compaction —
     the versioned append's replay guard."""
@@ -150,7 +157,20 @@ def record_folded(
     dropped: a crash before the record leaves the increments on disk
     (transient duplicates, healed by the next fold's key dedupe); a
     crash after it leaves at worst an id marked folded whose increment
-    dir still exists — the replay no-op is then exactly right."""
+    dir still exists — the replay no-op is then exactly right.
+
+    CALLERS MUST PASS ONLY COMPLETE BATCHES — the ids present in the
+    LAST table the append path writes (stats_live for the index,
+    doc_counts for the MinHash store): its presence implies every
+    earlier table of that batch landed, because appends write tables
+    in a fixed order and replays rewrite all of them. Recording the
+    UNION of per-table ids instead would mark a TORN batch (first
+    table written, later ones not) as folded, turning its replay into
+    a no-op and losing the missing tables forever — the review-caught
+    failure this contract exists to prevent. A torn batch therefore
+    stays un-folded: its replay completes it, and the orphan rows a
+    fold may have absorbed in the meantime become bit-identical
+    duplicates the next fold's key dedupe removes."""
     if not batch_ids:
         return
     spark.createDataFrame(

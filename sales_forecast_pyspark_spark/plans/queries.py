@@ -2845,14 +2845,22 @@ def q_ann_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reap PRIOR checks' index dirs before building this one (the
     # returned frame reads the new dir lazily, so the current dir can
     # only be cleaned by the NEXT run) — repeated driver checks must
-    # not accumulate indexes in /tmp (code-review r12)
+    # not accumulate indexes in /tmp (code-review r12). AGE-GATED to
+    # one hour: a concurrent invocation's live index (or this
+    # process's still-unevaluated previous frame) must not be deleted
+    # mid-flight (code-review r12, second pass)
     import glob
     import shutil
+    import time as _time
 
     for old in glob.glob(
         os.path.join(tempfile.gettempdir(), "spark_ivfpq_lifecycle_*")
     ):
-        shutil.rmtree(old, ignore_errors=True)
+        try:
+            if _time.time() - os.path.getmtime(old) > 3600:
+                shutil.rmtree(old, ignore_errors=True)
+        except OSError:
+            pass
     path = tempfile.mkdtemp(prefix="spark_ivfpq_lifecycle_") + "/idx"
     build_ivfpq_index(emb.filter(F.col("vec_id") % 5 != 0), path)
     append_to_ivfpq_index(emb.filter(F.col("vec_id") % 5 == 0), path)

@@ -329,7 +329,11 @@ def run_index_ingest(spark, sf_dir, files_per_trigger) -> dict:
         p_batch = os.path.join(tmp, "idx_batch")
         build_ivfpq_index(emb, p_batch)
         append_to_ivfpq_index(new_rows, p_batch)
-        queries = emb.limit(200)
+        # deterministic query set: limit() without an ordering may pick
+        # different rows per job, and the two serve calls below each
+        # re-evaluate it — a nondeterministic subset would flap the
+        # equivalence flag on a healthy index
+        queries = emb.filter(F.col("vec_id") < 200)
         out["matches_batch_append"] = _frames_equal(
             query_ivfpq_index(spark, p_stream, queries, k=5),
             query_ivfpq_index(spark, p_batch, queries, k=5),
@@ -398,6 +402,10 @@ def run_dedup_ingest(spark, sf_dir, files_per_trigger) -> dict:
         wall = time.time() - t0
         out = {"path": "dedup_ingest", "wall_s": round(wall, 2)}
         out.update(_progress_stats(_collect_progress(q)))
+        # source-truth rows, same correction as index_ingest: the loop
+        # runs several actions per batch and numInputRows aggregates
+        # the source rows each touched
+        out["input_rows"] = spark.read.parquet(src).count()
         survivors = spark.read.parquet(os.path.join(tmp, "out"))
         n_surv = survivors.count()
         n_fresh_surv = survivors.filter(

@@ -526,3 +526,64 @@ def test_replay_after_fold_is_a_noop(spark, emb, tmp_path_factory):
     live = ivfpq_index_stats(spark, path).collect()
     assert sum(r["n_rows"] for r in live) == 500
     assert not any(r["drift_flag"] for r in live)
+
+
+def test_torn_batch_stays_unfolded_and_replay_completes_it(
+    spark, emb, tmp_path_factory
+):
+    """The union-ledger defect the r12 second-pass review caught: a
+    TORN batch (first table's increment written, later ones not) must
+    NOT be recorded as folded — its replay is the only thing that can
+    complete it. The fold may have absorbed the torn batch's orphan
+    vectors meanwhile; the replay then makes them transient
+    bit-identical duplicates, which the refine-stage key dedupe hides
+    from serving and the next compaction removes."""
+    import shutil
+
+    from sales_forecast_pyspark_spark.llmdata import (
+        append_to_ivfpq_index,
+        compact_ivfpq_index,
+        ivfpq_index_stats,
+    )
+
+    path = str(tmp_path_factory.mktemp("ivfpq_torn") / "idx")
+    build_ivfpq_index(emb.filter(F.col("vec_id") < 400), path)
+    batch = emb.filter(F.col("vec_id") >= 400).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    # simulate the torn append: full append, then remove every table
+    # EXCEPT the first-written one (vectors) — the on-disk state of a
+    # crash between the vectors and codes writes
+    append_to_ivfpq_index(batch, path, batch_id=3)
+    shutil.rmtree(f"{path}/codes_inc", ignore_errors=True)
+    shutil.rmtree(f"{path}/stats_live_inc", ignore_errors=True)
+
+    compact_ivfpq_index(spark, path)  # folds the orphan vectors
+    # the torn batch must NOT be in the fold ledger...
+    from sales_forecast_pyspark_spark.llmdata import lsm
+
+    assert 3 not in lsm.folded_batches(spark, path)
+    # ...so the replay COMPLETES it instead of no-opping
+    assert append_to_ivfpq_index(batch, path, batch_id=3) == 100
+
+    # served results equal a cleanly-built twin's, despite the
+    # transient duplicate vector rows (refine-stage dedupe)
+    twin = str(tmp_path_factory.mktemp("ivfpq_torn_twin") / "idx")
+    build_ivfpq_index(emb.filter(F.col("vec_id") < 400), twin)
+    append_to_ivfpq_index(batch, twin, batch_id=3)
+    queries = emb.filter(F.col("vec_id") < 10)
+    got = sorted(
+        map(tuple, query_ivfpq_index(spark, path, queries, k=5).collect())
+    )
+    want = sorted(
+        map(tuple, query_ivfpq_index(spark, twin, queries, k=5).collect())
+    )
+    assert got == want and len(got) == 50
+
+    # the next compaction heals the duplicates completely
+    compact_ivfpq_index(spark, path)
+    live = ivfpq_index_stats(spark, path).collect()
+    full = ivfpq_index_stats(spark, path, full_scan=True).collect()
+    assert sorted(map(tuple, live)) == sorted(map(tuple, full))
+    assert sum(r["n_rows"] for r in live) == 500
+    assert spark.read.parquet(f"{path}/meta").first()["n_vectors"] == 500
