@@ -282,9 +282,9 @@ def append_to_minhash_store(
     write is IDEMPOTENT — overwrite-mode increment dirs keyed by the
     batch, so foreachBatch replays overwrite themselves — and rows
     carry the batch as ``src_batch`` for the screen-time replay guard.
-    Returns the number of docs admitted. ``meta.n_docs`` is recounted
-    from stored signature rows (kilobytes per doc, one count job),
-    correct under replays."""
+    Returns the number of docs admitted. ``meta.n_docs`` derives from
+    the kilobyte ``doc_counts`` ledger (see ``_doc_count``), correct
+    under replays and O(ledger) per batch."""
     spark = df.sparkSession
     meta = spark.read.parquet(os.path.join(path, "meta")).first().asDict()
     sig = _sig_frame(df, id_col, text_col, meta["n"], meta["num_hashes"])
