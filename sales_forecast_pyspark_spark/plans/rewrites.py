@@ -25,18 +25,7 @@ prune reported-expired entries opportunistically. Cosmetic edits
 
 # query name -> round whose commits rewrote its implementation
 # (r09's repetition_stats / benchmark_contamination entries expired —
-# CORRECTNESS_r10 re-checked both on their new shapes — and were pruned.)
-REWRITTEN_AT: dict[str, int] = {
-    # r12 (VERDICT r11 asks #2/#5): sampled-truth audits joined into
-    # the output rows change these queries' shapes — their r11 "ran
-    # clean" evidence predates the audit columns the asks exist to
-    # make driver-visible. Not listed: model_quality_audit (feature
-    # prep factored into _fixture_features, outputs verified
-    # golden-identical — cosmetic per the rule above) and
-    # ann_pairs_topk/embedding_near_dups (n_salt/max_pairs_per_item
-    # params default to the pre-r12 plans bit-for-bit).
-    "tfidf_similar_docs": 12,
-    "ann_lsh_pairs": 12,
-    "forecast_rf": 12,
-    "forecast_gbt": 12,
-}
+# CORRECTNESS_r10 re-checked both on their new shapes — and were
+# pruned; likewise the four r12 audit-rewrite entries after
+# CORRECTNESS_r12 checked the audit-carrying shapes.)
+REWRITTEN_AT: dict[str, int] = {}
