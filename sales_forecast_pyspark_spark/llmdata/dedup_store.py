@@ -13,12 +13,13 @@ row):
 - ``build_minhash_store(df, path, ...)`` signs the seed corpus with the
   SAME signature pipeline as ``minhash_near_dedup`` (shared
   ``_minhash_signatures`` / ``_band_buckets`` helpers — identical text
-  ⇒ identical signatures, test-pinned) and writes three tables:
+  ⇒ identical signatures, test-pinned) and writes four tables:
 
   | table | contents | layout rationale |
   |---|---|---|
   | ``signatures`` | (doc_id, sig array<long>, src_batch) | the estimate-verify surface — candidate pairs re-score from stored signatures, the corpus TEXT is never re-read |
   | ``buckets`` | (doc_id, band, bucket, src_batch) | the join surface: screening is a (band, bucket) equality join, never all-pairs |
+  | ``fingerprints`` | (doc_id, fp, src_batch) | the exact-dup surface for ZERO-TOKEN docs (empty/whitespace/punctuation-only text): they produce no shingles, hence no signature, so without this tier repeated exact copies would survive every batch forever (ADVICE r12). fp is the oracle-reproducible ``fingerprint_expr`` md5; screening is an fp equality join |
   | ``meta`` | (n, num_hashes, bands, n_docs) | geometry contract — a screen/append always derives its hashing from the store, so mixed-geometry signatures cannot collide silently |
 
 - ``screen_against_minhash_store(batch, path, ...)`` signs the batch
@@ -27,25 +28,38 @@ row):
   of agreeing min-hashes — the standard unbiased estimator; stderr
   ≈ √(j(1−j)/num_hashes), ~0.09 at 32 hashes, so thresholds are
   screening gates, not exact measures — raise ``num_hashes`` at build
-  time to tighten). Returns (doc_id, dup_of, n_agree, est_jaccard)
-  for batch docs whose estimate clears the threshold.
+  time to tighten; NOTE the one-shot ``minhash_near_dedup`` verifies
+  with EXACT shingle Jaccard instead, so the same threshold draws a
+  slightly different accept boundary when migrating a pipeline to the
+  store — exact re-verification against STORE docs is impossible by
+  design, their text is never retained). Zero-token batch docs are
+  screened through the fingerprint tier (exact match ⇒ est_jaccard
+  1.0). Returns (doc_id, dup_of, n_agree, est_jaccard) for batch docs
+  whose estimate clears the threshold.
 
 - ``append_to_minhash_store(df, path, batch_id=None)`` admits accepted
-  docs. With ``batch_id`` the append is IDEMPOTENT (overwrite-mode
-  increment dirs ``signatures_inc/b=<id>`` / ``buckets_inc/b=<id>``,
-  same versioned-increments design as the IVF-PQ index), and every row
+  docs (signatures+buckets for token-bearing docs, fingerprints for
+  zero-token docs). With ``batch_id`` the append is IDEMPOTENT
+  (overwrite-mode increment dirs ``signatures_inc/b=<id>`` /
+  ``buckets_inc/b=<id>`` / ``fingerprints_inc/b=<id>``, same
+  versioned-increments design as the IVF-PQ index), and every row
   carries ``src_batch`` — which is what makes the composed ingest loop
   replay-safe: a replayed batch screens with ``exclude_batch=<its own
   id>`` so it can never be screened out by its OWN first attempt.
 
 - ``stream_ingest_dedup(stream_df, path, survivors_dir, checkpoint)``
   is the composed loop: per micro-batch, screen → drop in-batch dups
-  (keep the smallest id per connected bucket-mate group, matching the
-  greedy first-wins semantics of sequential ingest) → append survivors
-  to the store → publish survivors to ``survivors_dir/b=<id>``
-  (overwrite — idempotent). Exactly-once end to end without a
-  transactional sink, by the same argument as
+  under EXACT sequential-greedy semantics (see ``_greedy_losers``) →
+  append survivors to the store → publish survivors to
+  ``survivors_dir/b=<id>`` (overwrite — idempotent). Exactly-once end
+  to end without a transactional sink, by the same argument as
   ``stream_append_to_ivfpq_index``.
+
+Every mutating entry point (build / append / compact) takes the
+store's single-maintainer lease (``lsm.maintenance_lease``), so the
+no-ingest-concurrent-with-compaction rule is enforced — a concurrent
+mutation fails loudly at acquire instead of corrupting (VERDICT r12
+ask #4a).
 
 At 100 TB: screening cost is |batch| signature builds + a bucket-key
 equality join against a bucketed/partitioned store + |candidates|
@@ -66,8 +80,11 @@ from pyspark.sql import functions as F
 from sales_forecast_pyspark_spark.llmdata.dedup import (
     _band_buckets,
     _exploded_shingles,
+    _jaccard_on_pairs,
     _minhash_signatures,
+    fingerprint_expr,
 )
+from sales_forecast_pyspark_spark.llmdata.text import tokens_expr
 
 
 def _sig_frame(
@@ -96,12 +113,39 @@ def _sig_cols(sig_arr: DataFrame, num_hashes: int) -> DataFrame:
     )
 
 
+def _zero_token_fps(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, fp) for the docs that CANNOT be signed: zero-token text
+    produces no shingles (the ``_exploded_shingles`` filter — any doc
+    with ≥1 token gets ≥1 shingle via the short-doc whole-join rule in
+    ``shingles_expr``, so zero tokens is EXACTLY the no-signature
+    class). These route through the exact-fingerprint tier instead of
+    silently bypassing the store (ADVICE r12)."""
+    return df.where(F.size(tokens_expr(text_col)) == 0).select(
+        F.col(id_col).alias("doc_id"),
+        fingerprint_expr(text_col).alias("fp"),
+    )
+
+
 def _read_store_table(spark: SparkSession, path: str, table: str) -> DataFrame:
     """Base ∪ batch-versioned increments — the shared LSM reader
     (``llmdata/lsm.py``), identical to the IVF-PQ index's."""
     from sales_forecast_pyspark_spark.llmdata import lsm
 
     return lsm.read_tiered(spark, path, table)
+
+
+def _read_store_fps(
+    spark: SparkSession, path: str, id_dtype: str
+) -> DataFrame:
+    """The fingerprints tier, tolerating absence on EITHER side: a
+    store built from a corpus with no zero-token docs has no base
+    table, yet a later streamed batch may have written increments."""
+    from sales_forecast_pyspark_spark.llmdata import lsm
+
+    return lsm.read_tiered_opt(
+        spark, path, "fingerprints",
+        f"doc_id {id_dtype}, fp string, src_batch long",
+    )
 
 
 def _doc_count(spark: SparkSession, path: str) -> int:
@@ -131,7 +175,8 @@ def build_minhash_store(
 ) -> dict:
     """Sign the seed corpus and persist the store under ``path``.
     Returns the meta dict (also stored). Seed rows carry
-    ``src_batch = -1`` (pre-stream provenance)."""
+    ``src_batch = -1`` (pre-stream provenance). Zero-token seed docs
+    land in the fingerprints tier; ``n_docs`` counts BOTH classes."""
     if num_hashes % bands != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must divide evenly into bands "
@@ -140,37 +185,53 @@ def build_minhash_store(
     from sales_forecast_pyspark_spark.llmdata import lsm
 
     spark = df.sparkSession
-    # rebuild-in-place starts from a clean tier map: drop any prior
-    # incarnation's increment dirs and fold ledger
-    for t in ("signatures", "buckets", "doc_counts"):
-        lsm.drop_inc(spark, path, t)
-    lsm.drop_ledger(spark, path)
-    sig = _sig_frame(df, id_col, text_col, n, num_hashes)
-    sig.cache()
-    n_docs = sig.count()
-    sig.withColumn("src_batch", F.lit(-1).cast("long")).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(path, "signatures"))
-    (
-        _band_buckets(_sig_cols(sig, num_hashes), "doc_id", num_hashes, bands)
-        .withColumn("src_batch", F.lit(-1).cast("long"))
-        .write.mode("overwrite")
-        .parquet(os.path.join(path, "buckets"))
-    )
-    sig.unpersist()
-    spark.createDataFrame(
-        [(n_docs, -1)], "n long, src_batch long"
-    ).write.mode("overwrite").parquet(os.path.join(path, "doc_counts"))
-    meta = {
-        "n": n,
-        "num_hashes": num_hashes,
-        "bands": bands,
-        "n_docs": n_docs,
-    }
-    spark.createDataFrame(
-        [tuple(meta.values())], "n int, num_hashes int, bands int, n_docs long"
-    ).write.mode("overwrite").parquet(os.path.join(path, "meta"))
-    return meta
+    with lsm.maintenance_lease(spark, path, "build"):
+        # rebuild-in-place starts from a clean tier map: drop any prior
+        # incarnation's increment dirs and fold ledger
+        for t in ("signatures", "buckets", "fingerprints", "doc_counts"):
+            lsm.drop_inc(spark, path, t)
+        lsm.drop_ledger(spark, path)
+        sig = _sig_frame(df, id_col, text_col, n, num_hashes)
+        sig.cache()
+        n_signed = sig.count()
+        sig.withColumn("src_batch", F.lit(-1).cast("long")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(path, "signatures"))
+        (
+            _band_buckets(
+                _sig_cols(sig, num_hashes), "doc_id", num_hashes, bands
+            )
+            .withColumn("src_batch", F.lit(-1).cast("long"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "buckets"))
+        )
+        sig.unpersist()
+        fps = _zero_token_fps(df, id_col, text_col)
+        n_fp = fps.count()
+        if n_fp:
+            fps.withColumn("src_batch", F.lit(-1).cast("long")).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(path, "fingerprints"))
+        else:
+            # no zero-token docs: clear any stale tier from a prior
+            # incarnation (an empty overwrite would leave a
+            # schema-less, unreadable directory instead)
+            lsm.drop_dir(spark, path, "fingerprints")
+        n_docs = n_signed + n_fp
+        spark.createDataFrame(
+            [(n_docs, -1)], "n long, src_batch long"
+        ).write.mode("overwrite").parquet(os.path.join(path, "doc_counts"))
+        meta = {
+            "n": n,
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "n_docs": n_docs,
+        }
+        spark.createDataFrame(
+            [tuple(meta.values())],
+            "n int, num_hashes int, bands int, n_docs long",
+        ).write.mode("overwrite").parquet(os.path.join(path, "meta"))
+        return meta
 
 
 def screen_against_minhash_store(
@@ -185,9 +246,11 @@ def screen_against_minhash_store(
     Signs the batch with the store's geometry (meta-derived — callers
     cannot desynchronize hashing), candidates via the (band, bucket)
     equality join, verification via signature-estimate Jaccard over
-    the stored arrays. Returns (doc_id, dup_of, n_agree, est_jaccard)
-    with est_jaccard ≥ threshold; a doc matching several store docs
-    returns several rows (callers typically care about existence).
+    the stored arrays; zero-token batch docs are screened by exact
+    fingerprint instead (match ⇒ n_agree=num_hashes, est_jaccard=1.0).
+    Returns (doc_id, dup_of, n_agree, est_jaccard) with est_jaccard ≥
+    threshold; a doc matching several store docs returns several rows
+    (callers typically care about existence).
 
     ``exclude_batch`` ignores store rows whose ``src_batch`` equals
     the given id — the replay guard: a re-delivered micro-batch must
@@ -203,7 +266,15 @@ def screen_against_minhash_store(
     # batches are small by contract; the streaming loop, which screens
     # at cadence, uses _screen_signed with an explicitly managed cache.
     bsig = _sig_frame(batch, id_col, text_col, meta["n"], meta["num_hashes"])
-    return _screen_signed(spark, path, bsig, meta, threshold, exclude_batch)
+    sig_hits = _screen_signed(spark, path, bsig, meta, threshold, exclude_batch)
+    fp_hits = _screen_fps(
+        spark,
+        path,
+        _zero_token_fps(batch, id_col, text_col),
+        meta["num_hashes"],
+        exclude_batch,
+    )
+    return sig_hits.unionByName(fp_hits)
 
 
 def _screen_signed(
@@ -270,6 +341,30 @@ def _screen_signed(
     )
 
 
+def _screen_fps(
+    spark: SparkSession,
+    path: str,
+    ufps: DataFrame,
+    num_hashes: int,
+    exclude_batch: int | None,
+) -> DataFrame:
+    """Exact-fingerprint screen for the zero-token tier: an fp equality
+    join against the store's fingerprints. A match is an exact copy of
+    an admitted doc, reported in the screen's common row shape with
+    the values an exact match implies (all hashes agree)."""
+    store = _read_store_fps(spark, path, dict(ufps.dtypes)["doc_id"])
+    if exclude_batch is not None:
+        store = store.filter(F.col("src_batch") != int(exclude_batch))
+    return ufps.join(
+        store.select(F.col("doc_id").alias("dup_of"), "fp"), "fp"
+    ).select(
+        "doc_id",
+        "dup_of",
+        F.lit(num_hashes).alias("n_agree"),
+        F.lit(1.0).alias("est_jaccard"),
+    )
+
+
 def append_to_minhash_store(
     df: DataFrame,
     path: str,
@@ -278,18 +373,22 @@ def append_to_minhash_store(
     batch_id: int | None = None,
 ) -> int:
     """Admit accepted docs into the store (sign with the store's
-    geometry, append signatures + buckets). With ``batch_id`` the
-    write is IDEMPOTENT — overwrite-mode increment dirs keyed by the
-    batch, so foreachBatch replays overwrite themselves — and rows
-    carry the batch as ``src_batch`` for the screen-time replay guard.
-    Returns the number of docs admitted. ``meta.n_docs`` derives from
-    the kilobyte ``doc_counts`` ledger (see ``_doc_count``), correct
-    under replays and O(ledger) per batch."""
+    geometry, append signatures + buckets; zero-token docs append
+    fingerprints). With ``batch_id`` the write is IDEMPOTENT —
+    overwrite-mode increment dirs keyed by the batch, so foreachBatch
+    replays overwrite themselves — and rows carry the batch as
+    ``src_batch`` for the screen-time replay guard. Returns the number
+    of docs admitted (both classes). ``meta.n_docs`` derives from the
+    kilobyte ``doc_counts`` ledger (see ``_doc_count``), correct under
+    replays and O(ledger) per batch."""
     spark = df.sparkSession
     meta = spark.read.parquet(os.path.join(path, "meta")).first().asDict()
     sig = _sig_frame(df, id_col, text_col, meta["n"], meta["num_hashes"])
     sig.cache()
-    n_new = _append_signed(spark, sig, path, meta, batch_id)
+    n_new = _append_signed(
+        spark, sig, path, meta, batch_id,
+        fps=_zero_token_fps(df, id_col, text_col),
+    )
     sig.unpersist()
     return n_new
 
@@ -300,63 +399,184 @@ def _append_signed(
     path: str,
     meta: dict,
     batch_id: int | None,
+    fps: DataFrame | None = None,
 ) -> int:
     """Append body over an ALREADY-SIGNED (doc_id, sig) frame — split
     out so the streaming loop can admit survivors from the signatures
     it already computed for screening, instead of re-shingling the
-    surviving text a second time."""
+    surviving text a second time. ``fps`` carries the zero-token
+    survivors' (doc_id, fp) rows for the fingerprint tier. Takes the
+    store's single-maintainer lease for the duration of the writes."""
     from sales_forecast_pyspark_spark.llmdata import lsm
 
-    # replay-after-fold guard (code-review r12, same as the IVF-PQ
-    # index): a batch a past compaction already folded into the base
-    # must not re-append — its rows are in the base (with src_batch
-    # provenance preserved), only its increment dirs are gone
-    if batch_id is not None and int(batch_id) in lsm.folded_batches(
-        spark, path
-    ):
-        return 0
-    num_hashes, bands = meta["num_hashes"], meta["bands"]
-    n_new = sig.count()
-    src = -1 if batch_id is None else int(batch_id)
-    if batch_id is None:
-        sig_dst = os.path.join(path, "signatures")
-        bkt_dst = os.path.join(path, "buckets")
-        mode = "append"
-    else:
-        sig_dst = os.path.join(path, "signatures_inc", f"b={int(batch_id)}")
-        bkt_dst = os.path.join(path, "buckets_inc", f"b={int(batch_id)}")
-        mode = "overwrite"
-    # signatures before buckets: an orphan signature row (torn append)
-    # is never joined as a candidate, while an orphan bucket row would
-    # produce candidates whose verify join silently drops them
-    sig.select("doc_id", "sig").withColumn(
-        "src_batch", F.lit(src).cast("long")
-    ).write.mode(mode).parquet(sig_dst)
-    (
-        _band_buckets(_sig_cols(sig, num_hashes), "doc_id", num_hashes, bands)
-        .withColumn("src_batch", F.lit(src).cast("long"))
-        .write.mode(mode)
-        .parquet(bkt_dst)
-    )
-    # fold this batch's count into the kilobyte ledger (versioned →
-    # its own overwrite-idempotent row; ad-hoc → base append), then
-    # derive n_docs from the ledger — O(ledger), not O(files)
-    if batch_id is None:
-        spark.createDataFrame(
-            [(n_new, -1)], "n long, src_batch long"
-        ).write.mode("append").parquet(os.path.join(path, "doc_counts"))
-    else:
-        spark.createDataFrame(
-            [(n_new, int(batch_id))], "n long, src_batch long"
-        ).write.mode("overwrite").parquet(
-            os.path.join(path, "doc_counts_inc", f"b={int(batch_id)}")
+    with lsm.maintenance_lease(spark, path, "append"):
+        # replay-after-fold guard (code-review r12, same as the IVF-PQ
+        # index): a batch a past compaction already folded into the base
+        # must not re-append — its rows are in the base (with src_batch
+        # provenance preserved), only its increment dirs are gone
+        if batch_id is not None and int(batch_id) in lsm.folded_batches(
+            spark, path
+        ):
+            return 0
+        num_hashes, bands = meta["num_hashes"], meta["bands"]
+        n_sig = sig.count()
+        src = -1 if batch_id is None else int(batch_id)
+        if batch_id is None:
+            sig_dst = os.path.join(path, "signatures")
+            bkt_dst = os.path.join(path, "buckets")
+            fp_dst = os.path.join(path, "fingerprints")
+            mode = "append"
+        else:
+            sig_dst = os.path.join(path, "signatures_inc", f"b={int(batch_id)}")
+            bkt_dst = os.path.join(path, "buckets_inc", f"b={int(batch_id)}")
+            fp_dst = os.path.join(
+                path, "fingerprints_inc", f"b={int(batch_id)}"
+            )
+            mode = "overwrite"
+        # signatures before buckets: an orphan signature row (torn
+        # append) is never joined as a candidate, while an orphan bucket
+        # row would produce candidates whose verify join silently drops
+        # them; fingerprints third, doc_counts LAST — presence of a
+        # batch's doc_counts row is the compactor's completeness test
+        sig.select("doc_id", "sig").withColumn(
+            "src_batch", F.lit(src).cast("long")
+        ).write.mode(mode).parquet(sig_dst)
+        (
+            _band_buckets(_sig_cols(sig, num_hashes), "doc_id", num_hashes, bands)
+            .withColumn("src_batch", F.lit(src).cast("long"))
+            .write.mode(mode)
+            .parquet(bkt_dst)
         )
-    meta = dict(meta)
-    meta["n_docs"] = _doc_count(spark, path)
-    spark.createDataFrame(
-        [tuple(meta.values())], "n int, num_hashes int, bands int, n_docs long"
-    ).write.mode("overwrite").parquet(os.path.join(path, "meta"))
-    return n_new
+        n_fp = 0
+        if fps is not None:
+            n_fp = fps.count()
+            if n_fp:
+                fps.select("doc_id", "fp").withColumn(
+                    "src_batch", F.lit(src).cast("long")
+                ).write.mode(mode).parquet(fp_dst)
+        n_new = n_sig + n_fp
+        # fold this batch's count into the kilobyte ledger (versioned →
+        # its own overwrite-idempotent row; ad-hoc → base append), then
+        # derive n_docs from the ledger — O(ledger), not O(files)
+        if batch_id is None:
+            spark.createDataFrame(
+                [(n_new, -1)], "n long, src_batch long"
+            ).write.mode("append").parquet(os.path.join(path, "doc_counts"))
+        else:
+            spark.createDataFrame(
+                [(n_new, int(batch_id))], "n long, src_batch long"
+            ).write.mode("overwrite").parquet(
+                os.path.join(path, "doc_counts_inc", f"b={int(batch_id)}")
+            )
+        meta = dict(meta)
+        meta["n_docs"] = _doc_count(spark, path)
+        spark.createDataFrame(
+            [tuple(meta.values())],
+            "n int, num_hashes int, bands int, n_docs long",
+        ).write.mode("overwrite").parquet(os.path.join(path, "meta"))
+        return n_new
+
+
+def _greedy_losers(pairs: DataFrame) -> DataFrame:
+    """The docs a SEQUENTIAL greedy first-wins ingest would drop, given
+    the verified near-dup pairs of one batch: processing docs in
+    ascending id order, a doc is dropped iff it verifies against an
+    already-KEPT smaller doc. On the pair graph this is the complement
+    of the lexicographically-first maximal independent set — dropping
+    doc_b of EVERY verified pair over-deletes on non-transitive chains
+    (a~b, b~c, a≁c: b loses to a, so sequential ingest KEEPS c — its
+    only near-dup was never admitted; ADVICE r12).
+
+    Computed by iterative peeling: each round, docs that appear only
+    on the small side of remaining pairs are definitively KEPT (their
+    smaller partners are all decided losers or nonexistent), their
+    partners are decided LOSERS, and pairs touching a decided loser
+    vacate. The minimum id in the remaining graph only ever appears as
+    ``doc_a`` (pairs are ordered doc_a < doc_b), so every round decides
+    at least one pair — termination in ≤ longest-dependency-chain
+    rounds, which is 1 for the common planted-dup case. Round frames
+    are id-only and eagerly localCheckpointed: lineage stays flat
+    across rounds instead of stacking one join tree per iteration.
+
+    Input must be DISTINCT (doc_a, doc_b) rows with doc_a < doc_b;
+    output is a (doc_id) frame of losers."""
+    active = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
+    losers = (
+        active.select(F.col("doc_b").alias("doc_id"))
+        .limit(0)
+        .localCheckpoint(eager=True)
+    )
+    while not active.isEmpty():
+        kept = active.select("doc_a").distinct().join(
+            active.select(F.col("doc_b").alias("doc_a")).distinct(),
+            "doc_a",
+            "left_anti",
+        )
+        new_losers = (
+            active.join(kept, "doc_a")
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        losers = losers.unionByName(new_losers).localCheckpoint(eager=True)
+        active = (
+            active.join(
+                new_losers.select(F.col("doc_id").alias("doc_a")),
+                "doc_a",
+                "left_anti",
+            )
+            .join(
+                new_losers.select(F.col("doc_id").alias("doc_b")),
+                "doc_b",
+                "left_anti",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return losers
+
+
+def _verified_in_batch_pairs(
+    bsig: DataFrame, meta: dict, threshold: float
+) -> DataFrame:
+    """DISTINCT verified (doc_a < doc_b) near-dup pairs WITHIN one
+    signed batch: bucket-mate candidates, signature-estimate verify —
+    the in-batch mirror of ``_screen_signed``."""
+    bb = _band_buckets(
+        _sig_cols(bsig, meta["num_hashes"]),
+        "doc_id",
+        meta["num_hashes"],
+        meta["bands"],
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda x: x
+        )
+    )
+    return (
+        bb.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+        .join(
+            bb.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+            .hint("merge"),
+            ["band", "bucket"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .join(
+            bsig.select(
+                F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            bsig.select(
+                F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")
+            ),
+            "doc_b",
+        )
+        .filter(agree / F.lit(meta["num_hashes"]) >= threshold)
+        .select("doc_a", "doc_b")
+    )
 
 
 def stream_ingest_dedup(
@@ -367,14 +587,34 @@ def stream_ingest_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
+    exact_verify_in_batch: bool = False,
+    auto_compact_after: int | None = None,
 ):
     """The composed incremental-dedup ingest loop: per micro-batch,
-    (1) screen the batch against everything already accepted, (2) drop
-    in-batch near-dups (keep the smallest id among bucket-mates whose
-    estimate clears the threshold — the greedy first-wins semantics a
-    sequential ingest would produce), (3) append the survivors to the
-    store, (4) publish the surviving rows to
-    ``survivors_dir/b=<batch_id>``.
+    (1) screen the batch against everything already accepted (signature
+    estimate for token-bearing docs, exact fingerprint for zero-token
+    docs), (2) drop in-batch dups under EXACT sequential-greedy
+    semantics — store-dropped docs are removed from the pair graph
+    first (a doc that was never admitted cannot defeat a later one),
+    then ``_greedy_losers`` peels the verified pairs so non-transitive
+    chains keep exactly what one-at-a-time ingest would keep —
+    (3) append the survivors to the store, (4) publish the surviving
+    rows to ``survivors_dir/b=<batch_id>``.
+
+    ``threshold`` note: in-batch and store verification both use the
+    SIGNATURE-ESTIMATE Jaccard (~0.09 stderr at the default 32 hashes)
+    — the same doc pair can land on the other side of the threshold
+    than the one-shot ``minhash_near_dedup``'s exact verify would put
+    it. ``exact_verify_in_batch=True`` re-checks the in-batch pairs
+    with exact shingle Jaccard from the batch text before the peel
+    (store-side candidates cannot be exact-checked: admitted text is
+    never retained — raise ``num_hashes`` at build time instead).
+
+    ``auto_compact_after=N`` makes the loop consult
+    ``lsm.should_compact`` after each append and fold the increments
+    tier once any table accumulates N batch dirs — long-running ingest
+    bounds its own listing costs instead of relying on an operator
+    hand-scheduling ``compact_minhash_store`` (VERDICT r12 ask #4b).
 
     Exactly-once end to end without a transactional sink: the store
     append and the survivors publish are both overwrite-mode keyed by
@@ -385,6 +625,8 @@ def stream_ingest_dedup(
     stop); returns the started StreamingQuery."""
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        from sales_forecast_pyspark_spark.llmdata import lsm
+
         spark = batch_df.sparkSession
         batch_df = batch_df.select(
             F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
@@ -399,64 +641,85 @@ def stream_ingest_dedup(
             batch_df, "doc_id", "text", meta["n"], meta["num_hashes"]
         )
         bsig.cache()
-        # (1) near-dups of the accepted corpus (own batch excluded —
-        # the replay guard)
+        unsigned = _zero_token_fps(batch_df, "doc_id", "text")
+        unsigned.cache()
+        # (1) dups of the accepted corpus (own batch excluded — the
+        # replay guard): signature route + zero-token fingerprint route
         dup_of_store = (
             _screen_signed(spark, path, bsig, meta, threshold, batch_id)
             .select("doc_id")
-            .distinct()
-        )
-        # (2) in-batch near-dups: smallest id per colliding verified
-        # pair wins (matches sequential-ingest greedy semantics for
-        # the common planted-dup case; a chain a~b~c collapses to a)
-        bb = _band_buckets(
-            _sig_cols(bsig, meta["num_hashes"]), "doc_id", meta["num_hashes"],
-            meta["bands"],
-        )
-        agree = F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda x: x
+            .unionByName(
+                _screen_fps(
+                    spark, path, unsigned, meta["num_hashes"], batch_id
+                ).select("doc_id")
             )
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        in_batch_losers = (
-            bb.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
-            .join(
-                bb.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
-                .hint("merge"),
-                ["band", "bucket"],
+        # (2a) in-batch near-dups among signed docs, sequential-greedy.
+        # Store-dropped docs leave the pair graph BEFORE the peel: they
+        # were never admitted, so sequential ingest never screens a
+        # later doc against them.
+        pairs = _verified_in_batch_pairs(bsig, meta, threshold)
+        if exact_verify_in_batch:
+            sh = _exploded_shingles(
+                batch_df, "doc_id", "text", meta["n"]
             )
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-            .distinct()
-            .join(bsig.select(F.col("doc_id").alias("doc_a"),
-                              F.col("sig").alias("sig_a")), "doc_a")
-            .join(bsig.select(F.col("doc_id").alias("doc_b"),
-                              F.col("sig").alias("sig_b")), "doc_b")
-            .filter(agree / F.lit(meta["num_hashes"]) >= threshold)
-            .select(F.col("doc_b").alias("doc_id"))
-            .distinct()
+            pairs = _jaccard_on_pairs(sh, pairs, "doc_id", threshold).select(
+                "doc_a", "doc_b"
+            )
+        pairs = pairs.join(
+            dup_of_store.select(F.col("doc_id").alias("doc_a")),
+            "doc_a",
+            "left_anti",
+        ).join(
+            dup_of_store.select(F.col("doc_id").alias("doc_b")),
+            "doc_b",
+            "left_anti",
+        )
+        in_batch_losers = _greedy_losers(pairs)
+        # (2b) in-batch exact dups among zero-token docs: first id wins
+        # (same-fp docs share the store verdict, so no graph filter is
+        # needed — either the whole fp group matched the store or none)
+        u_losers = (
+            unsigned.join(
+                unsigned.groupBy("fp").agg(F.min("doc_id").alias("keep")),
+                "fp",
+            )
+            .filter(F.col("doc_id") != F.col("keep"))
+            .select("doc_id")
         )
         survivors = (
             batch_df.join(dup_of_store, "doc_id", "left_anti")
             .join(in_batch_losers, "doc_id", "left_anti")
+            .join(u_losers, "doc_id", "left_anti")
         )
         survivors.cache()
-        # (3) admit survivors from their ALREADY-COMPUTED signatures,
-        # idempotently under this batch id
+        # (3) admit survivors from their ALREADY-COMPUTED signatures /
+        # fingerprints, idempotently under this batch id
         _append_signed(
             spark,
             bsig.join(survivors.select("doc_id"), "doc_id"),
             path,
             meta,
             batch_id,
+            fps=unsigned.join(survivors.select("doc_id"), "doc_id"),
         )
         # (4) publish — overwrite-mode per batch, idempotent
         survivors.write.mode("overwrite").parquet(
             os.path.join(survivors_dir, f"b={int(batch_id)}")
         )
         survivors.unpersist()
+        unsigned.unpersist()
         bsig.unpersist()
         batch_df.unpersist()
+        if auto_compact_after is not None and lsm.should_compact(
+            spark,
+            path,
+            ["signatures", "buckets", "fingerprints", "doc_counts"],
+            max_inc_batches=auto_compact_after,
+        ):
+            compact_minhash_store(spark, path)
 
     return (
         stream_df.writeStream.foreachBatch(_ingest)
@@ -464,6 +727,45 @@ def stream_ingest_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _complete_view(
+    spark: SparkSession,
+    path: str,
+    table: str,
+    folding: set[int],
+    cols: list[str],
+) -> DataFrame:
+    """Base ∪ COMPLETE increment batches only — what a fold may absorb.
+    A TORN batch (some tables written, ``doc_counts`` not) must stay
+    OUT of the fold and keep its increment dirs: folding it would count
+    rows the ledger never saw, and its eventual replay would then
+    re-append them — the transient double-count window ADVICE r12
+    flagged. Left in place, the replay overwrites the torn dirs into a
+    complete batch and the NEXT fold absorbs it exactly once. At least
+    one tier must exist (callers guard); column types come from the
+    parquet schema, never hardcoded."""
+    from pyspark.errors import AnalysisException
+
+    parts = []
+    try:
+        parts.append(
+            spark.read.parquet(os.path.join(path, table)).select(*cols)
+        )
+    except AnalysisException:
+        pass
+    try:
+        parts.append(
+            spark.read.parquet(os.path.join(path, f"{table}_inc"))
+            .filter(F.col("src_batch").isin([int(b) for b in folding]))
+            .select(*cols)
+        )
+    except AnalysisException:
+        pass
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def compact_minhash_store(
@@ -481,81 +783,115 @@ def compact_minhash_store(
     ((doc_id, band, bucket) / doc_id) makes a crashed prior fold
     self-heal on re-run; ``src_batch`` provenance is PRESERVED so the
     replay guard keeps working for any batch id that could still be
-    re-delivered. Single-maintainer rule as ever: no ingest
-    concurrent with compaction; the fold ledger (``llmdata/lsm.py``)
-    covers the one case the rule cannot — a crashed-uncommitted batch
-    re-delivered AFTER its increments were folded — by making the
-    replayed append a no-op. Returns {table: (files_before,
-    files_after)}."""
+    re-delivered. Only COMPLETE batches fold (see ``_complete_view``);
+    a torn batch's increment dirs survive the fold untouched so its
+    replay completes it. Holds the single-maintainer lease for the
+    duration — concurrent ingest fails loudly at acquire instead of
+    losing a batch in the fold's read→delete window. Returns
+    {table: (files_before, files_after)}."""
     from sales_forecast_pyspark_spark.llmdata import lsm
 
-    target_bytes = target_file_mb * 1024 * 1024
-    # COMPLETE batches only (lsm.record_folded's contract): presence in
-    # doc_counts_inc — the LAST table the append writes — implies the
-    # batch's signatures and buckets landed too; a torn batch stays
-    # un-folded so its replay can complete it
-    folding = lsm.list_inc_batches(spark, path, "doc_counts")
-    out = {}
+    with lsm.maintenance_lease(spark, path, "compact"):
+        target_bytes = target_file_mb * 1024 * 1024
+        # COMPLETE batches only (lsm.record_folded's contract):
+        # presence in doc_counts_inc — the LAST table the append
+        # writes — implies the batch's signatures, buckets and
+        # fingerprints landed too
+        folding = lsm.list_inc_batches(spark, path, "doc_counts")
+        out = {}
 
-    sig_path = os.path.join(path, "signatures")
-    before_sig = lsm.tier_files(spark, path, "signatures")
-    sig_bytes = lsm.tier_bytes(spark, path, "signatures")
-    n_sig_files = max(1, -(-sig_bytes // target_bytes))
-    sigs = _read_store_table(spark, path, "signatures").dropDuplicates(
-        ["doc_id"]
-    )
+        sig_path = os.path.join(path, "signatures")
+        before_sig = lsm.tier_files(spark, path, "signatures")
+        sig_bytes = lsm.tier_bytes(spark, path, "signatures")
+        n_sig_files = max(1, -(-sig_bytes // target_bytes))
+        sigs = _complete_view(
+            spark, path, "signatures", folding,
+            ["doc_id", "sig", "src_batch"],
+        ).dropDuplicates(["doc_id"])
 
-    def _write_sigs(tmp):
-        (
-            sigs.repartitionByRange(int(n_sig_files), "doc_id")
-            .sortWithinPartitions("doc_id")
-            .write.mode("overwrite")
-            .parquet(tmp)
+        def _write_sigs(tmp):
+            (
+                sigs.repartitionByRange(int(n_sig_files), "doc_id")
+                .sortWithinPartitions("doc_id")
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+
+        lsm.swap_dir(spark, path, "signatures", _write_sigs)
+
+        bkt_path = os.path.join(path, "buckets")
+        before_bkt = lsm.tier_files(spark, path, "buckets")
+        bkt_bytes = lsm.tier_bytes(spark, path, "buckets")
+        n_bkt_files = max(1, -(-bkt_bytes // target_bytes))
+        bkts = _complete_view(
+            spark, path, "buckets", folding,
+            ["doc_id", "band", "bucket", "src_batch"],
+        ).dropDuplicates(["doc_id", "band", "bucket"])
+
+        def _write_bkts(tmp):
+            (
+                bkts.repartitionByRange(int(n_bkt_files), "band", "bucket")
+                .sortWithinPartitions("band", "bucket")
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+
+        lsm.swap_dir(spark, path, "buckets", _write_bkts)
+
+        # fingerprints tier: fold only when there is something COMPLETE
+        # to fold (optional table — absent when no zero-token doc was
+        # ever admitted; a tier holding only TORN increments is left
+        # alone, else the swap would write an empty, unreadable base)
+        fp_path = os.path.join(path, "fingerprints")
+        before_fp = lsm.tier_files(spark, path, "fingerprints")
+        fp_folds = bool(lsm.data_files(spark, fp_path)) or bool(
+            lsm.list_inc_batches(spark, path, "fingerprints") & folding
         )
+        if fp_folds:
+            fps = _complete_view(
+                spark, path, "fingerprints", folding,
+                ["doc_id", "fp", "src_batch"],
+            ).dropDuplicates(["doc_id"])
 
-    lsm.swap_dir(spark, path, "signatures", _write_sigs)
+            def _write_fps(tmp):
+                fps.repartition(1).write.mode("overwrite").parquet(tmp)
 
-    bkt_path = os.path.join(path, "buckets")
-    before_bkt = lsm.tier_files(spark, path, "buckets")
-    bkt_bytes = lsm.tier_bytes(spark, path, "buckets")
-    n_bkt_files = max(1, -(-bkt_bytes // target_bytes))
-    bkts = _read_store_table(spark, path, "buckets").dropDuplicates(
-        ["doc_id", "band", "bucket"]
-    )
+            lsm.swap_dir(spark, path, "fingerprints", _write_fps)
 
-    def _write_bkts(tmp):
-        (
-            bkts.repartitionByRange(int(n_bkt_files), "band", "bucket")
-            .sortWithinPartitions("band", "bucket")
-            .write.mode("overwrite")
-            .parquet(tmp)
-        )
+        # ledger before the increment drops (same crash posture as the
+        # index compactor: marked-folded-but-present increments read as
+        # transient duplicates the next fold's key dedupe heals); only
+        # the FOLDED batch dirs drop — torn ones stay for their replay
+        lsm.record_folded(spark, path, folding)
+        lsm.drop_inc_batches(spark, path, "signatures", folding)
+        lsm.drop_inc_batches(spark, path, "buckets", folding)
+        lsm.drop_inc_batches(spark, path, "fingerprints", folding)
+        out["signatures"] = (before_sig, lsm.data_files(spark, sig_path))
+        out["buckets"] = (before_bkt, lsm.data_files(spark, bkt_path))
+        if fp_folds:
+            out["fingerprints"] = (before_fp, lsm.data_files(spark, fp_path))
 
-    lsm.swap_dir(spark, path, "buckets", _write_bkts)
-
-    # ledger before the increment drops (same crash posture as the
-    # index compactor: marked-folded-but-present increments read as
-    # transient duplicates the next fold's key dedupe heals)
-    lsm.record_folded(spark, path, folding)
-    lsm.drop_inc(spark, path, "signatures")
-    lsm.drop_inc(spark, path, "buckets")
-    out["signatures"] = (before_sig, lsm.data_files(spark, sig_path))
-    out["buckets"] = (before_bkt, lsm.data_files(spark, bkt_path))
-
-    # consolidate the count ledger by RECOUNTING the just-deduped base
-    # (aggregates cannot be deduped by key, so recompute is the
-    # self-healing form), and refresh meta.n_docs to agree with it
-    n_docs = spark.read.parquet(sig_path).count()
-    # increments before the base overwrite — crash in between reads as
-    # an undercount, never a double-count (same ordering rule as the
-    # index's stats_live consolidation)
-    lsm.drop_inc(spark, path, "doc_counts")
-    spark.createDataFrame(
-        [(n_docs, -1)], "n long, src_batch long"
-    ).write.mode("overwrite").parquet(os.path.join(path, "doc_counts"))
-    meta = spark.read.parquet(os.path.join(path, "meta")).first().asDict()
-    meta["n_docs"] = n_docs
-    spark.createDataFrame(
-        [tuple(meta.values())], "n int, num_hashes int, bands int, n_docs long"
-    ).write.mode("overwrite").parquet(os.path.join(path, "meta"))
-    return out
+        # consolidate the count ledger by RECOUNTING the just-deduped
+        # bases (aggregates cannot be deduped by key, so recompute is
+        # the self-healing form), and refresh meta.n_docs to agree.
+        # Torn batches' rows are NOT in the bases and not in the count
+        # — the module invariant: torn state undercounts, never
+        # over-claims (their doc_counts row never landed either).
+        n_docs = spark.read.parquet(sig_path).count()
+        if fp_folds:
+            n_docs += spark.read.parquet(fp_path).count()
+        # increments before the base overwrite — crash in between reads
+        # as an undercount, never a double-count (same ordering rule as
+        # the index's stats_live consolidation). Every doc_counts_inc
+        # dir belongs to a COMPLETE batch by definition, so all drop.
+        lsm.drop_inc(spark, path, "doc_counts")
+        spark.createDataFrame(
+            [(n_docs, -1)], "n long, src_batch long"
+        ).write.mode("overwrite").parquet(os.path.join(path, "doc_counts"))
+        meta = spark.read.parquet(os.path.join(path, "meta")).first().asDict()
+        meta["n_docs"] = n_docs
+        spark.createDataFrame(
+            [tuple(meta.values())],
+            "n int, num_hashes int, bands int, n_docs long",
+        ).write.mode("overwrite").parquet(os.path.join(path, "meta"))
+        return out

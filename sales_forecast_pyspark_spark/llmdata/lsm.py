@@ -25,9 +25,16 @@ per folded batch — kilobytes over the life of an index.
 
 from __future__ import annotations
 
+import contextlib
 import os
+import socket
+import time
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+class LeaseHeldError(RuntimeError):
+    """Another maintainer holds the store's mutation lease."""
 
 
 def read_tiered(spark: SparkSession, path: str, table: str) -> DataFrame:
@@ -44,6 +51,35 @@ def read_tiered(spark: SparkSession, path: str, table: str) -> DataFrame:
     except AnalysisException:
         return base
     return base.unionByName(inc.select(*cols))
+
+
+def read_tiered_opt(
+    spark: SparkSession, path: str, table: str, empty_schema: str
+) -> DataFrame:
+    """``read_tiered`` for tables that may legitimately not exist yet
+    on EITHER tier — e.g. the MinHash store's ``fingerprints`` table
+    when the seed corpus had no zero-token docs but a later streamed
+    batch does (base absent, increments present). Unions whichever
+    tiers exist; a missing tier contributes a schema'd empty frame, so
+    increment rows are never silently dropped behind a missing base."""
+    from pyspark.errors import AnalysisException
+
+    parts = []
+    for sub in (table, f"{table}_inc"):
+        try:
+            parts.append(spark.read.parquet(os.path.join(path, sub)))
+        except AnalysisException:
+            pass
+    # project to the declared schema's columns: reading an increments
+    # ROOT discovers the b=<id> dirs as an extra partition column that
+    # the declared row shape (which carries src_batch) must not leak
+    cols = spark.createDataFrame([], empty_schema).columns
+    if not parts:
+        return spark.createDataFrame([], empty_schema)
+    out = parts[0].select(*cols)
+    for p in parts[1:]:
+        out = out.unionByName(p.select(*cols))
+    return out
 
 
 def _jvm_fs(spark: SparkSession, p: str):
@@ -111,6 +147,37 @@ def drop_inc(spark: SparkSession, path: str, table: str) -> None:
     fs.delete(jvm.Path(inc), True)
 
 
+def drop_dir(spark: SparkSession, path: str, sub: str) -> None:
+    """Remove one store subdirectory outright — rebuild-in-place uses
+    this to clear an OPTIONAL table (e.g. ``fingerprints``) left by a
+    prior incarnation when the new build has no rows for it, where an
+    overwrite-mode write of an empty frame would leave an unreadable
+    schema-less directory instead."""
+    jvm, fs = _jvm_fs(spark, path)
+    fs.delete(jvm.Path(os.path.join(path, sub)), True)
+
+
+def drop_inc_batches(
+    spark: SparkSession, path: str, table: str, batch_ids: set[int]
+) -> None:
+    """Delete ONLY the named batches' increment dirs — the compactors'
+    fold cleanup once they stopped folding TORN batches: a torn batch's
+    increments must stay on disk so its eventual replay overwrites them
+    into a complete batch, where ``drop_inc`` would delete the partial
+    evidence and the fold would have absorbed rows the count ledger
+    never saw (the ADVICE r12 double-count window)."""
+    jvm, fs = _jvm_fs(spark, path)
+    for b in batch_ids:
+        fs.delete(
+            jvm.Path(os.path.join(path, f"{table}_inc", f"b={int(b)}")), True
+        )
+    # an increments root emptied of its last batch dir is removed too,
+    # so the tiered readers' existence probe stays meaningful
+    inc_root = jvm.Path(os.path.join(path, f"{table}_inc"))
+    if fs.exists(inc_root) and not fs.listStatus(inc_root):
+        fs.delete(inc_root, True)
+
+
 def list_inc_batches(spark: SparkSession, path: str, table: str) -> set[int]:
     """Batch ids with increment dirs present (``<table>_inc/b=<id>``)."""
     inc = os.path.join(path, f"{table}_inc")
@@ -176,3 +243,124 @@ def record_folded(
     spark.createDataFrame(
         [(int(b),) for b in sorted(batch_ids)], "batch_id long"
     ).write.mode("append").parquet(os.path.join(path, "folded_batches"))
+
+
+LEASE_FILE = "_maintenance_lease"
+
+
+def acquire_lease(
+    spark: SparkSession,
+    path: str,
+    purpose: str,
+    stale_after_s: float = 7200.0,
+) -> None:
+    """Take the store's single-maintainer mutation lease, or raise
+    ``LeaseHeldError`` loudly (VERDICT r12 ask #4a: the
+    no-ingest-concurrent-with-compaction rule was prose; a violation
+    silently corrupted — a batch landing between a fold's read and its
+    increment delete would be dropped. Now it fails fast instead).
+
+    Mechanics: atomic create of an underscore-prefixed lock file
+    (``fs.create(overwrite=False)`` — one winner per path on HDFS and
+    local FS alike; the underscore keeps it invisible to Spark
+    readers). Holder identity + wall-clock are written into the file
+    for operators. STALENESS TAKEOVER: a holder that crashed without
+    releasing would deadlock maintenance forever, so a lease older
+    than ``stale_after_s`` (file mtime) is deleted and re-contended —
+    the delete+create race between two takers still crowns exactly one
+    winner (the loser's create throws). Size the staleness window
+    above the longest expected mutation; the default 2h covers any
+    single compaction this repo rehearses by orders of magnitude."""
+    jvm, fs = _jvm_fs(spark, path)
+    lock = jvm.Path(os.path.join(path, LEASE_FILE))
+    for attempt in (0, 1):
+        try:
+            out = fs.create(lock, False)
+            out.write(
+                f"{purpose} {socket.gethostname()}:{os.getpid()} "
+                f"{time.time():.0f}\n".encode()
+            )
+            out.close()
+            return
+        except Exception as e:  # py4j wraps FileAlreadyExistsException
+            if "FileAlreadyExists" not in str(
+                getattr(e, "java_exception", e)
+            ) and "already exists" not in str(e):
+                raise
+            st = fs.getFileStatus(lock) if fs.exists(lock) else None
+            age = (
+                time.time() - st.getModificationTime() / 1000.0
+                if st is not None
+                else float("inf")
+            )
+            if attempt == 0 and age > stale_after_s:
+                fs.delete(lock, False)  # stale holder: take over once
+                continue
+            holder = ""
+            if st is not None:
+                with contextlib.suppress(Exception):
+                    stream = fs.open(lock)
+                    holder = bytes(
+                        stream.readAllBytes()
+                    ).decode(errors="replace").strip()
+                    stream.close()
+            raise LeaseHeldError(
+                f"maintenance lease on {path} is held ({holder or 'unreadable'}, "
+                f"age {age:.0f}s); concurrent store mutation would corrupt — "
+                f"retry after the holder finishes or its lease goes stale"
+            ) from None
+
+
+def release_lease(spark: SparkSession, path: str) -> None:
+    jvm, fs = _jvm_fs(spark, path)
+    fs.delete(jvm.Path(os.path.join(path, LEASE_FILE)), False)
+
+
+@contextlib.contextmanager
+def maintenance_lease(
+    spark: SparkSession,
+    path: str,
+    purpose: str,
+    stale_after_s: float = 7200.0,
+):
+    """``with maintenance_lease(spark, path, "compact"): ...`` — every
+    mutating store entry point (build / append / compact, both stores)
+    wraps itself in this, so any concurrent mutation pair fails loudly
+    at acquire instead of interleaving file operations."""
+    acquire_lease(spark, path, purpose, stale_after_s)
+    try:
+        yield
+    finally:
+        release_lease(spark, path)
+
+
+def should_compact(
+    spark: SparkSession,
+    path: str,
+    tables: list[str],
+    max_inc_batches: int = 16,
+    max_inc_bytes: int | None = None,
+) -> bool:
+    """The compaction POLICY (VERDICT r12 ask #4b): fold when any
+    table's increment tier is ≥ ``max_inc_batches`` dirs deep, or when
+    the increments' combined bytes pass ``max_inc_bytes``. Long-running
+    ingest loops consult this after each append (their
+    ``auto_compact_after`` knob) so the increments tier — whose
+    per-file open/footer cost is what degrades the serve path — stays
+    bounded without an operator hand-scheduling folds. Cost: one
+    directory listing per table (no data read). The dir-count trigger
+    is the primary signal because listing cost scales with DIRS, not
+    bytes; the bytes trigger exists for fat-batch ingests where a few
+    increments already dwarf the base files' target size."""
+    if any(
+        len(list_inc_batches(spark, path, t)) >= max_inc_batches
+        for t in tables
+    ):
+        return True
+    if max_inc_bytes is not None:
+        total = sum(
+            dir_bytes(spark, os.path.join(path, f"{t}_inc")) for t in tables
+        )
+        if total >= max_inc_bytes:
+            return True
+    return False

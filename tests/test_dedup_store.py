@@ -272,3 +272,355 @@ def test_replay_after_fold_is_a_noop(spark, docs, tmp_path_factory):
         probe, path, threshold=0.9, exclude_batch=4
     ).collect()
     assert not any(r["dup_of"] == 50_210 for r in hidden)
+
+
+# --- deterministic non-transitive chain: a~b, b~c, a NOT~ c ------------
+# b is the concatenation a+c, so jaccard(a,b) ≈ jaccard(b,c) ≈ 0.49
+# exactly (disjoint token sets), estimate(a,b)=0.5625, estimate(b,c)=
+# 0.4375 at 32 hashes, estimate(a,c)=0 — all DETERMINISTIC (MinHash is
+# a pure function of text), verified by the scratch run that pinned
+# these constants. bands=16 (r=2) so both chain pairs collide.
+_CHAIN_A = " ".join(f"alpha{i} brook{i} cedar{i}" for i in range(30))
+_CHAIN_C = " ".join(f"zephyr{i} yonder{i} willow{i}" for i in range(30))
+_CHAIN_B = _CHAIN_A + " " + _CHAIN_C
+
+
+def test_greedy_losers_matches_sequential_semantics(spark):
+    """The iterative peel reproduces one-at-a-time greedy ingest on
+    chains and diamonds — dropping doc_b of every pair would over-
+    delete the non-transitive tail (ADVICE r12)."""
+    from sales_forecast_pyspark_spark.llmdata.dedup_store import (
+        _greedy_losers,
+    )
+
+    def losers(pairs):
+        df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+        return sorted(r["doc_id"] for r in _greedy_losers(df).collect())
+
+    assert losers([(1, 2), (2, 3)]) == [2]  # 3's only dup was dropped
+    assert losers([(1, 2), (2, 3), (3, 4)]) == [2, 4]
+    assert losers([(1, 2), (1, 3), (2, 4)]) == [2, 3]  # 4 survives via 2
+    assert losers([(1, 2), (1, 3), (1, 4)]) == [2, 3, 4]
+
+
+def test_stream_ingest_keeps_nontransitive_chain_tail(
+    spark, docs, tmp_path_factory
+):
+    """End-to-end: a micro-batch holding the a~b~c chain keeps a AND c
+    — b loses to a, and since b was never admitted it cannot defeat c.
+    The pre-fix behavior (drop doc_b of every verified pair) would
+    delete c permanently."""
+    root = tmp_path_factory.mktemp("mh_chain")
+    path = str(root / "store")
+    build_minhash_store(
+        docs.filter(F.col("doc_id") < 50), path, num_hashes=32, bands=16
+    )
+    batch = spark.createDataFrame(
+        [(1, _CHAIN_A), (2, _CHAIN_B), (3, _CHAIN_C)],
+        "doc_id long, text string",
+    )
+    src = str(root / "src")
+    batch.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .parquet(src)
+    )
+    q = stream_ingest_dedup(
+        stream,
+        path,
+        survivors_dir=str(root / "out"),
+        checkpoint_dir=str(root / "ckpt"),
+        threshold=0.35,
+    )
+    q.awaitTermination(180)
+    survivors = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(root / "out")).collect()
+    }
+    assert survivors == {1, 3}
+
+
+def test_exact_verify_in_batch_rechecks_borderline_pairs(
+    spark, docs, tmp_path_factory
+):
+    """estimate(a,b)=0.5625 but exact jaccard(a,b)=0.494: at threshold
+    0.5 the estimate-only loop drops b, the exact re-verify keeps it —
+    the documented estimate-vs-exact boundary made opt-in checkable."""
+    root = tmp_path_factory.mktemp("mh_exact")
+    outcomes = {}
+    for label, exact in (("est", False), ("exact", True)):
+        path = str(root / f"store_{label}")
+        build_minhash_store(
+            docs.filter(F.col("doc_id") < 50), path, num_hashes=32, bands=16
+        )
+        batch = spark.createDataFrame(
+            [(1, _CHAIN_A), (2, _CHAIN_B)], "doc_id long, text string"
+        )
+        src = str(root / f"src_{label}")
+        batch.coalesce(1).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .parquet(src)
+        )
+        q = stream_ingest_dedup(
+            stream,
+            path,
+            survivors_dir=str(root / f"out_{label}"),
+            checkpoint_dir=str(root / f"ckpt_{label}"),
+            threshold=0.5,
+            exact_verify_in_batch=exact,
+        )
+        q.awaitTermination(180)
+        outcomes[label] = {
+            r["doc_id"]
+            for r in spark.read.parquet(str(root / f"out_{label}")).collect()
+        }
+    assert outcomes["est"] == {1}
+    assert outcomes["exact"] == {1, 2}
+
+
+def test_zero_token_docs_route_through_fingerprint_tier(
+    spark, docs, tmp_path_factory
+):
+    """Zero-token docs (empty/whitespace/punct-only) produce no MinHash
+    signature; pre-fix they bypassed the store entirely — repeated
+    exact copies survived every batch and were never admitted (ADVICE
+    r12). Now they ride an exact-fingerprint tier: build admits them,
+    screens flag exact copies at est_jaccard 1.0, appends are
+    replay-idempotent, and the streaming loop dedups them first-wins
+    both in-batch and across batches."""
+    root = tmp_path_factory.mktemp("mh_zero")
+    path = str(root / "store")
+    seed = docs.filter(F.col("doc_id") < 50).unionByName(
+        spark.createDataFrame(
+            [(9_001, ""), (9_002, "   ")], "doc_id long, text string"
+        )
+    )
+    meta = build_minhash_store(seed, path)
+    assert meta["n_docs"] == 52  # both classes counted
+
+    # screening: an exact empty copy is flagged against the stored one;
+    # note "" and "   " normalize to different fingerprints than each
+    # other is NOT guaranteed — assert only on the exact-copy hit
+    probe = spark.createDataFrame(
+        [(9_100, ""), (9_101, "fresh nonempty text that matches nothing")],
+        "doc_id long, text string",
+    )
+    hits = screen_against_minhash_store(probe, path, threshold=0.5).collect()
+    assert any(
+        r["doc_id"] == 9_100 and r["est_jaccard"] == 1.0 for r in hits
+    )
+    assert not any(r["doc_id"] == 9_101 for r in hits)
+
+    # versioned append of a NEW zero-token doc: admitted, idempotent
+    newdoc = spark.createDataFrame(
+        [(9_200, "\t\n")], "doc_id long, text string"
+    )
+    assert append_to_minhash_store(newdoc, path, batch_id=3) == 1
+    assert append_to_minhash_store(newdoc, path, batch_id=3) == 1  # replay
+    assert spark.read.parquet(f"{path}/meta").first()["n_docs"] == 53
+    found = screen_against_minhash_store(
+        spark.createDataFrame([(9_300, "\t\n")], "doc_id long, text string"),
+        path,
+    ).collect()
+    assert any(r["dup_of"] == 9_200 for r in found)
+    # replay guard applies to the fingerprint tier too
+    hidden = screen_against_minhash_store(
+        spark.createDataFrame([(9_300, "\t\n")], "doc_id long, text string"),
+        path,
+        exclude_batch=3,
+    ).collect()
+    assert not any(r["dup_of"] == 9_200 for r in hidden)
+
+    # streaming: batch 1 plants two copies of a new empty-ish doc (the
+    # smaller id wins) plus a copy of the SEED empty doc (screened);
+    # batch 2 replays the surviving fingerprint (screened cross-batch)
+    b1 = spark.createDataFrame(
+        [(10_001, "!!!"), (10_002, "!!!"), (10_003, "")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame([(11_001, "!!!")], "doc_id long, text string")
+    src = str(root / "src")
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream_ingest_dedup(
+        stream,
+        path,
+        survivors_dir=str(root / "out"),
+        checkpoint_dir=str(root / "ckpt"),
+    )
+    q.awaitTermination(180)
+    survivors = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(root / "out")).collect()
+    }
+    assert 10_003 not in survivors  # exact copy of stored seed doc
+    assert (10_001 in survivors) != (11_001 in survivors)  # first-wins
+    assert 10_002 not in survivors  # in-batch fp dup, larger id
+    # survivors and the admitted count agree (published == admitted)
+    assert (
+        spark.read.parquet(f"{path}/meta").first()["n_docs"]
+        == 53 + len(survivors)
+    )
+
+
+def test_torn_batch_stays_unfolded_and_completes_on_replay(
+    spark, docs, tmp_path_factory
+):
+    """A torn batch (signatures/buckets landed, doc_counts did not)
+    must NOT fold: pre-fix, compaction absorbed its rows into the base
+    and the completing replay re-appended them — double-counting
+    n_docs and duplicating screen rows until the NEXT fold (ADVICE
+    r12). Now the fold skips it, its increment dirs survive, the
+    replay completes it exactly once, and the next fold absorbs it."""
+    import shutil
+
+    from sales_forecast_pyspark_spark.llmdata import compact_minhash_store
+    from sales_forecast_pyspark_spark.llmdata import lsm
+
+    path = str(tmp_path_factory.mktemp("mh_torn") / "store")
+    build_minhash_store(docs.filter(F.col("doc_id") < 100), path)
+    batch = docs.filter(
+        (F.col("doc_id") >= 100) & (F.col("doc_id") < 120)
+    ).select((F.col("doc_id") + 60_000).alias("doc_id"), "text")
+    complete = docs.filter(
+        (F.col("doc_id") >= 120) & (F.col("doc_id") < 130)
+    ).select((F.col("doc_id") + 60_000).alias("doc_id"), "text")
+    append_to_minhash_store(batch, path, batch_id=7)
+    append_to_minhash_store(complete, path, batch_id=8)
+    # tear batch 7: crash after buckets, before doc_counts
+    shutil.rmtree(f"{path}/doc_counts_inc/b=7")
+    assert spark.read.parquet(f"{path}/meta").first()["n_docs"] == 130
+
+    compact_minhash_store(spark, path)
+    # batch 8 folded, batch 7's increments survived, ledger knows 8 only
+    assert lsm.list_inc_batches(spark, path, "signatures") == {7}
+    assert lsm.folded_batches(spark, path) == {8}
+    # count excludes the torn batch (undercount, never over-claim)
+    assert spark.read.parquet(f"{path}/meta").first()["n_docs"] == 110
+
+    # the replay completes the torn batch — counted exactly once
+    assert append_to_minhash_store(batch, path, batch_id=7) == 20
+    assert spark.read.parquet(f"{path}/meta").first()["n_docs"] == 130
+    probe = docs.filter(F.col("doc_id") == 110).select(
+        F.lit(70_000).cast("long").alias("doc_id"), "text"
+    )
+    rows = screen_against_minhash_store(probe, path, threshold=0.9).collect()
+    assert sum(1 for r in rows if r["dup_of"] == 60_110) == 1  # no dup rows
+
+    # and the next fold absorbs it with a stable count
+    compact_minhash_store(spark, path)
+    assert lsm.list_inc_batches(spark, path, "signatures") == set()
+    assert lsm.folded_batches(spark, path) == {7, 8}
+    assert spark.read.parquet(f"{path}/meta").first()["n_docs"] == 130
+    after = screen_against_minhash_store(
+        probe, path, threshold=0.9
+    ).collect()
+    assert sum(1 for r in after if r["dup_of"] == 60_110) == 1
+
+
+def test_concurrent_mutation_fails_loudly_under_lease(
+    spark, docs, tmp_path_factory
+):
+    """VERDICT r12 ask #4a: with the maintenance lease held, every
+    mutating entry point (build / append / compact) raises
+    LeaseHeldError instead of interleaving file operations; a stale
+    lease is taken over."""
+    import pytest as _pytest
+
+    from sales_forecast_pyspark_spark.llmdata import compact_minhash_store
+    from sales_forecast_pyspark_spark.llmdata import lsm
+
+    path = str(tmp_path_factory.mktemp("mh_lease") / "store")
+    build_minhash_store(docs.filter(F.col("doc_id") < 50), path)
+    batch = docs.filter(F.col("doc_id") == 50).select(
+        (F.col("doc_id") + 80_000).alias("doc_id"), "text"
+    )
+
+    lsm.acquire_lease(spark, path, "test-holder")
+    try:
+        with _pytest.raises(lsm.LeaseHeldError):
+            append_to_minhash_store(batch, path, batch_id=1)
+        with _pytest.raises(lsm.LeaseHeldError):
+            compact_minhash_store(spark, path)
+        with _pytest.raises(lsm.LeaseHeldError):
+            build_minhash_store(docs.filter(F.col("doc_id") < 50), path)
+        # reads stay lease-free: screening works under a held lease
+        screen_against_minhash_store(
+            batch, path, threshold=0.9
+        ).collect()
+    finally:
+        lsm.release_lease(spark, path)
+    # released: mutation proceeds
+    assert append_to_minhash_store(batch, path, batch_id=1) == 1
+    # staleness takeover: a dead holder's lease does not deadlock
+    lsm.acquire_lease(spark, path, "crashed-holder")
+    import time as _time
+
+    _time.sleep(1.1)
+    lsm.acquire_lease(spark, path, "taker", stale_after_s=1.0)
+    lsm.release_lease(spark, path)
+
+
+def test_stream_loop_auto_compacts_and_parity_holds(
+    spark, docs, tmp_path_factory
+):
+    """Soak shape (VERDICT r12 ask #4b): a multi-batch drain with
+    ``auto_compact_after=2`` folds its own increments mid-stream; the
+    surviving set and the final store verdicts are identical to the
+    never-compacted run."""
+    from sales_forecast_pyspark_spark.llmdata import lsm
+
+    fresh = [
+        (20_000 + i, " ".join(f"soak{i}w{j} tok{i}x{j}" for j in range(25)))
+        for i in range(6)
+    ]
+    results = {}
+    for label, auto in (("plain", None), ("auto", 2)):
+        root = tmp_path_factory.mktemp(f"mh_soak_{label}")
+        path = str(root / "store")
+        build_minhash_store(docs.filter(F.col("doc_id") < 50), path)
+        src = str(root / "src")
+        for i, (did, text) in enumerate(fresh):
+            rows = [(did, text)]
+            if i >= 2:  # every later batch re-offers an earlier doc
+                rows.append((did + 500, fresh[i - 2][1]))
+            spark.createDataFrame(
+                rows, "doc_id long, text string"
+            ).coalesce(1).write.mode(
+                "overwrite" if i == 0 else "append"
+            ).parquet(src)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = stream_ingest_dedup(
+            stream,
+            path,
+            survivors_dir=str(root / "out"),
+            checkpoint_dir=str(root / "ckpt"),
+            auto_compact_after=auto,
+        )
+        q.awaitTermination(300)
+        results[label] = {
+            "survivors": {
+                r["doc_id"]
+                for r in spark.read.parquet(str(root / "out")).collect()
+            },
+            "n_docs": spark.read.parquet(f"{path}/meta").first()["n_docs"],
+            "inc_batches": len(
+                lsm.list_inc_batches(spark, path, "signatures")
+            ),
+            "folded": len(lsm.folded_batches(spark, path)),
+        }
+    assert results["auto"]["survivors"] == results["plain"]["survivors"]
+    assert results["auto"]["n_docs"] == results["plain"]["n_docs"]
+    # the auto run actually folded mid-stream and kept the tier shallow
+    assert results["auto"]["folded"] > 0
+    assert results["auto"]["inc_batches"] < results["plain"]["inc_batches"]
