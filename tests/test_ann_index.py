@@ -534,10 +534,11 @@ def test_torn_batch_stays_unfolded_and_replay_completes_it(
     """The union-ledger defect the r12 second-pass review caught: a
     TORN batch (first table's increment written, later ones not) must
     NOT be recorded as folded — its replay is the only thing that can
-    complete it. The fold may have absorbed the torn batch's orphan
-    vectors meanwhile; the replay then makes them transient
-    bit-identical duplicates, which the refine-stage key dedupe hides
-    from serving and the next compaction removes."""
+    complete it. Since r13 the fold also does NOT absorb the torn
+    batch's orphan rows at all (``_complete_index_view``): its
+    increment dirs survive the compaction untouched, so the replay
+    overwrites them in place and no transient duplicates ever exist —
+    the stronger form of the ADVICE r12 double-count fix."""
     import shutil
 
     from sales_forecast_pyspark_spark.llmdata import (
@@ -558,11 +559,15 @@ def test_torn_batch_stays_unfolded_and_replay_completes_it(
     shutil.rmtree(f"{path}/codes_inc", ignore_errors=True)
     shutil.rmtree(f"{path}/stats_live_inc", ignore_errors=True)
 
-    compact_ivfpq_index(spark, path)  # folds the orphan vectors
-    # the torn batch must NOT be in the fold ledger...
+    compact_ivfpq_index(spark, path)
+    # the torn batch must NOT be in the fold ledger, its increment
+    # dirs must survive the fold, and the base must not have absorbed
+    # its orphan rows (the fold reads COMPLETE batches only)
     from sales_forecast_pyspark_spark.llmdata import lsm
 
     assert 3 not in lsm.folded_batches(spark, path)
+    assert lsm.list_inc_batches(spark, path, "vectors") == {3}
+    assert spark.read.parquet(f"{path}/vectors").count() == 400
     # ...so the replay COMPLETES it instead of no-opping
     assert append_to_ivfpq_index(batch, path, batch_id=3) == 100
 
@@ -587,3 +592,140 @@ def test_torn_batch_stays_unfolded_and_replay_completes_it(
     assert sorted(map(tuple, live)) == sorted(map(tuple, full))
     assert sum(r["n_rows"] for r in live) == 500
     assert spark.read.parquet(f"{path}/meta").first()["n_vectors"] == 500
+
+
+def test_torn_codes_batch_never_double_counts(spark, emb, tmp_path_factory):
+    """The index-side analogue of the ADVICE r12 MinHash double-count:
+    a batch torn AFTER its codes landed but BEFORE its stats increment
+    (codes_inc + vectors_inc present, stats_live_inc not) gets folded
+    by a pre-r13 compactor; its completing replay then re-appends and
+    the live stats tier double-counts the batch until the next fold.
+    With complete-only folding the count is never wrong: undercount
+    while torn, exact after the replay."""
+    import shutil
+
+    from sales_forecast_pyspark_spark.llmdata import (
+        append_to_ivfpq_index,
+        compact_ivfpq_index,
+        ivfpq_index_stats,
+    )
+
+    path = str(tmp_path_factory.mktemp("ivfpq_torn2") / "idx")
+    build_ivfpq_index(emb.filter(F.col("vec_id") < 400), path)
+    batch = emb.filter(F.col("vec_id") >= 400).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    append_to_ivfpq_index(batch, path, batch_id=6)
+    shutil.rmtree(f"{path}/stats_live_inc", ignore_errors=True)
+
+    compact_ivfpq_index(spark, path)
+    # undercount while torn — never an over-claim
+    assert spark.read.parquet(f"{path}/meta").first()["n_vectors"] == 400
+
+    # the completing replay lands the batch EXACTLY ONCE
+    assert append_to_ivfpq_index(batch, path, batch_id=6) == 100
+    assert spark.read.parquet(f"{path}/meta").first()["n_vectors"] == 500
+    live = ivfpq_index_stats(spark, path).collect()
+    assert sum(r["n_rows"] for r in live) == 500
+    # and serving sees each appended vector once (no duplicate rows)
+    queries = emb.filter(F.col("vec_id") < 10)
+    got = query_ivfpq_index(spark, path, queries, k=5)
+    assert got.groupBy("query_id", "neighbor_id").count().filter(
+        F.col("count") > 1
+    ).isEmpty()
+
+    compact_ivfpq_index(spark, path)
+    assert spark.read.parquet(f"{path}/meta").first()["n_vectors"] == 500
+    full = ivfpq_index_stats(spark, path, full_scan=True).collect()
+    assert sum(r["n_rows"] for r in full) == 500
+
+
+def test_index_mutations_fail_loudly_under_lease(
+    spark, emb, tmp_path_factory
+):
+    """VERDICT r12 ask #4a for the index: with the maintenance lease
+    held, build / append / compact raise LeaseHeldError instead of
+    interleaving file operations; queries stay lease-free."""
+    from sales_forecast_pyspark_spark.llmdata import (
+        append_to_ivfpq_index,
+        compact_ivfpq_index,
+        lsm,
+    )
+
+    path = str(tmp_path_factory.mktemp("ivfpq_lease") / "idx")
+    build_ivfpq_index(emb.filter(F.col("vec_id") < 200), path)
+    batch = emb.filter(F.col("vec_id") == 200).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    lsm.acquire_lease(spark, path, "test-holder")
+    try:
+        with pytest.raises(lsm.LeaseHeldError):
+            append_to_ivfpq_index(batch, path, batch_id=1)
+        with pytest.raises(lsm.LeaseHeldError):
+            compact_ivfpq_index(spark, path)
+        with pytest.raises(lsm.LeaseHeldError):
+            build_ivfpq_index(emb.filter(F.col("vec_id") < 200), path)
+        # reads stay lease-free
+        queries = emb.filter(F.col("vec_id") < 5)
+        assert query_ivfpq_index(spark, path, queries, k=3).count() == 15
+    finally:
+        lsm.release_lease(spark, path)
+    assert append_to_ivfpq_index(batch, path, batch_id=1) == 1
+
+
+def test_streamed_index_auto_compacts_and_serves_identically(
+    spark, emb, tmp_path_factory
+):
+    """Soak shape (VERDICT r12 ask #4b): the streaming ingest loop
+    with ``auto_compact_after=2`` folds its own increments mid-drain;
+    final served results and counts match the never-compacted twin."""
+    from sales_forecast_pyspark_spark.llmdata import (
+        lsm,
+        stream_append_to_ivfpq_index,
+    )
+
+    results = {}
+    for label, auto in (("plain", None), ("auto", 2)):
+        root = tmp_path_factory.mktemp(f"ivfpq_soak_{label}")
+        path = str(root / "idx")
+        build_ivfpq_index(emb.filter(F.col("vec_id") < 300), path)
+        src = str(root / "src")
+        for i in range(5):
+            emb.filter(
+                (F.col("vec_id") >= 300 + i * 20)
+                & (F.col("vec_id") < 320 + i * 20)
+            ).select(
+                (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+            ).coalesce(1).write.mode(
+                "overwrite" if i == 0 else "append"
+            ).parquet(src)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = stream_append_to_ivfpq_index(
+            stream,
+            path,
+            checkpoint_dir=str(root / "ckpt"),
+            auto_compact_after=auto,
+        )
+        q.awaitTermination(300)
+        queries = emb.filter(F.col("vec_id") < 10)
+        results[label] = {
+            "topk": sorted(
+                map(
+                    tuple,
+                    query_ivfpq_index(spark, path, queries, k=5).collect(),
+                )
+            ),
+            "n_vectors": spark.read.parquet(f"{path}/meta").first()[
+                "n_vectors"
+            ],
+            "inc_batches": len(lsm.list_inc_batches(spark, path, "codes")),
+            "folded": len(lsm.folded_batches(spark, path)),
+        }
+    assert results["auto"]["topk"] == results["plain"]["topk"]
+    assert results["auto"]["n_vectors"] == results["plain"]["n_vectors"] == 400
+    assert results["auto"]["folded"] > 0
+    assert results["auto"]["inc_batches"] < results["plain"]["inc_batches"]
