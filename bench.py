@@ -218,9 +218,28 @@ def prepare_steady_state(
                 _execute(registry[name](spark, "/root/testdata/sf0.01"))
     except Exception as exc:  # pragma: no cover - warmup is best-effort
         print(f"warmup failed: {exc}", file=sys.stderr)
+    def _pagerank_edge_frontier(spark, sf_dir):
+        # the directed, u-partitioned edge cache every pagerank
+        # iteration reads — built from the copurchase frontier cached
+        # just above, so this fill is cheap and the measured
+        # pagerank_parts run starts fully warm (VERDICT r12 ask #6:
+        # run 1 was paying an 8.3s cache fill vs a 3.3s median)
+        from pyspark.sql import functions as F
+
+        from sales_forecast_pyspark_spark.operators.graph import (
+            pagerank_edges,
+        )
+
+        return pagerank_edges(
+            copurchase_pairs(spark, sf_dir).select(
+                F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+            )
+        )
+
     for label, build in (
         ("_frontier_daily_panel", daily_panel),
         ("_frontier_copurchase_pairs", copurchase_pairs),
+        ("_frontier_pagerank_edges", _pagerank_edge_frontier),
     ):
         try:
             # build lazily INSIDE the try: plan construction itself can
@@ -240,9 +259,17 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="bench")
 
-    from sales_forecast_pyspark_spark.plans.queries import queries
+    from sales_forecast_pyspark_spark.plans.queries import (
+        q_big_ticket_orders,
+        queries,
+    )
 
-    registry = queries()
+    registry = dict(queries())
+    # retired from the driver registry in r13 (slot spent on
+    # minhash_store_lifecycle) but kept on the bench board so the
+    # r12→r13 per-query tail stays comparable — see the retirement
+    # note in plans/queries.py
+    registry["big_ticket_orders"] = q_big_ticket_orders
     names = [n for n in BENCH_QUERIES if n in registry]
 
     # Steady-state preamble (warmup + shared-frontier accounting, see

@@ -2878,6 +2878,152 @@ def q_ann_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return served.crossJoin(F.broadcast(drift))
 
 
+@register("minhash_store_lifecycle")  # rows-only: xxhash64 signatures +
+# persisted parquet layout not SQL-expressible (slot reclaimed from
+# big_ticket_orders, r13 — see that retirement note and SCALING.md)
+def q_minhash_store_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full lifecycle of the PERSISTED MinHash store (llmdata/
+    dedup_store.py) — the incremental near-dedup shape the one-shot
+    `near_dedup_minhash` row is not (VERDICT r12 ask #2): build the
+    store ONCE on 80% of the documents corpus (doc_id % 5 != 0),
+    SCREEN the remaining 20% against the stored signatures (bucket
+    equality join + signature-estimate verify; the corpus text is
+    never re-read), APPEND the survivors under a versioned batch id,
+    then prove the served state from the persisted tables.
+
+    Self-validating in-row on both documented risk axes:
+    - screen recall vs the one-shot truth: `minhash_near_dedup` over
+      the SAME full corpus, restricted to cross (batch, seed) pairs —
+      the exact-verified accept set the store's estimate-verify
+      screens against (the documented estimate-vs-exact boundary is
+      precisely what recall measures here). truth_pairs / hit_pairs /
+      screen_recall / recall_ok (bar 0.7; measured 1.0 at sf0.001 and
+      sf0.01 — the planted dup families sit far above the boundary);
+      zero-truth regime pins recall_ok RED (unjudgeable otherwise).
+    - exactly-once ingest: the same versioned append REPLAYED must
+      leave the store unchanged (replay_stable_ok), the doc-count
+      ledger must equal seed + admitted (count_ok), and a probe copy
+      of an admitted survivor must screen out of the post-append
+      store (post_append_found_ok).
+
+    The builder materializes the store eagerly (build + append are
+    writes), so it sits in the plan-sweep SKIP class with
+    `ann_index_lifecycle`; the store read path's plan shape is pinned
+    by tests/test_dedup_store.py instead. Like the sibling, it is not
+    benched — its dominant stage (corpus signature build + bucket
+    join) is the one `near_dedup_minhash` already prices."""
+    import glob
+    import shutil
+    import tempfile
+    import time as _time
+
+    from sales_forecast_pyspark_spark.llmdata.dedup import minhash_near_dedup
+    from sales_forecast_pyspark_spark.llmdata.dedup_store import (
+        append_to_minhash_store,
+        build_minhash_store,
+        screen_against_minhash_store,
+    )
+
+    # age-gated reap of PRIOR checks' store dirs (same discipline as
+    # ann_index_lifecycle): repeated driver checks must not accumulate
+    # stores in /tmp, and a concurrent invocation's live store must
+    # not be deleted mid-flight
+    for old in glob.glob(
+        os.path.join(tempfile.gettempdir(), "spark_mhstore_lifecycle_*")
+    ):
+        try:
+            if _time.time() - os.path.getmtime(old) > 3600:
+                shutil.rmtree(old, ignore_errors=True)
+        except OSError:
+            pass
+    path = tempfile.mkdtemp(prefix="spark_mhstore_lifecycle_") + "/store"
+
+    docs = spread_scan(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    )
+    seed = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    threshold = 0.5
+
+    meta = build_minhash_store(seed, path)
+    n_seed = meta["n_docs"]
+
+    hits = screen_against_minhash_store(batch, path, threshold=threshold)
+    hit_pairs = hits.select("doc_id", "dup_of").distinct()
+    hit_pairs.cache()
+    # one-shot exact-verified truth over the SAME corpus, cross pairs
+    # only (screening judges batch-vs-store; in-batch and seed-seed
+    # pairs are out of its scope)
+    cross = (
+        minhash_near_dedup(docs, threshold=threshold)
+        .select("doc_a", "doc_b")
+        .filter((F.col("doc_a") % 5 == 0) != (F.col("doc_b") % 5 == 0))
+        .select(
+            F.when(F.col("doc_a") % 5 == 0, F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("doc_id"),
+            F.when(F.col("doc_a") % 5 == 0, F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("dup_of"),
+        )
+    )
+    cross.cache()
+    truth_pairs = cross.count()
+    hit_truth = cross.join(hit_pairs, ["doc_id", "dup_of"]).count()
+    screened_pairs = hit_pairs.count()
+    cross.unpersist()
+
+    # admit the non-dup survivors under a versioned batch, then replay
+    survivors = batch.join(
+        hit_pairs.select("doc_id").distinct(), "doc_id", "left_anti"
+    )
+    hit_pairs.unpersist()
+    admitted = append_to_minhash_store(survivors, path, batch_id=1)
+    n_docs_after = (
+        spark.read.parquet(os.path.join(path, "meta")).first()["n_docs"]
+    )
+    append_to_minhash_store(survivors, path, batch_id=1)  # replay
+    n_docs_replayed = (
+        spark.read.parquet(os.path.join(path, "meta")).first()["n_docs"]
+    )
+
+    # serve check: a fresh copy of an admitted survivor screens out
+    probe_src = survivors.orderBy("doc_id").limit(1)
+    probe = probe_src.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    post_found = (
+        screen_against_minhash_store(probe, path, threshold=0.9)
+        .filter(F.col("est_jaccard") >= 0.999)
+        .count()
+        > 0
+    )
+
+    recall = hit_truth / truth_pairs if truth_pairs else None
+    return spark.createDataFrame(
+        [
+            (
+                int(n_seed),
+                int(truth_pairs),
+                int(hit_truth),
+                int(screened_pairs),
+                None if recall is None else round(recall, 6),
+                bool(truth_pairs > 0 and recall >= 0.7),
+                int(admitted),
+                int(n_docs_after),
+                bool(n_docs_replayed == n_docs_after),
+                bool(n_docs_after == n_seed + admitted),
+                bool(post_found),
+            )
+        ],
+        "n_seed long, truth_pairs long, hit_pairs long, screened_pairs long, "
+        "screen_recall double, recall_ok boolean, admitted long, "
+        "n_docs long, replay_stable_ok boolean, count_ok boolean, "
+        "post_append_found_ok boolean",
+    )
+
+
 @register("ann_pairs_topk")  # rows-only: BRP-LSH buckets are not SQL-expressible
 def q_ann_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-output neighbor mining (llmdata/similarity.py::
@@ -5446,9 +5592,18 @@ def q_small_order_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "big_ticket_orders",
-    """
+# `big_ticket_orders` RETIRED from the registry in r13 per SCALING.md's
+# ranked policy (slot spent on `minhash_store_lifecycle`, VERDICT r12
+# ask #2). Its constituent shapes stay driver-pinned by siblings:
+# the selective decimal-HAVING rollup feeding a fact join by
+# `late_order_priorities`/`order_backlog_sweep`, the orders⋈customer
+# dim join by `dormant_rich_customers`/`customer_order_histogram`, and
+# the TakeOrderedAndProject top-k by `topk_products`. The builder and
+# its oracle SQL stay below, UNREGISTERED: tests/test_oracle_queries.py
+# ::test_retired_big_ticket_orders_still_matches_oracle keeps the full
+# DuckDB comparison as pytest evidence, and bench.py keeps its bench
+# row by referencing the builder directly (board comparability).
+BIG_TICKET_ORDERS_ORACLE = """
 WITH big AS (
   SELECT l_orderkey AS ok, CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
   FROM lineitem GROUP BY 1
@@ -5462,8 +5617,9 @@ JOIN orders ON o_orderkey = ok
 JOIN customer ON c_custkey = o_custkey
 ORDER BY totalprice DESC, o_orderkey
 LIMIT 100
-""",
-)
+"""
+
+
 def q_big_ticket_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: large-volume orders (total quantity > 250) with
     their customers. The HAVING filter runs at the rollup BEFORE any

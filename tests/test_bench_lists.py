@@ -25,10 +25,33 @@ from bench_medians import HEAVIES  # noqa: E402
 from sales_forecast_pyspark_spark.plans.queries import QUERIES  # noqa: E402
 
 
+# Queries retired from the driver registry but deliberately KEPT on
+# the bench board via a direct builder reference in bench.main() —
+# board comparability across the retirement round (see the retirement
+# note in plans/queries.py). An entry here must have that reference.
+RETIRED_BUT_BENCHED = {"big_ticket_orders"}
+
+
 def test_bench_queries_are_registered_and_unique():
-    missing = [n for n in BENCH_QUERIES if n not in QUERIES]
+    missing = [
+        n
+        for n in BENCH_QUERIES
+        if n not in QUERIES and n not in RETIRED_BUT_BENCHED
+    ]
     assert not missing, f"BENCH_QUERIES names unregistered queries: {missing}"
     assert len(BENCH_QUERIES) == len(set(BENCH_QUERIES))
+
+
+def test_retired_benched_builders_exist():
+    """The direct-reference contract: every RETIRED_BUT_BENCHED name
+    must resolve to a callable builder in plans.queries (bench.main()
+    injects it into its registry copy)."""
+    import importlib
+
+    q = importlib.import_module("sales_forecast_pyspark_spark.plans.queries")
+    for name in RETIRED_BUT_BENCHED:
+        assert name not in QUERIES  # actually retired
+        assert callable(getattr(q, f"q_{name}"))
 
 
 def test_warmup_queries_are_benched():

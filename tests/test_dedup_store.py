@@ -624,3 +624,22 @@ def test_stream_loop_auto_compacts_and_parity_holds(
     # the auto run actually folded mid-stream and kept the tier shallow
     assert results["auto"]["folded"] > 0
     assert results["auto"]["inc_batches"] < results["plain"]["inc_batches"]
+
+
+def test_minhash_lifecycle_driver_row_is_green(spark):
+    """The registered minhash_store_lifecycle row (build 80% → screen
+    20% → append survivors → replay → probe) must be green on every
+    in-row audit axis at the oracle SF: screen recall vs the one-shot
+    exact-verified truth clears the 0.7 bar (measured 1.0 on this
+    corpus), the replayed versioned append leaves the store unchanged,
+    the doc-count ledger reconciles, and a copy of an admitted
+    survivor screens out of the post-append store."""
+    from sales_forecast_pyspark_spark.plans.queries import QUERIES
+
+    r = QUERIES["minhash_store_lifecycle"].builder(spark, SF_ORACLE).first()
+    assert r["recall_ok"] is True and r["screen_recall"] >= 0.7
+    assert r["truth_pairs"] > 0  # the corpus plants cross-split dups
+    assert r["replay_stable_ok"] is True
+    assert r["count_ok"] is True
+    assert r["post_append_found_ok"] is True
+    assert r["n_seed"] + r["admitted"] == r["n_docs"]

@@ -28,6 +28,24 @@ def test_all_queries_runnable(spark):
         assert df.count() >= 0, name
 
 
+def test_retired_big_ticket_orders_still_matches_oracle(spark, duck):
+    """`big_ticket_orders` was retired from the driver registry in r13
+    (slot spent on `minhash_store_lifecycle`, per SCALING.md's ranked
+    policy); the retirement contract keeps its FULL oracle comparison
+    alive here — same builder, same SQL, same compare — so the Q18
+    shape's evidence is pytest-level instead of driver-level."""
+    from sales_forecast_pyspark_spark.plans.queries import (
+        BIG_TICKET_ORDERS_ORACLE,
+        q_big_ticket_orders,
+    )
+
+    register_duck_views(duck, SF_SMALL)
+    ok, msg = compare_query(
+        q_big_ticket_orders(spark, SF_SMALL), duck, BIG_TICKET_ORDERS_ORACLE
+    )
+    assert ok, msg
+
+
 def test_variant_path_matches_declared_schema(spark):
     """Spark 4 VariantType (schema-less semi-structured path): parsing
     props once into a variant and extracting '$.k' typed must agree
