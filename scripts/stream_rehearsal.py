@@ -325,6 +325,16 @@ def run_index_ingest(spark, sf_dir, files_per_trigger) -> dict:
         # aggregates the source rows each of them touched — measured
         # 2250 for a 2000-row batch. Report the SOURCE truth instead.
         out["input_rows"] = spark.read.parquet(src).count()
+        # increment-tier depth after the drain (VERDICT r12 ask #5):
+        # what the serve path pays before a compaction folds it — the
+        # quantity lsm.should_compact bounds in a long-running loop
+        from sales_forecast_pyspark_spark.llmdata import lsm
+
+        out["inc_batches"] = len(lsm.list_inc_batches(spark, p_stream, "codes"))
+        out["inc_files"] = sum(
+            lsm.data_files(spark, os.path.join(p_stream, f"{t}_inc"))
+            for t in ("codes", "vectors", "stats_live")
+        )
         # equivalence vs a batch append of the same rows
         p_batch = os.path.join(tmp, "idx_batch")
         build_ivfpq_index(emb, p_batch)
@@ -406,6 +416,16 @@ def run_dedup_ingest(spark, sf_dir, files_per_trigger) -> dict:
         # runs several actions per batch and numInputRows aggregates
         # the source rows each touched
         out["input_rows"] = spark.read.parquet(src).count()
+        # increment-tier depth after the drain (VERDICT r12 ask #5)
+        from sales_forecast_pyspark_spark.llmdata import lsm
+
+        out["inc_batches"] = len(
+            lsm.list_inc_batches(spark, store, "doc_counts")
+        )
+        out["inc_files"] = sum(
+            lsm.data_files(spark, os.path.join(store, f"{t}_inc"))
+            for t in ("signatures", "buckets", "fingerprints", "doc_counts")
+        )
         survivors = spark.read.parquet(os.path.join(tmp, "out"))
         n_surv = survivors.count()
         n_fresh_surv = survivors.filter(
@@ -423,12 +443,71 @@ def run_dedup_ingest(spark, sf_dir, files_per_trigger) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def run_dedup_screen_ratio(spark, sf_dir, files_per_trigger) -> dict:
+    """The screen-vs-reshingle ratio at this corpus decade, made
+    reproducible (the r12 numbers in SCALING.md — 2.6× at 20k docs,
+    7.8× at 80k — were measured ad hoc; VERDICT r12 ask #5 wants the
+    100× point recorded from a rerunnable path): time a 500-doc batch
+    SCREEN against a store built on the full corpus, vs the one-shot
+    `minhash_near_dedup` over corpus+batch that a store-less pipeline
+    would rerun at every ingest. The screen is O(batch) — near-flat
+    across decades — while the one-shot re-signatures the corpus AND
+    pays the duplicate-family candidate fan-out, so the ratio widens
+    with corpus growth; at real ingest cadence the one-shot side is
+    paid per batch, making the ratio the per-ingest saving."""
+    from sales_forecast_pyspark_spark.llmdata import (
+        build_minhash_store,
+        screen_against_minhash_store,
+    )
+    from sales_forecast_pyspark_spark.llmdata.dedup import minhash_near_dedup
+    from sales_forecast_pyspark_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+    batch = (
+        docs.orderBy("doc_id")
+        .limit(500)
+        .select((-F.col("doc_id") - 1).alias("doc_id"), "text")
+    )
+    batch = batch.localCheckpoint(eager=True)  # fix the batch off-clock
+    tmp = tempfile.mkdtemp(prefix="stream_rehearsal_ratio_")
+    try:
+        store = os.path.join(tmp, "store")
+        t0 = time.time()
+        build_minhash_store(docs, store)
+        build_s = time.time() - t0
+        t0 = time.time()
+        n_hits = screen_against_minhash_store(
+            batch, store, threshold=0.5
+        ).count()
+        screen_s = time.time() - t0
+        t0 = time.time()
+        n_oneshot = minhash_near_dedup(
+            docs.unionByName(batch), threshold=0.5
+        ).count()
+        oneshot_s = time.time() - t0
+        return {
+            "path": "dedup_screen_ratio",
+            "corpus_docs": n_docs,
+            "batch_docs": 500,
+            "build_s": round(build_s, 2),
+            "screen_s": round(screen_s, 2),
+            "oneshot_s": round(oneshot_s, 2),
+            "ratio": round(oneshot_s / max(screen_s, 1e-9), 2),
+            "screen_hits": n_hits,
+            "oneshot_pairs": n_oneshot,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 PATHS = {
     "windowed_totals": run_windowed,
     "attribution": run_attribution,
     "partials_fold": run_partials_fold,
     "index_ingest": run_index_ingest,
     "dedup_ingest": run_dedup_ingest,
+    "dedup_screen_ratio": run_dedup_screen_ratio,
 }
 
 

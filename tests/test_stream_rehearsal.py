@@ -42,3 +42,17 @@ def test_partials_fold_matches_batch_rebuild(spark):
     assert res["matches_batch_rebuild"] is True
     assert res["input_rows"] == 6000
     assert res["state_rows"] > 0  # published panel grain
+
+
+def test_dedup_screen_ratio_path_reports_sane_metrics(spark):
+    """The reproducible screen-vs-reshingle measurement (VERDICT r12
+    ask #5): every re-keyed batch doc is an exact copy of a store doc,
+    so the screen must flag all 500, and both timing sides must be
+    positive with a positive ratio."""
+    from scripts.stream_rehearsal import run_dedup_screen_ratio
+
+    res = run_dedup_screen_ratio(spark, SF, files_per_trigger=1)
+    assert res["corpus_docs"] > 0 and res["batch_docs"] == 500
+    assert res["screen_hits"] >= 500
+    assert res["screen_s"] > 0 and res["oneshot_s"] > 0
+    assert res["ratio"] == round(res["oneshot_s"] / res["screen_s"], 2)
