@@ -170,6 +170,11 @@ WARMUP_QUERIES = [
     "ann_pairs_topk",
 ]
 
+# Queries that additionally get ONE warm pass at the MEASURED SF inside
+# prepare_steady_state (step 3 there): their sf0.01 warmup demonstrably
+# fails to pre-compile the code the measured scale runs.
+MEASURED_SF_WARMUP = ["pagerank_parts"]
+
 
 def _sf_from_dir(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -236,11 +241,12 @@ def prepare_steady_state(
             )
         )
 
-    for label, build in (
+    frontier_builds = (
         ("_frontier_daily_panel", daily_panel),
         ("_frontier_copurchase_pairs", copurchase_pairs),
         ("_frontier_pagerank_edges", _pagerank_edge_frontier),
-    ):
+    )
+    for label, build in frontier_builds:
         try:
             # build lazily INSIDE the try: plan construction itself can
             # raise (missing table in a stripped-down sf_dir) and the
@@ -253,6 +259,25 @@ def prepare_steady_state(
                 timings[label] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # pragma: no cover - cache is optional
             print(f"frontier build failed ({label}): {exc}", file=sys.stderr)
+
+    # 3. Measured-SF warm pass for queries whose generated code does
+    # NOT transfer from the sf0.01 warmup. pagerank_parts: with the
+    # edge cache already hot (step 2), its first sf0.1 execution still
+    # paid ~3.5s of iteration-pipeline codegen/JIT that the sf0.01 pass
+    # provably does not pre-compile (measured: warm pass 7.0s, next
+    # runs 3.1-4.0s — run-1/median gap 2.1x without this, 1.04x with).
+    # Cost is recorded under an explicit "_warm_*" key like the
+    # frontiers — off the per-query clock, never hidden from the total.
+    for name in MEASURED_SF_WARMUP:
+        if name not in registry:
+            continue
+        try:
+            t0 = time.perf_counter()
+            _execute(registry[name](spark, sf_dir))
+            if timings is not None:
+                timings[f"_warm_{name}"] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # pragma: no cover - warmup best-effort
+            print(f"measured-SF warmup failed ({name}): {exc}", file=sys.stderr)
 
 
 def main() -> None:

@@ -19,7 +19,7 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
 
-from bench import BENCH_QUERIES, WARMUP_QUERIES  # noqa: E402
+from bench import BENCH_QUERIES, MEASURED_SF_WARMUP, WARMUP_QUERIES  # noqa: E402
 from bench_medians import HEAVIES  # noqa: E402
 
 from sales_forecast_pyspark_spark.plans.queries import QUERIES  # noqa: E402
@@ -65,3 +65,10 @@ def test_warmup_queries_are_benched():
 def test_medians_heavies_are_registered():
     missing = [n for n in HEAVIES if n not in QUERIES]
     assert not missing, f"HEAVIES names unregistered queries: {missing}"
+
+
+def test_measured_sf_warmup_queries_are_benched():
+    """A measured-SF warm pass for a query that is never measured is
+    pure wasted board time — same rule as WARMUP_QUERIES."""
+    not_benched = [n for n in MEASURED_SF_WARMUP if n not in BENCH_QUERIES]
+    assert not not_benched, f"warmed at SF but not measured: {not_benched}"
