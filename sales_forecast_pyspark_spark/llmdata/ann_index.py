@@ -650,7 +650,7 @@ def stream_append_to_ivfpq_index(
     checkpoint_dir: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    auto_compact_after: int | None = None,
+    auto_compact_after: int | None = 64,
 ):
     """Continuous ingest into a persisted IVF-PQ index — the
     production loop that keeps the index current between rebuilds:
@@ -670,13 +670,14 @@ def stream_append_to_ivfpq_index(
     remains the rebuild trigger when the streamed distribution drifts
     from the codebooks.
 
-    ``auto_compact_after=N`` makes the loop consult
+    ``auto_compact_after=N`` (default 64) makes the loop consult
     ``lsm.should_compact`` after each append and run
     ``compact_ivfpq_index`` once any table accumulates N increment
     dirs — long-running ingest bounds its own serve-path listing cost
     instead of relying on an operator hand-scheduling folds (VERDICT
-    r12 ask #4b). The fold runs inside the same single-writer loop, so
-    the lease never contends.
+    r12 ask #4b; ``None`` disables, which tier-depth-comparing
+    rehearsals use). The fold runs inside the same single-writer loop,
+    so the lease never contends.
 
     Uses ``trigger(availableNow=True)`` — drain everything available,
     then stop — the rehearsal-friendly default the streaming tier

@@ -588,7 +588,7 @@ def stream_ingest_dedup(
     text_col: str = "text",
     threshold: float = 0.5,
     exact_verify_in_batch: bool = False,
-    auto_compact_after: int | None = None,
+    auto_compact_after: int | None = 64,
 ):
     """The composed incremental-dedup ingest loop: per micro-batch,
     (1) screen the batch against everything already accepted (signature
@@ -610,11 +610,14 @@ def stream_ingest_dedup(
     (store-side candidates cannot be exact-checked: admitted text is
     never retained — raise ``num_hashes`` at build time instead).
 
-    ``auto_compact_after=N`` makes the loop consult
+    ``auto_compact_after=N`` (default 64) makes the loop consult
     ``lsm.should_compact`` after each append and fold the increments
     tier once any table accumulates N batch dirs — long-running ingest
     bounds its own listing costs instead of relying on an operator
     hand-scheduling ``compact_minhash_store`` (VERDICT r12 ask #4b).
+    ``None`` disables (rehearsals comparing tier depth use that); the
+    fold runs inside this same single-writer loop, so the maintenance
+    lease never contends.
 
     Exactly-once end to end without a transactional sink: the store
     append and the survivors publish are both overwrite-mode keyed by

@@ -314,7 +314,12 @@ def run_index_ingest(spark, sf_dir, files_per_trigger) -> dict:
         _raise_progress_retention(spark)
         t0 = time.time()
         q = stream_append_to_ivfpq_index(
-            stream, p_stream, checkpoint_dir=os.path.join(tmp, "ckpt")
+            stream,
+            p_stream,
+            checkpoint_dir=os.path.join(tmp, "ckpt"),
+            # the rehearsal MEASURES post-drain increment-tier depth;
+            # the self-compaction default would fold it mid-drain
+            auto_compact_after=None,
         )
         q.awaitTermination()
         wall = time.time() - t0
@@ -407,6 +412,7 @@ def run_dedup_ingest(spark, sf_dir, files_per_trigger) -> dict:
             survivors_dir=os.path.join(tmp, "out"),
             checkpoint_dir=os.path.join(tmp, "ckpt"),
             threshold=0.5,
+            auto_compact_after=None,  # measuring post-drain tier depth
         )
         q.awaitTermination()
         wall = time.time() - t0
