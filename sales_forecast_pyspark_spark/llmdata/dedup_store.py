@@ -477,7 +477,7 @@ def _append_signed(
         return n_new
 
 
-def _greedy_losers(pairs: DataFrame) -> DataFrame:
+def _greedy_losers(pairs: DataFrame, max_rounds: int = 64) -> DataFrame:
     """The docs a SEQUENTIAL greedy first-wins ingest would drop, given
     the verified near-dup pairs of one batch: processing docs in
     ascending id order, a doc is dropped iff it verifies against an
@@ -498,15 +498,40 @@ def _greedy_losers(pairs: DataFrame) -> DataFrame:
     are id-only and eagerly localCheckpointed: lineage stays flat
     across rounds instead of stacking one join tree per iteration.
 
+    Round bound: realistic near-dup structure peels in one or two
+    rounds (exact-copy families are cliques — one round; planted
+    mutation families are stars), but an adversarial PATH graph
+    1-2-3-…-n decides only two nodes per round, so an unbounded loop
+    could spin O(n) driver rounds on one poisoned batch. After
+    ``max_rounds`` the remaining (cyclic-free but deep) tail falls
+    back to dropping every remaining ``doc_b`` — the pre-r13
+    semantics: possibly over-deleting on the tail, NEVER keeping two
+    verified near-dups together, and loudly warned.
+
     Input must be DISTINCT (doc_a, doc_b) rows with doc_a < doc_b;
     output is a (doc_id) frame of losers."""
+    import warnings
+
     active = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
     losers = (
         active.select(F.col("doc_b").alias("doc_id"))
         .limit(0)
         .localCheckpoint(eager=True)
     )
+    rounds = 0
     while not active.isEmpty():
+        if rounds >= max_rounds:
+            warnings.warn(
+                f"_greedy_losers: dependency chains deeper than "
+                f"{max_rounds} rounds — dropping every remaining pair's "
+                f"doc_b (conservative over-deletion on the tail)",
+                stacklevel=2,
+            )
+            losers = losers.unionByName(
+                active.select(F.col("doc_b").alias("doc_id")).distinct()
+            ).localCheckpoint(eager=True)
+            break
+        rounds += 1
         kept = active.select("doc_a").distinct().join(
             active.select(F.col("doc_b").alias("doc_a")).distinct(),
             "doc_a",

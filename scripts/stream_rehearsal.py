@@ -380,12 +380,20 @@ def run_dedup_ingest(spark, sf_dir, files_per_trigger) -> dict:
     from sales_forecast_pyspark_spark.sources.readers import read_table
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # collision-free re-keys (see index_ingest): dups on -id-1, fresh
-    # on -id-200_000_000 — disjoint from the base AND from each other
-    # at any generator scale
-    dups = docs.select((-F.col("doc_id") - 1).alias("doc_id"), "text")
+    # collision-free re-keys (see index_ingest): dups on the odd
+    # negatives (-2id-1), fresh on the even negatives (-2id-2) —
+    # STRUCTURALLY disjoint from the base and from each other at any
+    # generator scale. The first form of this (-id-1 / -id-200M) only
+    # looked scale-proof: at k>=20 the generator's key offsets push
+    # base ids past 2e8, the two negative ranges overlap, and the
+    # colliding ids merge a dup text and a fresh text into ONE
+    # corrupted signature — the 100x run's own dedup_exactness flag
+    # went false and caught it, the harness's second id-collision
+    # bug surfaced by its own audit (the first was r12's +1e7 offset
+    # in index_ingest).
+    dups = docs.select((-F.col("doc_id") * 2 - 1).alias("doc_id"), "text")
     fresh = docs.select(
-        (-F.col("doc_id") - 200_000_000).alias("doc_id"),
+        (-F.col("doc_id") * 2 - 2).alias("doc_id"),
         F.expr(
             "array_join(transform(sequence(1, 60), "
             "i -> concat('w', doc_id, 'x', i)), ' ')"
@@ -435,7 +443,7 @@ def run_dedup_ingest(spark, sf_dir, files_per_trigger) -> dict:
         survivors = spark.read.parquet(os.path.join(tmp, "out"))
         n_surv = survivors.count()
         n_fresh_surv = survivors.filter(
-            F.col("doc_id") <= -200_000_000
+            F.pmod(F.col("doc_id"), F.lit(2)) == 0  # even negatives = fresh
         ).count()
         out["incoming_dups"] = n_dups
         out["incoming_fresh"] = n_fresh
@@ -541,11 +549,11 @@ def main() -> None:
         summary[label] = {}
         for path in args.paths:
             res = PATHS[path](spark, sf_dir, args.files_per_trigger)
-            res.update(
-                {"scale": label,
-                 "rows_per_s": round(res["input_rows"] / res["wall_s"])
-                 if res["wall_s"] else None}
-            )
+            res["scale"] = label
+            # dedup_screen_ratio reports component timings, not a
+            # streamed row total — no throughput line for it
+            if res.get("wall_s") and "input_rows" in res:
+                res["rows_per_s"] = round(res["input_rows"] / res["wall_s"])
             print(json.dumps(res), flush=True)
             summary[label][path] = res
     print(json.dumps({"summary": summary}), flush=True)

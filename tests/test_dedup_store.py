@@ -643,3 +643,38 @@ def test_minhash_lifecycle_driver_row_is_green(spark):
     assert r["count_ok"] is True
     assert r["post_append_found_ok"] is True
     assert r["n_seed"] + r["admitted"] == r["n_docs"]
+
+
+def test_greedy_losers_round_cap_falls_back_conservatively(spark):
+    """An adversarial path graph peels two nodes per round; past the
+    round cap the tail falls back to dropping every remaining doc_b —
+    over-deleting is allowed there, keeping two verified near-dups
+    together is not."""
+    import warnings
+
+    from sales_forecast_pyspark_spark.llmdata.dedup_store import (
+        _greedy_losers,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 13)], "doc_a long, doc_b long"
+    )
+    # uncapped ground truth on 1-2-...-13: evens lose
+    full = sorted(
+        r["doc_id"] for r in _greedy_losers(chain).collect()
+    )
+    assert full == [2, 4, 6, 8, 10, 12]
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        capped = sorted(
+            r["doc_id"]
+            for r in _greedy_losers(chain, max_rounds=2).collect()
+        )
+    assert any("doc_b" in str(w.message) for w in caught)
+    # first two rounds are exact (2 and 4 lose); the tail over-deletes
+    # every remaining doc_b — supersets the exact answer, and no
+    # verified pair survives intact
+    assert set(capped) >= {2, 4, 6, 8, 10, 12}
+    survivors = set(range(1, 14)) - set(capped)
+    assert not any(a in survivors and a + 1 in survivors
+                   for a in range(1, 13))
