@@ -41,6 +41,7 @@ from sales_forecast_pyspark_spark.llmdata.ann_index import (
     compact_ivfpq_index,
     ivfpq_index_stats,
     query_ivfpq_index,
+    should_rebuild,
     stream_append_to_ivfpq_index,
 )
 from sales_forecast_pyspark_spark.llmdata.similarity import (
@@ -88,6 +89,7 @@ __all__ = [
     "compact_ivfpq_index",
     "ivfpq_index_stats",
     "query_ivfpq_index",
+    "should_rebuild",
     "stream_append_to_ivfpq_index",
     "chunk_documents",
     "connected_components",

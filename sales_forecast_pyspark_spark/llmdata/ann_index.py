@@ -353,6 +353,75 @@ def ivfpq_index_stats(
     )
 
 
+def should_rebuild(
+    spark: SparkSession,
+    path: str,
+    max_drifted_cells: int = 0,
+    **stats_kwargs,
+) -> dict:
+    """The REBUILD decision, as a one-call policy — completing the
+    maintenance triangle the stores now carry (mutation lease +
+    ``lsm.should_compact`` fold policy + this): ``ivfpq_index_stats``
+    is the drift *monitor*, this is the *verdict* an operator (or a
+    scheduled maintenance job) acts on. Returns a dict —
+
+        {"rebuild": bool, "reason": str, "n_cells": int,
+         "n_drifted_cells": int, "max_err_rel": float,
+         "global_err_ratio": float}
+
+    ``rebuild`` is True when more than ``max_drifted_cells`` cells
+    carry a drift flag (default 0: any flagged cell means the
+    codebooks no longer price part of the space — the IO/recall
+    contract is broken somewhere, rebuild to a fresh path via
+    ``build_ivfpq_index`` and flip the serving pointer). ``reason``
+    names the dominant channel (localized / global / append-skew mix)
+    so the verdict is actionable without re-reading the per-cell
+    report. Cost: the default stats path — O(batches) kilobyte merges,
+    zero data scan — so the decision can run at ingest cadence;
+    ``stats_kwargs`` pass through to ``ivfpq_index_stats`` (factors,
+    ``full_scan=True`` for the verification form)."""
+    rows = ivfpq_index_stats(spark, path, **stats_kwargs).collect()
+    flagged = [r for r in rows if r["drift_flag"]]
+    global_ratio = max(
+        (r["global_err_ratio"] for r in rows if r["global_err_ratio"]),
+        default=0.0,
+    )
+    max_err_rel = max(
+        (r["err_rel"] for r in rows if r["err_rel"] is not None),
+        default=0.0,
+    )
+    rebuild = len(flagged) > max_drifted_cells
+    if not rebuild:
+        reason = "green"
+    else:
+        # name the dominant channel for the flagged set; the factors
+        # live in ivfpq_index_stats' defaults unless overridden
+        gf = stats_kwargs.get("global_err_factor", 3.0)
+        ef = stats_kwargs.get("err_drift_factor", 1.5)
+        channels = []
+        if global_ratio > gf:
+            channels.append(f"global err ratio {global_ratio:.2f}>{gf}")
+        n_local = sum(
+            1
+            for r in flagged
+            if r["err_rel"] is not None and r["err_rel"] > ef
+        )
+        if n_local:
+            channels.append(f"{n_local} cells localized err drift")
+        n_skew = len(flagged) - n_local if not global_ratio > gf else 0
+        if n_skew > 0:
+            channels.append(f"{n_skew} cells append skew")
+        reason = "; ".join(channels) or f"{len(flagged)} cells flagged"
+    return {
+        "rebuild": rebuild,
+        "reason": reason,
+        "n_cells": len(rows),
+        "n_drifted_cells": len(flagged),
+        "max_err_rel": round(max_err_rel, 6),
+        "global_err_ratio": round(global_ratio, 6),
+    }
+
+
 def build_ivfpq_index(
     df: DataFrame,
     path: str,

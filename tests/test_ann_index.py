@@ -729,3 +729,49 @@ def test_streamed_index_auto_compacts_and_serves_identically(
     assert results["auto"]["n_vectors"] == results["plain"]["n_vectors"] == 400
     assert results["auto"]["folded"] > 0
     assert results["auto"]["inc_batches"] < results["plain"]["inc_batches"]
+
+
+def test_should_rebuild_verdict_tracks_the_drift_monitor(
+    spark, emb, tmp_path_factory
+):
+    """The one-call rebuild policy: green on a fresh index and on a
+    same-distribution append (the monitor's false-positive regime),
+    rebuild=True with a channel-naming reason once a drifted append
+    trips cells — the decision an operator schedules on, at the
+    monitor's O(batches) cost."""
+    from sales_forecast_pyspark_spark.llmdata import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        should_rebuild,
+    )
+
+    path = str(tmp_path_factory.mktemp("ivfpq_policy") / "idx")
+    build_ivfpq_index(emb.filter(F.col("vec_id") < 400), path)
+    v = should_rebuild(spark, path)
+    assert v["rebuild"] is False and v["reason"] == "green"
+    assert v["n_drifted_cells"] == 0 and v["n_cells"] == 16
+
+    # same-distribution append stays green
+    append_to_ivfpq_index(
+        emb.filter(F.col("vec_id") >= 400).select(
+            (F.col("vec_id") + 90_000).alias("vec_id"), "embedding"
+        ),
+        path,
+    )
+    assert should_rebuild(spark, path)["rebuild"] is False
+
+    # drifted append (axis spike) flips the verdict with a reason
+    spike = emb.filter(F.col("vec_id") < 100).select(
+        (F.col("vec_id") + 95_000).alias("vec_id"),
+        F.array(*([F.lit(1.0)] + [F.lit(0.0)] * 63)).alias("embedding"),
+    )
+    append_to_ivfpq_index(spike, path)
+    v = should_rebuild(spark, path)
+    assert v["rebuild"] is True and v["n_drifted_cells"] > 0
+    assert v["reason"] != "green" and v["reason"]
+    # tolerance knob: allowing that many drifted cells turns it green
+    assert (
+        should_rebuild(spark, path, max_drifted_cells=v["n_drifted_cells"])
+        ["rebuild"]
+        is False
+    )
