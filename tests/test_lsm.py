@@ -1,0 +1,97 @@
+"""Shared LSM plumbing (llmdata/lsm.py) unit tests: the maintenance
+lease's contention/staleness/release semantics, the optional tiered
+reader, selective increment drops, and the should_compact policy —
+the primitives both persisted stores build on (their composed behavior
+is pinned in tests/test_dedup_store.py / tests/test_ann_index.py).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+from sales_forecast_pyspark_spark.llmdata import lsm
+
+
+def test_lease_contention_release_and_stale_takeover(spark, tmp_path):
+    d = str(tmp_path / "store")
+    os.makedirs(d)
+    lsm.acquire_lease(spark, d, "compact")
+    with pytest.raises(lsm.LeaseHeldError) as e:
+        lsm.acquire_lease(spark, d, "append")
+    # the error names the holder and its age — operators act on it
+    assert "compact" in str(e.value) and "age" in str(e.value)
+    lsm.release_lease(spark, d)
+    lsm.acquire_lease(spark, d, "append")  # reacquire after release
+    # a crashed holder's lease is taken over once stale
+    time.sleep(1.1)
+    lsm.acquire_lease(spark, d, "compact", stale_after_s=1.0)
+    lsm.release_lease(spark, d)
+    # context manager releases on exception too
+    with pytest.raises(RuntimeError, match="boom"):
+        with lsm.maintenance_lease(spark, d, "build"):
+            raise RuntimeError("boom")
+    assert not os.path.exists(os.path.join(d, lsm.LEASE_FILE))
+
+
+def test_read_tiered_opt_unions_whichever_tiers_exist(spark, tmp_path):
+    d = str(tmp_path / "store")
+    schema = "doc_id long, fp string, src_batch long"
+    empty = lsm.read_tiered_opt(spark, d, "fingerprints", schema)
+    assert empty.count() == 0
+    assert empty.columns == ["doc_id", "fp", "src_batch"]
+    # increments WITHOUT a base must not be dropped (the store built
+    # from a corpus with no zero-token docs, streamed one later), and
+    # the discovered b=<id> partition column must not leak
+    spark.createDataFrame([(1, "a", 5)], schema).write.parquet(
+        os.path.join(d, "fingerprints_inc", "b=5")
+    )
+    inc_only = lsm.read_tiered_opt(spark, d, "fingerprints", schema)
+    assert inc_only.columns == ["doc_id", "fp", "src_batch"]
+    assert [tuple(r) for r in inc_only.collect()] == [(1, "a", 5)]
+    spark.createDataFrame([(2, "b", -1)], schema).write.parquet(
+        os.path.join(d, "fingerprints")
+    )
+    both = lsm.read_tiered_opt(spark, d, "fingerprints", schema)
+    assert both.count() == 2
+
+
+def test_drop_inc_batches_is_selective_and_reaps_empty_root(spark, tmp_path):
+    d = str(tmp_path / "store")
+    schema = "doc_id long, src_batch long"
+    for b in (5, 6):
+        spark.createDataFrame([(b, b)], schema).write.parquet(
+            os.path.join(d, "signatures_inc", f"b={b}")
+        )
+    lsm.drop_inc_batches(spark, d, "signatures", {5})
+    assert lsm.list_inc_batches(spark, d, "signatures") == {6}
+    # dropping a nonexistent batch id is a no-op, not an error
+    lsm.drop_inc_batches(spark, d, "signatures", {99})
+    assert lsm.list_inc_batches(spark, d, "signatures") == {6}
+    # the emptied root is removed so existence probes stay meaningful
+    lsm.drop_inc_batches(spark, d, "signatures", {6})
+    assert not os.path.exists(os.path.join(d, "signatures_inc"))
+
+
+def test_should_compact_dir_count_and_bytes_triggers(spark, tmp_path):
+    d = str(tmp_path / "store")
+    schema = "doc_id long, src_batch long"
+    assert lsm.should_compact(spark, d, ["signatures"], max_inc_batches=1) \
+        is False
+    spark.createDataFrame([(1, 1)], schema).write.parquet(
+        os.path.join(d, "signatures_inc", "b=1")
+    )
+    assert lsm.should_compact(spark, d, ["signatures"], max_inc_batches=2) \
+        is False
+    assert lsm.should_compact(spark, d, ["signatures"], max_inc_batches=1) \
+        is True
+    # bytes trigger fires independently of the dir count
+    assert lsm.should_compact(
+        spark, d, ["signatures"], max_inc_batches=99, max_inc_bytes=1
+    ) is True
+    assert lsm.should_compact(
+        spark, d, ["signatures"], max_inc_batches=99,
+        max_inc_bytes=10**12,
+    ) is False
