@@ -95,3 +95,73 @@ def test_should_compact_dir_count_and_bytes_triggers(spark, tmp_path):
         spark, d, ["signatures"], max_inc_batches=99,
         max_inc_bytes=10**12,
     ) is False
+def test_store_maintenance_cli_maintains_both_stores(spark, tmp_path):
+    """The operator entry point (scripts/store_maintenance.py): folds
+    when the increments tier is past threshold, reports file counts,
+    carries the index's rebuild verdict, respects dry-run, and fails
+    loudly (not corruptly) under a held lease."""
+    from pyspark.sql import functions as F
+
+    from scripts.store_maintenance import maintain
+    from sales_forecast_pyspark_spark.llmdata import (
+        append_to_ivfpq_index,
+        append_to_minhash_store,
+        build_ivfpq_index,
+        build_minhash_store,
+        lsm,
+    )
+    from tests.conftest import SF_SMALL
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+
+    mh = str(tmp_path / "mh")
+    build_minhash_store(docs.filter(F.col("doc_id") < 100), mh)
+    for b in range(3):
+        batch = docs.filter(
+            (F.col("doc_id") >= 100 + b * 20) & (F.col("doc_id") < 120 + b * 20)
+        ).select((F.col("doc_id") + 70_000).alias("doc_id"), "text")
+        append_to_minhash_store(batch, mh, batch_id=b)
+    # below threshold -> nothing due; dry-run never folds
+    out = maintain(spark, mh, "minhash", max_inc_batches=5)
+    assert out["compact_due"] is False and out["compacted"] is False
+    out = maintain(spark, mh, "minhash", max_inc_batches=2, dry_run=True)
+    assert out["compact_due"] is True and out["compacted"] is False
+    assert lsm.list_inc_batches(spark, mh, "signatures") == {0, 1, 2}
+    # past threshold -> fold runs and reports counts
+    out = maintain(spark, mh, "minhash", max_inc_batches=2)
+    assert out["compacted"] is True and "signatures" in out["files"]
+    assert lsm.list_inc_batches(spark, mh, "signatures") == set()
+    assert out["rebuild"] is None  # minhash has no rebuild channel
+
+    idx = str(tmp_path / "idx")
+    # build:append proportions mirror the drift monitor's pinned green
+    # regime (test_same_distribution_append_stays_green) — a tiny build
+    # set under a large append is the worst-overfit fixture where the
+    # skew channel's expectations are all noise
+    build_ivfpq_index(emb.filter(F.col("vec_id") < 400), idx)
+    append_to_ivfpq_index(
+        emb.filter(F.col("vec_id") >= 400).select(
+            (F.col("vec_id") + 90_000).alias("vec_id"), "embedding"
+        ),
+        idx,
+        batch_id=1,
+    )
+    out = maintain(spark, idx, "index", max_inc_batches=1)
+    assert out["compacted"] is True
+    assert out["rebuild"]["rebuild"] is False  # same-distribution append
+    # held lease -> loud failure, no silent interleave
+    lsm.acquire_lease(spark, idx, "ingest")
+    try:
+        import pytest as _pytest
+
+        spark.createDataFrame(
+            [(1, 1)], "n long, src_batch long"
+        ).write.mode("overwrite").parquet(f"{idx}/stats_live_inc/b=9")
+        with _pytest.raises(lsm.LeaseHeldError):
+            maintain(spark, idx, "index", max_inc_batches=1)
+    finally:
+        lsm.release_lease(spark, idx)
+
