@@ -32,7 +32,9 @@ from sales_forecast_pyspark_spark.llmdata.dedup_store import (
     append_to_minhash_store,
     build_minhash_store,
     compact_minhash_store,
+    minhash_store_stats,
     screen_against_minhash_store,
+    should_rescale_bands,
     stream_ingest_dedup,
 )
 from sales_forecast_pyspark_spark.llmdata.ann_index import (
@@ -83,7 +85,9 @@ __all__ = [
     "append_to_minhash_store",
     "build_minhash_store",
     "compact_minhash_store",
+    "minhash_store_stats",
     "screen_against_minhash_store",
+    "should_rescale_bands",
     "stream_ingest_dedup",
     "build_ivfpq_index",
     "compact_ivfpq_index",

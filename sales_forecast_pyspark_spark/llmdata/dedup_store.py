@@ -757,6 +757,91 @@ def stream_ingest_dedup(
     )
 
 
+def minhash_store_stats(spark: SparkSession, path: str) -> DataFrame:
+    """Per-band bucket-load report for a persisted MinHash store — the
+    dedup analogue of ``ivfpq_index_stats``: the quantity that degrades
+    with corpus growth here is not reconstruction error but SCREENING
+    LOAD — the candidates a new doc draws from the (band, bucket)
+    equality join. A doc distributed like the corpus lands in a bucket
+    of size s with probability s/n, so its expected store-side
+    candidates from one band are Σ_buckets s·(s−1)/n (self excluded) —
+    the standard LSH collision-mass estimate, the same statistic
+    ``lsh_band_load_ladder`` samples for the one-shot operators (r12's
+    density-aware banding), computed here EXACTLY from the persisted
+    buckets table.
+
+    Output: one row per band — (band, n_buckets, n_rows, max_bucket,
+    mean_bucket, cand_per_doc) — ordered by band; total screening load
+    per new doc = Σ bands' cand_per_doc. Cost: one hash aggregate over
+    the buckets tiers (O(store), maintenance-cadence — run it at fold
+    time or from ``should_rescale_bands``; after a fold the base is
+    (band, bucket)-sorted so the partial aggregation is row-group
+    local). All-singleton buckets ⇒ cand_per_doc 0 — a store of
+    unrelated docs screens for free; a duplicate-dense corpus
+    concentrates mass in few buckets and the estimate prices the
+    screen's join fan-out before a batch pays it."""
+    b = _read_store_table(spark, path, "buckets")
+    sizes = b.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("s"))
+    return (
+        sizes.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("s").alias("n_rows"),
+            F.max("s").alias("max_bucket"),
+            F.round(F.avg("s"), 6).alias("mean_bucket"),
+            F.sum(F.col("s") * (F.col("s") - 1)).alias("_mass"),
+        )
+        .select(
+            "band",
+            "n_buckets",
+            "n_rows",
+            "max_bucket",
+            "mean_bucket",
+            F.round(
+                F.col("_mass") / F.col("n_rows"), 6
+            ).alias("cand_per_doc"),
+        )
+        .orderBy("band")
+    )
+
+
+def should_rescale_bands(
+    spark: SparkSession,
+    path: str,
+    max_cand_per_doc: float = 100.0,
+) -> dict:
+    """The store's REBUILD verdict, mirroring the index's
+    ``should_rebuild``: when the total expected screening load per new
+    doc crosses ``max_cand_per_doc``, every future batch pays a
+    candidate fan-out the build-time geometry never priced — the
+    remedy is rebuilding the store with a wider-AND geometry (raise
+    ``bands``' row width via num_hashes/bands at ``build_minhash_store``
+    time — the persisted-store form of ``adapt_band_geometry``'s
+    density rule). Returns {"rescale": bool, "reason": str,
+    "cand_per_doc": float, "worst_band": int, "worst_band_load":
+    float, "n_docs": int}. Cost: one O(store) aggregate — run at
+    maintenance cadence, not per batch."""
+    rows = minhash_store_stats(spark, path).collect()
+    total = float(sum(r["cand_per_doc"] for r in rows))
+    worst = max(rows, key=lambda r: r["cand_per_doc"], default=None)
+    rescale = total > max_cand_per_doc
+    return {
+        "rescale": rescale,
+        "reason": (
+            f"expected screen candidates/doc {total:.1f} > "
+            f"{max_cand_per_doc} — widen AND-rows at rebuild"
+            if rescale
+            else "green"
+        ),
+        "cand_per_doc": round(total, 6),
+        "worst_band": worst["band"] if worst else None,
+        "worst_band_load": (
+            float(worst["cand_per_doc"]) if worst else 0.0
+        ),
+        "n_docs": int(rows[0]["n_rows"]) if rows else 0,
+    }
+
+
 def _complete_view(
     spark: SparkSession,
     path: str,

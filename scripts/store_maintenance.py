@@ -9,10 +9,12 @@ Consults ``lsm.should_compact`` over the store's tables and runs the
 matching compactor when the increments tier is past threshold (both
 compactors hold the single-maintainer lease — a concurrent ingest or a
 second maintenance run fails loudly with LeaseHeldError, exit 3, never
-corrupts). For an IVF-PQ index it also evaluates ``should_rebuild``
-(the O(batches) drift verdict) so one cron line covers both
-maintenance decisions; a rebuild is REPORTED, never auto-run — it
-retrains quantizers and must go to a fresh path with a serving-pointer
+corrupts). Each store's rebuild-class verdict rides along: the index
+evaluates ``should_rebuild`` (the O(batches) drift verdict), the
+MinHash store ``should_rescale_bands`` (screening-load densification)
+— so one cron line covers every maintenance decision. A rebuild is
+REPORTED, never auto-run — it retrains quantizers / rewrites the
+banding geometry and must go to a fresh path with a serving-pointer
 flip, an operator decision by design.
 
 Prints one JSON line:
@@ -53,6 +55,7 @@ def maintain(
         compact_minhash_store,
         lsm,
         should_rebuild,
+        should_rescale_bands,
     )
 
     due = lsm.should_compact(
@@ -81,8 +84,14 @@ def maintain(
             ).items()
         }
         out["compacted"] = True
+    # each store's rebuild-class verdict rides along: drift for the
+    # index, screening-load densification for the MinHash store — both
+    # REPORTED, never auto-run (rebuilds retrain state and belong on a
+    # fresh path with a serving-pointer flip)
     if kind == "index":
         out["rebuild"] = should_rebuild(spark, path)
+    else:
+        out["rebuild"] = should_rescale_bands(spark, path)
     return out
 
 
@@ -115,7 +124,8 @@ def main() -> int:
         print(json.dumps({"error": "lease_held", "detail": str(e)}))
         return 3
     print(json.dumps(out), flush=True)
-    return 2 if (out["rebuild"] or {}).get("rebuild") else 0
+    r = out["rebuild"] or {}
+    return 2 if (r.get("rebuild") or r.get("rescale")) else 0
 
 
 if __name__ == "__main__":

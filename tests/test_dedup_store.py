@@ -678,3 +678,46 @@ def test_greedy_losers_round_cap_falls_back_conservatively(spark):
     survivors = set(range(1, 14)) - set(capped)
     assert not any(a in survivors and a + 1 in survivors
                    for a in range(1, 13))
+
+
+def test_store_stats_price_screening_load_and_verdict(
+    spark, docs, tmp_path_factory
+):
+    """The store's load monitor + rebuild verdict (the dedup analogue
+    of ivfpq_index_stats/should_rebuild): an all-unique store screens
+    for ~free (singleton buckets => cand_per_doc ~0, verdict green); a
+    duplicate-dense store concentrates collision mass and the verdict
+    recommends a wider-AND rebuild once expected candidates/doc cross
+    the bound."""
+    from sales_forecast_pyspark_spark.llmdata import (
+        minhash_store_stats,
+        should_rescale_bands,
+    )
+
+    root = tmp_path_factory.mktemp("mh_stats")
+
+    sparse = str(root / "sparse")
+    build_minhash_store(docs.filter(F.col("doc_id") < 200), sparse)
+    rows = minhash_store_stats(spark, sparse).collect()
+    assert len(rows) == 8  # one row per band at default geometry
+    assert all(r["n_rows"] == 200 for r in rows)
+    v = should_rescale_bands(spark, sparse, max_cand_per_doc=100.0)
+    assert v["rescale"] is False and v["reason"] == "green"
+    assert v["n_docs"] == 200
+
+    # duplicate-dense: 10 distinct texts x 40 copies each
+    base = docs.filter(F.col("doc_id") < 10).collect()
+    dense_rows = [
+        (1000 * k + i, r["text"]) for k in range(40) for i, r in enumerate(base)
+    ]
+    dense_df = spark.createDataFrame(dense_rows, "doc_id long, text string")
+    dense = str(root / "dense")
+    build_minhash_store(dense_df, dense)
+    stats = {r["band"]: r for r in minhash_store_stats(spark, dense).collect()}
+    # every band: 10 buckets of 40 exact copies -> mass 10*40*39/400 = 39
+    assert all(r["max_bucket"] == 40 for r in stats.values())
+    assert all(abs(r["cand_per_doc"] - 39.0) < 1e-6 for r in stats.values())
+    v = should_rescale_bands(spark, dense, max_cand_per_doc=100.0)
+    assert v["rescale"] is True  # 8 bands x 39 = 312 candidates/doc
+    assert v["cand_per_doc"] == 312.0
+    assert "widen AND-rows" in v["reason"]

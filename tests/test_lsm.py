@@ -134,7 +134,9 @@ def test_store_maintenance_cli_maintains_both_stores(spark, tmp_path):
     out = maintain(spark, mh, "minhash", max_inc_batches=2)
     assert out["compacted"] is True and "signatures" in out["files"]
     assert lsm.list_inc_batches(spark, mh, "signatures") == set()
-    assert out["rebuild"] is None  # minhash has no rebuild channel
+    # the store's rebuild-class verdict rides along: screening-load
+    # densification (should_rescale_bands) — green on this corpus
+    assert out["rebuild"]["rescale"] is False
 
     idx = str(tmp_path / "idx")
     # build:append proportions mirror the drift monitor's pinned green
