@@ -43,6 +43,7 @@ from sales_forecast_pyspark_spark.llmdata.ann_index import (
     compact_ivfpq_index,
     ivfpq_index_stats,
     query_ivfpq_index,
+    recommend_n_probe,
     should_rebuild,
     stream_append_to_ivfpq_index,
 )
@@ -93,6 +94,7 @@ __all__ = [
     "compact_ivfpq_index",
     "ivfpq_index_stats",
     "query_ivfpq_index",
+    "recommend_n_probe",
     "should_rebuild",
     "stream_append_to_ivfpq_index",
     "chunk_documents",

@@ -981,6 +981,79 @@ def _compact_locked(
     return out
 
 
+def recommend_n_probe(
+    spark: SparkSession,
+    path: str,
+    recall_target: float = 0.9,
+    k: int = 5,
+    sample_queries: int = 50,
+    ladder: list[int] | None = None,
+) -> dict:
+    """Serving-cost auto-tune: the SMALLEST ``n_probe`` whose measured
+    pooled recall@k over a bounded query sample meets
+    ``recall_target`` — n_probe is the index's direct IO/recall dial
+    (probed cells reach the code scan as a static PartitionFilter, so
+    serving cost is n_probe/n_centroids of the codes bytes), and the
+    right setting depends on the corpus's cluster structure, which
+    only a measurement prices. Truth is the exact brute-force top-k
+    over the index's OWN stored vectors (the bounded-sample exact
+    oracle every in-row recall audit uses); the sample is the
+    smallest-id stored vectors — deterministic, so the recommendation
+    is reproducible.
+
+    Returns {"n_probe": int, "recall": float, "met_target": bool,
+    "ladder": {probe: recall}} — when even a full probe misses the
+    target (PQ quantization bounds recall; refine re-scores true
+    cosines but only over the refine_factor candidate pool),
+    ``met_target`` is False and ``n_probe`` is the full-probe setting,
+    the honest ceiling. Cost: |sample| brute-force + one probed query
+    batch per ladder rung (early-exits at the first rung that meets
+    target); run at maintenance cadence, e.g. after a rebuild."""
+    from sales_forecast_pyspark_spark.llmdata.similarity import (
+        cosine_topk,
+        topk_recall_audit,
+    )
+
+    meta = spark.read.parquet(os.path.join(path, "meta")).first().asDict()
+    n_centroids = meta["n_centroids"]
+    if ladder is None:
+        ladder, p = [], 1
+        while p < n_centroids:
+            ladder.append(p)
+            p *= 2
+        ladder.append(n_centroids)
+    emb = spark.read.parquet(os.path.join(path, "vectors")).select(
+        F.col("neighbor_id").alias("vec_id"), F.col("v").alias("embedding")
+    )
+    q = emb.orderBy("vec_id").limit(int(sample_queries))
+    q = q.localCheckpoint(eager=True)  # fix the sample across rungs
+    truth = cosine_topk(emb, q, k=k)
+    truth.cache()
+    measured: dict[int, float] = {}
+    best = None
+    try:
+        for p in ladder:
+            served = query_ivfpq_index(spark, path, q, k=k, n_probe=int(p))
+            r = (
+                topk_recall_audit(served, truth)
+                .select("mean_recall")
+                .first()["mean_recall"]
+            )
+            measured[int(p)] = float(r)
+            best = (int(p), float(r))
+            if r >= recall_target:
+                break
+    finally:
+        truth.unpersist()
+    met = best is not None and best[1] >= recall_target
+    return {
+        "n_probe": best[0] if best else n_centroids,
+        "recall": round(best[1], 6) if best else 0.0,
+        "met_target": bool(met),
+        "ladder": {p: round(r, 6) for p, r in measured.items()},
+    }
+
+
 def query_ivfpq_index(
     spark: SparkSession,
     path: str,

@@ -775,3 +775,28 @@ def test_should_rebuild_verdict_tracks_the_drift_monitor(
         ["rebuild"]
         is False
     )
+
+
+def test_recommend_n_probe_picks_cheapest_rung_meeting_target(
+    spark, emb, index_path
+):
+    """The serving-cost auto-tune: recall along the probe ladder is
+    non-decreasing up to the recommendation, the recommended rung
+    meets the target (or full probe is returned as the honest
+    ceiling), and a trivially low target recommends the cheapest
+    rung."""
+    from sales_forecast_pyspark_spark.llmdata import recommend_n_probe
+
+    v = recommend_n_probe(spark, index_path, recall_target=0.9, k=5)
+    assert v["met_target"] is True
+    assert v["recall"] >= 0.9
+    assert 1 <= v["n_probe"] <= 16
+    # every rung below the recommendation measured under target
+    # (otherwise the tuner would have stopped there)
+    below = [r for p, r in v["ladder"].items() if p < v["n_probe"]]
+    assert all(r < 0.9 for r in below)
+    # ladder is deterministic: rerun reproduces the recommendation
+    assert recommend_n_probe(spark, index_path, recall_target=0.9, k=5) == v
+    # a floor target stops at the cheapest rung
+    cheap = recommend_n_probe(spark, index_path, recall_target=0.01, k=5)
+    assert cheap["n_probe"] == 1 and cheap["met_target"] is True
