@@ -44,8 +44,10 @@ from sales_forecast_pyspark_spark.llmdata.ann_index import (
     ivfpq_index_stats,
     query_ivfpq_index,
     recommend_n_probe,
+    screen_against_ivfpq_index,
     should_rebuild,
     stream_append_to_ivfpq_index,
+    stream_ingest_semantic_dedup,
 )
 from sales_forecast_pyspark_spark.llmdata.similarity import (
     cosine_topk,
@@ -95,8 +97,10 @@ __all__ = [
     "ivfpq_index_stats",
     "query_ivfpq_index",
     "recommend_n_probe",
+    "screen_against_ivfpq_index",
     "should_rebuild",
     "stream_append_to_ivfpq_index",
+    "stream_ingest_semantic_dedup",
     "chunk_documents",
     "connected_components",
     "cosine_topk",

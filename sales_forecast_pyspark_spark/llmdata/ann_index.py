@@ -1197,3 +1197,206 @@ def query_ivfpq_index(
         .orderBy("query_id", "rank")
     )
     return out
+
+
+def screen_against_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    k: int = 5,
+    n_probe: int = 6,
+    exclude_ids: DataFrame | None = None,
+) -> DataFrame:
+    """Which batch vectors are SEMANTIC near-dups (cosine ≥ threshold)
+    of vectors already in the index? The embedding analogue of
+    ``screen_against_minhash_store`` — completing the incremental
+    dedup triad (exact fingerprint / MinHash text / embedding cosine)
+    at ingest cadence: the one-shot ``embedding_near_dups`` sweep
+    re-buckets the whole corpus per call, while this screens a batch
+    against the SERVING index — |batch| probe queries over the
+    cell-pruned code scan, nothing corpus-sized recomputed.
+
+    Returns (vec_id, dup_of, cos_sim) for batch vectors whose best
+    stored matches clear the threshold (several rows when several
+    stored vectors match). ``exclude_ids`` (a one-column id frame)
+    drops matches whose ``dup_of`` is in the set — the streaming
+    loop's replay guard: a re-delivered batch must not be screened out
+    by the rows its own first attempt appended, and the index carries
+    no per-row provenance column, so exclusion is by the batch's OWN
+    ids (ids are the store key — a stored id in the batch's id set IS
+    this batch's earlier attempt, before or after a fold).
+
+    Recall caveat (the IVF trade, documented not hidden): a true
+    near-dup stored in an UNPROBED cell is missed. At near-dup
+    thresholds (cos ≥ 0.9) the quantizer maps the batch vector and its
+    stored near-twin to the same or adjacent centroids, so the default
+    ``n_probe`` covers the realistic regime; raise it (or use
+    ``recommend_n_probe``) where misses are costlier than IO."""
+    hits = query_ivfpq_index(
+        spark,
+        path,
+        batch,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=k,
+        n_probe=n_probe,
+    ).filter(F.col("cos_sim") >= threshold)
+    out = hits.select(
+        F.col("query_id").alias("vec_id"),
+        F.col("neighbor_id").alias("dup_of"),
+        "cos_sim",
+    )
+    if exclude_ids is not None:
+        out = out.join(
+            exclude_ids.select(F.col(exclude_ids.columns[0]).alias("dup_of")),
+            "dup_of",
+            "left_anti",
+        )
+    return out
+
+
+def stream_ingest_semantic_dedup(
+    stream_df: DataFrame,
+    path: str,
+    survivors_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    k: int = 5,
+    n_probe: int = 6,
+    auto_compact_after: int | None = 64,
+):
+    """The composed SEMANTIC-dedup ingest loop — the embedding twin of
+    ``stream_ingest_dedup``: per micro-batch, (1) screen the batch
+    against every vector already admitted to the index (own ids
+    excluded — the replay guard), (2) drop in-batch near-dups under
+    the same sequential-greedy semantics (BRP-LSH pairs over the
+    L2-normalized batch at the cosine-equivalent radius
+    √(2·(1−threshold)), peeled by ``_greedy_losers``; store-dropped
+    vectors leave the pair graph first), (3) append the survivors to
+    the index under the batch id (idempotent versioned increments,
+    fold-ledger replay guard, drift stats maintained), (4) publish the
+    surviving rows to ``survivors_dir/b=<id>`` (overwrite —
+    idempotent). Exactly-once end to end by the same argument as the
+    MinHash loop; the admitted survivors are immediately SERVABLE via
+    ``query_ivfpq_index`` — dedup store and ANN serving index are one
+    structure.
+
+    Zero-norm vectors have no direction, cannot be screened, and are
+    dropped by the index's append (build parity); they PASS the dedup
+    stages and publish, but are never admitted — the documented bypass
+    (mirror of the MinHash store's zero-token tier, which does admit
+    because exact-equality still means something for text; for vectors
+    it does not). Replays are bit-stable because survivors are
+    mutually non-near-dup by stage (2), so on re-delivery each
+    survivor's only store match above threshold is itself — excluded
+    by id.
+
+    ``auto_compact_after`` as in ``stream_append_to_ivfpq_index``.
+    Uses availableNow; returns the started StreamingQuery."""
+    from sales_forecast_pyspark_spark.llmdata.dedup_store import (
+        _greedy_losers,
+    )
+    from sales_forecast_pyspark_spark.llmdata.similarity import (
+        lsh_similarity_join,
+    )
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        from sales_forecast_pyspark_spark.llmdata import lsm
+
+        spark = batch_df.sparkSession
+        b = batch_df.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+        )
+        b.cache()
+        # (1) near-dups of the admitted corpus, own ids excluded
+        dup_store = (
+            screen_against_ivfpq_index(
+                spark,
+                path,
+                b,
+                threshold=threshold,
+                k=k,
+                n_probe=n_probe,
+                exclude_ids=b.select("vec_id"),
+            )
+            .select("vec_id")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # (2) in-batch near-dups at the cosine-equivalent L2 radius on
+        # normalized vectors: ||a-b||² = 2(1-cos) for unit vectors
+        norm = F.sqrt(
+            F.aggregate(
+                "embedding",
+                F.lit(0.0),
+                lambda acc, x: acc + x * x,
+            )
+        )
+        normed = b.withColumn("_n", norm).filter(F.col("_n") > 0).select(
+            "vec_id",
+            F.transform(
+                "embedding", lambda x: (x / F.col("_n")).cast("float")
+            ).alias("embedding"),
+        )
+        dist_t = (2.0 * (1.0 - threshold)) ** 0.5
+        pairs = (
+            lsh_similarity_join(
+                normed, "vec_id", "embedding", distance_threshold=dist_t
+            )
+            .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+            .join(
+                dup_store.select(F.col("vec_id").alias("doc_a")),
+                "doc_a",
+                "left_anti",
+            )
+            .join(
+                dup_store.select(F.col("vec_id").alias("doc_b")),
+                "doc_b",
+                "left_anti",
+            )
+        )
+        losers = _greedy_losers(pairs)
+        survivors = (
+            b.join(dup_store, "vec_id", "left_anti")
+            .join(
+                losers.select(F.col("doc_id").alias("vec_id")),
+                "vec_id",
+                "left_anti",
+            )
+        )
+        survivors.cache()
+        # (3) admit survivors — versioned, replay/fold guarded, drift
+        # stats folded (zero-norm rows dropped inside, the documented
+        # bypass)
+        append_to_ivfpq_index(
+            survivors,
+            path,
+            id_col="vec_id",
+            vec_col="embedding",
+            batch_id=batch_id,
+        )
+        # (4) publish — overwrite-mode per batch, idempotent
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(survivors_dir, f"b={int(batch_id)}")
+        )
+        survivors.unpersist()
+        b.unpersist()
+        if auto_compact_after is not None and lsm.should_compact(
+            spark,
+            path,
+            ["codes", "vectors", "stats_live"],
+            max_inc_batches=auto_compact_after,
+        ):
+            compact_ivfpq_index(spark, path)
+
+    return (
+        stream_df.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -800,3 +800,85 @@ def test_recommend_n_probe_picks_cheapest_rung_meeting_target(
     # a floor target stops at the cheapest rung
     cheap = recommend_n_probe(spark, index_path, recall_target=0.01, k=5)
     assert cheap["n_probe"] == 1 and cheap["met_target"] is True
+
+
+def test_semantic_dedup_screen_and_stream_loop(
+    spark, emb, tmp_path_factory
+):
+    """Incremental SEMANTIC dedup against the serving index — the
+    embedding twin of the MinHash ingest loop, completing the
+    incremental dedup triad: an exact copy of a stored vector is
+    screened at cos 1.0, an in-batch dup pair collapses to the
+    smallest id under greedy semantics, a cross-batch re-offer of an
+    admitted survivor is screened (first-wins), and admitted
+    survivors are immediately servable from the same index."""
+    from sales_forecast_pyspark_spark.llmdata import (
+        screen_against_ivfpq_index,
+        stream_ingest_semantic_dedup,
+    )
+
+    root = tmp_path_factory.mktemp("sem_dedup")
+    path = str(root / "idx")
+    build_ivfpq_index(emb.filter(F.col("vec_id") < 300), path)
+
+    v7 = emb.filter(F.col("vec_id") == 7).first()["embedding"]
+    v400 = emb.filter(F.col("vec_id") == 400).first()["embedding"]
+    v450 = emb.filter(F.col("vec_id") == 450).first()["embedding"]
+    schema = "vec_id long, embedding array<float>"
+
+    # direct screen: exact copy flagged at 1.0, non-stored vector passes
+    probe = spark.createDataFrame([(9_001, v7), (9_002, v400)], schema)
+    hits = screen_against_ivfpq_index(
+        spark, path, probe, threshold=0.9
+    ).collect()
+    assert any(
+        r["vec_id"] == 9_001 and r["dup_of"] == 7 and r["cos_sim"] >= 0.999
+        for r in hits
+    )
+    assert not any(r["vec_id"] == 9_002 for r in hits)
+
+    # composed loop over two micro-batches
+    b1 = spark.createDataFrame(
+        [
+            (1_001, v7),  # dup of stored 7 -> screened
+            (1_002, v450),  # fresh -> survives
+            (1_003, v400),  # fresh, smaller id -> survives
+            (1_004, v400),  # in-batch dup of 1_003 -> screened
+        ],
+        schema,
+    )
+    b2 = spark.createDataFrame([(2_001, v450)], schema)  # dup of survivor
+    src = str(root / "src")
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream_ingest_semantic_dedup(
+        stream,
+        path,
+        survivors_dir=str(root / "out"),
+        checkpoint_dir=str(root / "ckpt"),
+        threshold=0.9,
+    )
+    q.awaitTermination(180)
+    survivors = {
+        r["vec_id"]
+        for r in spark.read.parquet(str(root / "out")).collect()
+    }
+    assert 1_001 not in survivors
+    assert 1_004 not in survivors
+    assert (1_002 in survivors) != (2_001 in survivors)  # first-wins
+    assert 1_003 in survivors
+    # admitted == survivors, and they are immediately servable
+    meta = spark.read.parquet(f"{path}/meta").first()
+    assert meta["n_vectors"] == 300 + len(survivors)
+    served = query_ivfpq_index(
+        spark,
+        path,
+        spark.createDataFrame([(8_000, v400)], schema),
+        k=1,
+    ).first()
+    assert served["neighbor_id"] == 1_003 and served["cos_sim"] >= 0.999
