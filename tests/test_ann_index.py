@@ -882,3 +882,62 @@ def test_semantic_dedup_screen_and_stream_loop(
         k=1,
     ).first()
     assert served["neighbor_id"] == 1_003 and served["cos_sim"] >= 0.999
+
+
+def test_semantic_loop_zero_norm_exact_tier(spark, emb, tmp_path_factory):
+    """ADVICE r13: zero norm means THE all-zeros vector, so the loop's
+    marker-file exact-equality tier bounds the class to ONE published
+    row ever — first id wins within the recording batch, every later
+    batch drops its zero-norm rows outright — while the index never
+    admits any of them (no direction to serve), and a full replay
+    republishes bit-identically."""
+    from sales_forecast_pyspark_spark.llmdata import (
+        stream_ingest_semantic_dedup,
+    )
+
+    root = tmp_path_factory.mktemp("sem_zero")
+    path = str(root / "idx")
+    build_ivfpq_index(emb.filter(F.col("vec_id") < 300), path)
+    d = len(emb.first()["embedding"])
+    z = [0.0] * d
+    v400 = emb.filter(F.col("vec_id") == 400).first()["embedding"]
+    schema = "vec_id long, embedding array<float>"
+
+    src = str(root / "src")
+    spark.createDataFrame(
+        [(1_002, z), (1_001, z), (1_003, v400)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame([(2_001, z)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    def run(ckpt: str) -> set[int]:
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = stream_ingest_semantic_dedup(
+            stream,
+            path,
+            survivors_dir=str(root / "out"),
+            checkpoint_dir=ckpt,
+            threshold=0.9,
+        )
+        q.awaitTermination(180)
+        return {
+            r["vec_id"]
+            for r in spark.read.parquet(str(root / "out")).collect()
+        }
+
+    survivors = run(str(root / "ckpt"))
+    assert 1_001 in survivors  # first-wins (min id) publishes
+    assert 1_002 not in survivors  # in-batch zero dup dropped
+    assert 2_001 not in survivors  # later batch: marker drops the class
+    assert 1_003 in survivors
+    # zero rows are published (once) but never admitted to the index
+    assert spark.read.parquet(f"{path}/meta").first()["n_vectors"] == 301
+    # full replay (fresh checkpoint, same files/batch ids): the
+    # recording batch sees its own id in the marker and republishes
+    # identically — bit-stable, still exactly one zero row
+    assert run(str(root / "ckpt2")) == survivors

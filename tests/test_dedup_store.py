@@ -684,11 +684,12 @@ def test_store_stats_price_screening_load_and_verdict(
     spark, docs, tmp_path_factory
 ):
     """The store's load monitor + rebuild verdict (the dedup analogue
-    of ivfpq_index_stats/should_rebuild): an all-unique store screens
-    for ~free (singleton buckets => cand_per_doc ~0, verdict green); a
-    duplicate-dense store concentrates collision mass and the verdict
-    recommends a wider-AND rebuild once expected candidates/doc cross
-    the bound."""
+    of ivfpq_index_stats/should_rebuild), incoming-doc convention
+    (ADVICE r13, Σ s²/n per band): an all-unique store screens for
+    ~|bands| candidates/doc (singleton buckets => 1 per band, verdict
+    green); a duplicate-dense store concentrates collision mass and
+    the verdict recommends a wider-AND rebuild once expected
+    candidates/doc cross the bound."""
     from sales_forecast_pyspark_spark.llmdata import (
         minhash_store_stats,
         should_rescale_bands,
@@ -714,10 +715,13 @@ def test_store_stats_price_screening_load_and_verdict(
     dense = str(root / "dense")
     build_minhash_store(dense_df, dense)
     stats = {r["band"]: r for r in minhash_store_stats(spark, dense).collect()}
-    # every band: 10 buckets of 40 exact copies -> mass 10*40*39/400 = 39
+    # every band: 10 buckets of 40 exact copies -> mass 10*40*40/400 = 40
+    # (incoming-doc form: a corpus-resembling doc draws ALL s members)
     assert all(r["max_bucket"] == 40 for r in stats.values())
-    assert all(abs(r["cand_per_doc"] - 39.0) < 1e-6 for r in stats.values())
+    assert all(abs(r["cand_per_doc"] - 40.0) < 1e-6 for r in stats.values())
     v = should_rescale_bands(spark, dense, max_cand_per_doc=100.0)
-    assert v["rescale"] is True  # 8 bands x 39 = 312 candidates/doc
-    assert v["cand_per_doc"] == 312.0
+    assert v["rescale"] is True  # 8 bands x 40 = 320 candidates/doc
+    assert v["cand_per_doc"] == 320.0
     assert "widen AND-rows" in v["reason"]
+    # n_docs is the ADMITTED count from the ledger, not a band-row count
+    assert v["n_docs"] == 400
