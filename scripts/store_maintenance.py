@@ -20,7 +20,15 @@ flip, an operator decision by design.
 Prints one JSON line:
     {"kind": ..., "path": ..., "compact_due": bool, "compacted": bool,
      "files": {table: [before, after]} | null,
-     "rebuild": {verdict dict} | null}
+     "rebuild": {verdict dict} | null,
+     "recommended_n_probe": {recommend_n_probe dict} | null}
+
+``recommended_n_probe`` (index kind only, VERDICT r13 ask #5): the
+measured IO/recall dial — the smallest n_probe whose pooled recall@k
+over a bounded stored-vector sample meets ``--recall-target`` (default
+0.9). Report-only, like rebuild: serving configs change by operator
+decision. ``--no-tune`` skips it (it costs |sample| brute-force + a
+probe ladder, heavier than the kilobyte verdicts).
 
 Exit codes: 0 = healthy (nothing due, or fold done and no rebuild
 signal), 2 = rebuild signalled (monitoring-friendly), 3 = lease held.
@@ -49,11 +57,14 @@ def maintain(
     max_inc_bytes: int | None = None,
     target_file_mb: int = 128,
     dry_run: bool = False,
+    tune_n_probe: bool = True,
+    recall_target: float = 0.9,
 ) -> dict:
     from sales_forecast_pyspark_spark.llmdata import (
         compact_ivfpq_index,
         compact_minhash_store,
         lsm,
+        recommend_n_probe,
         should_rebuild,
         should_rescale_bands,
     )
@@ -90,8 +101,16 @@ def maintain(
     # fresh path with a serving-pointer flip)
     if kind == "index":
         out["rebuild"] = should_rebuild(spark, path)
+        # the serving IO/recall dial rides the same cron line (VERDICT
+        # r13 ask #5) — report-only, the operator flips serving configs
+        out["recommended_n_probe"] = (
+            recommend_n_probe(spark, path, recall_target=recall_target)
+            if tune_n_probe
+            else None
+        )
     else:
         out["rebuild"] = should_rescale_bands(spark, path)
+        out["recommended_n_probe"] = None
     return out
 
 
@@ -103,6 +122,8 @@ def main() -> int:
     ap.add_argument("--max-inc-bytes", type=int, default=None)
     ap.add_argument("--target-file-mb", type=int, default=128)
     ap.add_argument("--dry-run", action="store_true")
+    ap.add_argument("--no-tune", action="store_true")
+    ap.add_argument("--recall-target", type=float, default=0.9)
     args = ap.parse_args()
 
     from sales_forecast_pyspark_spark.llmdata import lsm
@@ -119,6 +140,8 @@ def main() -> int:
             max_inc_bytes=args.max_inc_bytes,
             target_file_mb=args.target_file_mb,
             dry_run=args.dry_run,
+            tune_n_probe=not args.no_tune,
+            recall_target=args.recall_target,
         )
     except lsm.LeaseHeldError as e:
         print(json.dumps({"error": "lease_held", "detail": str(e)}))

@@ -200,8 +200,10 @@ def test_store_maintenance_cli_maintains_both_stores(spark, tmp_path):
     assert out["compacted"] is True and "signatures" in out["files"]
     assert lsm.list_inc_batches(spark, mh, "signatures") == set()
     # the store's rebuild-class verdict rides along: screening-load
-    # densification (should_rescale_bands) — green on this corpus
+    # densification (should_rescale_bands) — green on this corpus;
+    # the n_probe dial is index-only
     assert out["rebuild"]["rescale"] is False
+    assert out["recommended_n_probe"] is None
 
     idx = str(tmp_path / "idx")
     # build:append proportions mirror the drift monitor's pinned green
@@ -219,6 +221,14 @@ def test_store_maintenance_cli_maintains_both_stores(spark, tmp_path):
     out = maintain(spark, idx, "index", max_inc_batches=1)
     assert out["compacted"] is True
     assert out["rebuild"]["rebuild"] is False  # same-distribution append
+    # the serving IO/recall dial rides the same cron line (r13 ask #5):
+    # a measured recommendation with its ladder, report-only
+    rec = out["recommended_n_probe"]
+    assert rec["n_probe"] >= 1 and rec["ladder"]
+    assert isinstance(rec["met_target"], bool)
+    # and it is skippable for cheap cron runs
+    out2 = maintain(spark, idx, "index", max_inc_batches=99, tune_n_probe=False)
+    assert out2["recommended_n_probe"] is None
     # held lease -> loud failure, no silent interleave
     lsm.acquire_lease(spark, idx, "ingest")
     try:
