@@ -286,15 +286,18 @@ def main() -> None:
 
     from sales_forecast_pyspark_spark.plans.queries import (
         q_big_ticket_orders,
+        q_nation_trade_volume,
         queries,
     )
 
     registry = dict(queries())
-    # retired from the driver registry in r13 (slot spent on
-    # minhash_store_lifecycle) but kept on the bench board so the
-    # r12→r13 per-query tail stays comparable — see the retirement
-    # note in plans/queries.py
+    # retired from the driver registry (r13: big_ticket_orders, slot
+    # spent on minhash_store_lifecycle; r14: nation_trade_volume, slot
+    # spent on semantic_dedup_lifecycle) but kept on the bench board so
+    # the cross-round per-query tail stays comparable — see the
+    # retirement notes in plans/queries.py
     registry["big_ticket_orders"] = q_big_ticket_orders
+    registry["nation_trade_volume"] = q_nation_trade_volume
     names = [n for n in BENCH_QUERIES if n in registry]
 
     # Steady-state preamble (warmup + shared-frontier accounting, see

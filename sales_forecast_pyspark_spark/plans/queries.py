@@ -3024,6 +3024,161 @@ def q_minhash_store_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("semantic_dedup_lifecycle")  # rows-only: KMeans quantizers +
+# persisted parquet index not SQL-expressible (slot reclaimed from
+# nation_trade_volume, r14 — see that retirement note and SCALING.md)
+def q_semantic_dedup_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full lifecycle of INCREMENTAL SEMANTIC dedup against the serving
+    IVF-PQ index (llmdata/ann_index.py::screen_against_ivfpq_index +
+    append) — the third leg of the incremental dedup triad, mirroring
+    `minhash_store_lifecycle` (VERDICT r13 ask #3): build the index
+    ONCE on 80% of the embeddings corpus (vec_id % 5 != 0), SCREEN a
+    batch against the stored vectors (|batch| cell-pruned probes — the
+    corpus vectors are never rescanned), APPEND the survivors under a
+    versioned batch id, then prove the served state.
+
+    The synthetic embeddings are random (max pairwise cosine ~0.51),
+    so near-dup structure at the production threshold (0.9) is PLANTED:
+    the batch is the held-out 20% re-identified (fresh — no stored
+    near-twin) plus exact copies of a deterministic seed subset
+    (vec_id % 7 == 1, re-identified) whose stored twins the screen must
+    find. Truth is MEASURED, not assumed: exact brute-force best-cosine
+    of every batch vector against the seed corpus (`cosine_topk` k=1 —
+    the batch frame is bounded at check scale, the documented O(|Q|)
+    class), thresholded at the same bar the screen uses.
+
+    Self-validating in-row on the same axes as its MinHash sibling:
+    - screen recall vs the measured exact truth: truth_dups / hit_dups
+      / screen_recall / recall_ok (bar 0.7; the planted copies are
+      exact, cos 1.0, so the quantizer maps them onto their twins'
+      cells and measured recall is 1.0 at both driver SFs); the
+      zero-truth regime pins recall_ok RED (unjudgeable otherwise).
+    - screen precision on the fresh rows: a random-vector batch must
+      not screen out below the threshold — false_dups counts hits
+      outside the measured truth set (expected 0).
+    - exactly-once ingest: the versioned append REPLAYED leaves
+      meta.n_vectors unchanged (replay_stable_ok), the count ledger
+      equals seed + admitted (count_ok), and a re-offered copy of an
+      admitted survivor screens out of the post-append index at
+      cos >= 0.999 (post_append_found_ok) — dedup store and serving
+      index are ONE structure.
+
+    Materializes the index eagerly (build + append are writes), so it
+    sits in the plan-sweep SKIP class with `ann_index_lifecycle`; like
+    both siblings it is not benched — its dominant stages (seeded
+    KMeans fits + probe joins) are the ones `ann_ivfpq_topk` and
+    `ann_index_lifecycle` already price."""
+    import glob
+    import shutil
+    import tempfile
+    import time as _time
+
+    from sales_forecast_pyspark_spark.llmdata.ann_index import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        screen_against_ivfpq_index,
+    )
+    from sales_forecast_pyspark_spark.llmdata.similarity import cosine_topk
+
+    # age-gated reap of PRIOR checks' index dirs (same discipline as
+    # the sibling lifecycles): repeated driver checks must not
+    # accumulate stores in /tmp, and a concurrent invocation's live
+    # index must not be deleted mid-flight
+    for old in glob.glob(
+        os.path.join(tempfile.gettempdir(), "spark_semidx_lifecycle_*")
+    ):
+        try:
+            if _time.time() - os.path.getmtime(old) > 3600:
+                shutil.rmtree(old, ignore_errors=True)
+        except OSError:
+            pass
+    path = tempfile.mkdtemp(prefix="spark_semidx_lifecycle_") + "/idx"
+
+    emb = spread_scan(read_table(spark, sf_dir, "embeddings"), "vec_id")
+    seed = emb.filter(F.col("vec_id") % 5 != 0)
+    threshold = 0.9
+
+    build_ivfpq_index(seed, path)
+    n_seed = (
+        spark.read.parquet(os.path.join(path, "meta")).first()["n_vectors"]
+    )
+
+    # batch = fresh held-out 20% + planted exact copies of stored rows
+    fresh = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+    )
+    planted = seed.filter(F.col("vec_id") % 7 == 1).select(
+        (F.col("vec_id") + 200_000).alias("vec_id"), "embedding"
+    )
+    batch = fresh.unionByName(planted).localCheckpoint(eager=True)
+
+    # measured exact truth: best stored cosine per batch vector
+    best = cosine_topk(seed, batch, k=1).select(
+        F.col("query_id").alias("vec_id"), "cos_sim"
+    )
+    truth_ids = best.filter(F.col("cos_sim") >= threshold).select("vec_id")
+    truth_ids.cache()
+    truth_dups = truth_ids.count()
+
+    hits = (
+        screen_against_ivfpq_index(spark, path, batch, threshold=threshold)
+        .select("vec_id")
+        .distinct()
+    )
+    hits.cache()
+    screened = hits.count()
+    hit_dups = hits.join(truth_ids, "vec_id").count()
+    false_dups = screened - hit_dups
+    truth_ids.unpersist()
+
+    # admit the non-dup survivors under a versioned batch, then replay
+    survivors = batch.join(hits, "vec_id", "left_anti")
+    hits.unpersist()
+    admitted = append_to_ivfpq_index(survivors, path, batch_id=1)
+    n_after = (
+        spark.read.parquet(os.path.join(path, "meta")).first()["n_vectors"]
+    )
+    append_to_ivfpq_index(survivors, path, batch_id=1)  # replay
+    n_replayed = (
+        spark.read.parquet(os.path.join(path, "meta")).first()["n_vectors"]
+    )
+
+    # serve check: a fresh copy of an admitted survivor screens out of
+    # the post-append index (the increments tier is immediately served)
+    probe = survivors.orderBy("vec_id").limit(1).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    post_found = (
+        screen_against_ivfpq_index(spark, path, probe, threshold=threshold)
+        .filter(F.col("cos_sim") >= 0.999)
+        .count()
+        > 0
+    )
+
+    recall = hit_dups / truth_dups if truth_dups else None
+    return spark.createDataFrame(
+        [
+            (
+                int(n_seed),
+                int(truth_dups),
+                int(hit_dups),
+                int(false_dups),
+                None if recall is None else round(recall, 6),
+                bool(truth_dups > 0 and recall >= 0.7),
+                int(admitted),
+                int(n_after),
+                bool(n_replayed == n_after),
+                bool(n_after == n_seed + admitted),
+                bool(post_found),
+            )
+        ],
+        "n_seed long, truth_dups long, hit_dups long, false_dups long, "
+        "screen_recall double, recall_ok boolean, admitted long, "
+        "n_vectors long, replay_stable_ok boolean, count_ok boolean, "
+        "post_append_found_ok boolean",
+    )
+
+
 @register("ann_pairs_topk")  # rows-only: BRP-LSH buckets are not SQL-expressible
 def q_ann_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-output neighbor mining (llmdata/similarity.py::
@@ -5868,9 +6023,21 @@ def q_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("position")
 
 
-@register(
-    "nation_trade_volume",
-    """
+# `nation_trade_volume` RETIRED from the registry in r14 per SCALING.md's
+# ranked policy (slot spent on `semantic_dedup_lifecycle`, VERDICT r13
+# ask #3, which also buys the freshness-SLO slack of ask #1). Its
+# constituent shapes stay driver-pinned by siblings: the dim-chain
+# broadcast stack with a double-role nation dim by
+# `regional_supplier_volume` (same fact shuffles, same aliased
+# broadcasts), the decimal revenue rollup by `market_share_by_year` /
+# `promo_revenue_share`, the post-join inequality filter by
+# `market_share_by_year`'s year predicate class. Retirement keeps the
+# big_ticket_orders contract: builder + oracle SQL stay below
+# UNREGISTERED, tests/test_oracle_queries.py::
+# test_retired_nation_trade_volume_still_matches_oracle keeps the full
+# DuckDB comparison, and bench.py keeps its row (direct builder
+# reference) so the r13→r14 board stays comparable.
+NATION_TRADE_VOLUME_ORACLE = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(year(l_shipdate) AS INT) AS year,
        CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE) AS revenue,
@@ -5884,8 +6051,9 @@ JOIN nation n2 ON n2.n_nationkey = c_nationkey
 WHERE s_nationkey <> c_nationkey
 GROUP BY 1, 2, 3
 ORDER BY 1, 2, 3
-""",
-)
+"""
+
+
 def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: cross-border trade volume per (supplier nation,
     customer nation, ship year). The nation dim joins TWICE under

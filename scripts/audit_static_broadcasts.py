@@ -47,6 +47,7 @@ from sales_forecast_pyspark_spark.session import get_spark  # noqa: E402
 SKIP = {
     "ann_index_lifecycle",  # builds + appends the persisted index eagerly
     "minhash_store_lifecycle",  # builds + appends the persisted store eagerly
+    "semantic_dedup_lifecycle",  # builds + appends the persisted index eagerly
     "ann_ivf_topk", "ann_ivfpq_topk", "ann_pq_topk", "backtest_lr",
     "dedup_clusters", "forecast_eval_kpi", "forecast_gbt", "forecast_lr",
     "forecast_lr_full", "forecast_rf", "forecast_segmented",

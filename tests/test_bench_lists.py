@@ -29,7 +29,7 @@ from sales_forecast_pyspark_spark.plans.queries import QUERIES  # noqa: E402
 # the bench board via a direct builder reference in bench.main() —
 # board comparability across the retirement round (see the retirement
 # note in plans/queries.py). An entry here must have that reference.
-RETIRED_BUT_BENCHED = {"big_ticket_orders"}
+RETIRED_BUT_BENCHED = {"big_ticket_orders", "nation_trade_volume"}
 
 
 def test_bench_queries_are_registered_and_unique():

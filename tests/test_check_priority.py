@@ -8,11 +8,18 @@ module as DERIVED_FROM_ROUNDS), cover the registry exactly, and
 guarantee that under the driver's ~50-slot budget no query's evidence
 goes more than SLO_ROUNDS rounds stale.
 
-Verification economics (the r07 SLO decision, VERDICT r06 ask #1):
-the registry holds 148 queries and the driver checks ~50 per round, so
-a 2-round freshness SLO needs <= 100 registered queries and became
-arithmetically unsatisfiable in r06. The SLO is therefore 3 rounds,
-which supports up to BUDGET * SLO_ROUNDS = 150 registered queries;
+Verification economics (r07 SLO decision, VERDICT r06 ask #1; SLACK
+restatement r14, VERDICT r13 ask #1): a B-slot budget re-visits a
+query at most every ceil(N/B) rounds. The r07 3-round SLO at the full
+150-query capacity was a ZERO-SLACK cycle — any slot spent on a new
+registration or an early re-check pushed rows 51-53 of the rotation
+past the boundary, which is exactly what happened in r12 AND r13 (the
+two consecutive "breaches" were structural arithmetic, not rotation
+bugs). The SLO is therefore restated as 4 rounds, while the
+REGISTRATION ceiling stays at BUDGET * (SLO_ROUNDS - 1) = 150: the
+registry must fit in SLO-1 rounds of budget, leaving one full
+budget-round of slack to absorb new registrations, early re-checks,
+and round-boundary jitter without phantom breaches.
 test_registry_fits_slo_capacity pins that ceiling so over-registration
 fails the suite instead of silently eroding evidence freshness.
 
@@ -56,7 +63,7 @@ from sales_forecast_pyspark_spark.plans.queries import (  # noqa: E402
 from sales_forecast_pyspark_spark.plans.rewrites import REWRITTEN_AT  # noqa: E402
 
 BUDGET = 50  # the driver's observed per-round check budget
-SLO_ROUNDS = 3  # max evidence age in rounds (see module docstring)
+SLO_ROUNDS = 4  # max evidence age in rounds (see module docstring)
 
 
 def _committed_rounds() -> dict[int, dict]:
@@ -196,18 +203,23 @@ def test_queries_iteration_order_is_the_rotation():
 
 
 def test_registry_fits_slo_capacity():
-    """The arithmetic that makes the SLO satisfiable at all: a B-slot
-    budget re-visits a query at most every ceil(N / B) rounds, so N
-    must not exceed B * SLO_ROUNDS. When a new registration needs a
-    slot past the ceiling, apply the retirement policy in SCALING.md
+    """The slack arithmetic that makes the SLO robust, not merely
+    satisfiable (r14 restatement, VERDICT r13 ask #1): a B-slot budget
+    re-visits a query at most every ceil(N / B) rounds, so N <=
+    B * (SLO_ROUNDS - 1) guarantees the full cycle completes one round
+    INSIDE the SLO — a whole budget-round of slack for new
+    registrations and early re-checks, where the old N == B * SLO
+    ceiling made every such slot a boundary breach (the r12/r13
+    phantom-breach mechanism). When a new registration needs a slot
+    past the ceiling, apply the retirement policy in SCALING.md
     'Verification economics > Retirement policy' (retire by evidence
     redundancy, ranked list there), in the same commit."""
-    assert len(REGISTRATION_ORDER) <= BUDGET * SLO_ROUNDS, (
+    assert len(REGISTRATION_ORDER) <= BUDGET * (SLO_ROUNDS - 1), (
         f"{len(REGISTRATION_ORDER)} registered queries exceed the "
-        f"{BUDGET}-slot x {SLO_ROUNDS}-round verification capacity "
-        f"({BUDGET * SLO_ROUNDS}) — retire per SCALING.md 'Retirement "
-        "policy' (evidence redundancy, ranked) or raise the SLO "
-        "(and rewrite the docstring math) before registering more"
+        f"{BUDGET}-slot x {SLO_ROUNDS - 1}-round slack-preserving "
+        f"capacity ({BUDGET * (SLO_ROUNDS - 1)}) — retire per SCALING.md "
+        "'Retirement policy' (evidence redundancy, ranked) or raise the "
+        "SLO (and rewrite the docstring math) before registering more"
     )
 
 

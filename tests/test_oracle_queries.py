@@ -46,6 +46,25 @@ def test_retired_big_ticket_orders_still_matches_oracle(spark, duck):
     assert ok, msg
 
 
+def test_retired_nation_trade_volume_still_matches_oracle(spark, duck):
+    """`nation_trade_volume` was retired from the driver registry in
+    r14 (slot spent on `semantic_dedup_lifecycle`, per SCALING.md's
+    ranked policy); the retirement contract keeps its FULL oracle
+    comparison alive here — same builder, same SQL, same compare — so
+    the Q7 double-role-nation shape's evidence is pytest-level instead
+    of driver-level."""
+    from sales_forecast_pyspark_spark.plans.queries import (
+        NATION_TRADE_VOLUME_ORACLE,
+        q_nation_trade_volume,
+    )
+
+    register_duck_views(duck, SF_SMALL)
+    ok, msg = compare_query(
+        q_nation_trade_volume(spark, SF_SMALL), duck, NATION_TRADE_VOLUME_ORACLE
+    )
+    assert ok, msg
+
+
 def test_variant_path_matches_declared_schema(spark):
     """Spark 4 VariantType (schema-less semi-structured path): parsing
     props once into a variant and extracting '$.k' typed must agree

@@ -23,7 +23,7 @@ SKIP = {
     "dedup_clusters", "near_dedup_survivors", "forecast_rf",
     "forecast_gbt", "ann_pq_topk", "ann_ivfpq_topk", "backtest_lr",
     "leakage_free_split", "model_quality_audit", "ann_index_lifecycle",
-    "minhash_store_lifecycle",
+    "minhash_store_lifecycle", "semantic_dedup_lifecycle",
 }
 
 # BNLJ appears ONLY where a bounded side is deliberately broadcast:
