@@ -49,6 +49,13 @@ from sales_forecast_pyspark_spark.llmdata.ann_index import (
     stream_append_to_ivfpq_index,
     stream_ingest_semantic_dedup,
 )
+from sales_forecast_pyspark_spark.llmdata.ingest import (
+    append_to_fp_store,
+    build_fp_store,
+    compact_fp_store,
+    screen_against_fp_store,
+    stream_ingest_dedup_all,
+)
 from sales_forecast_pyspark_spark.llmdata.similarity import (
     cosine_topk,
     dequantize_embeddings,
@@ -84,8 +91,13 @@ from sales_forecast_pyspark_spark.llmdata.text import (
 __all__ = [
     "STOPWORD_PATTERN",
     "attach_binary",
+    "append_to_fp_store",
     "append_to_ivfpq_index",
     "append_to_minhash_store",
+    "build_fp_store",
+    "compact_fp_store",
+    "screen_against_fp_store",
+    "stream_ingest_dedup_all",
     "build_minhash_store",
     "compact_minhash_store",
     "minhash_store_stats",

@@ -1241,6 +1241,7 @@ def screen_against_ivfpq_index(
     threshold: float = 0.9,
     k: int = 5,
     n_probe: int = 6,
+    refine_factor: int = 8,
     exclude_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Which batch vectors are SEMANTIC near-dups (cosine ≥ threshold)
@@ -1252,15 +1253,45 @@ def screen_against_ivfpq_index(
     against the SERVING index — |batch| probe queries over the
     cell-pruned code scan, nothing corpus-sized recomputed.
 
+    SCREEN-SHAPED EXECUTION (r14; measured necessity): the expression-
+    built serve path (``query_ivfpq_index``) materializes per-(query,
+    cell) ADC tables through two collect_list/array_sort aggregations
+    and broadcasts them — right for bounded k-NN query sets, measured
+    ~0.1 s/query and OOM-bound near ~10k queries, which an ingest
+    batch routinely exceeds. Screening instead runs the textbook
+    IVF-PQ scan shape as Arrow stages: (1) one ``mapInPandas`` pass
+    normalizes the batch and assigns each vector its ``n_probe``
+    nearest cells (the quantizer state is kilobytes of numpy in the
+    closure, as in the append encoder); (2) the probed-cell id list —
+    bounded by n_centroids — reaches the codes scan as a static
+    PartitionFilter; (3) a ``cogroup(...).applyInPandas`` per cell
+    computes the Q_c×256 ADC tables ONCE per subspace and scans all
+    N_c code rows with vectorized table lookups (query-chunked so peak
+    memory is ~chunk×N_c floats), emitting each query's top
+    ``k·refine_factor`` candidates; (4) the bounded candidate set
+    (≤ |batch|·k·refine_factor narrow rows) broadcasts against the
+    vectors table for the EXACT-cosine refine — true cosines, same
+    rounding and (cos desc, neighbor asc) tie order as the serve path.
+    Nothing corpus-sized shuffles; the only |batch|-scale broadcast is
+    the candidate ids and the normalized queries.
+
     Returns (vec_id, dup_of, cos_sim) for batch vectors whose best
     stored matches clear the threshold (several rows when several
-    stored vectors match). ``exclude_ids`` (a one-column id frame)
-    drops matches whose ``dup_of`` is in the set — the streaming
-    loop's replay guard: a re-delivered batch must not be screened out
-    by the rows its own first attempt appended, and the index carries
-    no per-row provenance column, so exclusion is by the batch's OWN
-    ids (ids are the store key — a stored id in the batch's id set IS
-    this batch's earlier attempt, before or after a fold).
+    stored vectors match, at most k). ``exclude_ids`` (a one-column id
+    frame) drops matches whose ``dup_of`` is in the set — the
+    streaming loop's replay guard: a re-delivered batch must not be
+    screened out by the rows its own first attempt appended, and the
+    index carries no per-row provenance column, so exclusion is by the
+    batch's OWN ids (ids are the store key — a stored id in the
+    batch's id set IS this batch's earlier attempt, before or after a
+    fold).
+
+    Determinism note: the final output order/content is pinned by the
+    exact-cosine window; inside the ADC stage, candidates tied exactly
+    at the k·refine_factor cut boundary may select either tied row
+    (both score identically downstream) — the serve path's global
+    (adc, neighbor_id) row_number is exact there, the one semantic
+    difference between the two implementations.
 
     Recall caveat (the IVF trade, documented not hidden): a true
     near-dup stored in an UNPROBED cell is missed. At near-dup
@@ -1268,19 +1299,171 @@ def screen_against_ivfpq_index(
     stored near-twin to the same or adjacent centroids, so the default
     ``n_probe`` covers the realistic regime; raise it (or use
     ``recommend_n_probe``) where misses are costlier than IO."""
-    hits = query_ivfpq_index(
-        spark,
-        path,
-        batch,
-        id_col=id_col,
-        vec_col=vec_col,
-        k=k,
-        n_probe=n_probe,
-    ).filter(F.col("cos_sim") >= threshold)
-    out = hits.select(
-        F.col("query_id").alias("vec_id"),
-        F.col("neighbor_id").alias("dup_of"),
-        "cos_sim",
+    import numpy as np
+    import pandas as pd
+
+    meta, cell_mat, books = _load_quantizers(spark, path)
+    d, sub, m = meta["d"], meta["sub"], meta["m"]
+    n_probe = min(int(n_probe), int(meta["n_centroids"]))
+    k_cand = int(k) * int(refine_factor)
+
+    src = batch.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v0"),
+    )
+    id_dtype = dict(src.dtypes)["vec_id"]
+    in_d = src.select(F.size("v0").alias("_d")).first()
+    if in_d is None:
+        return spark.createDataFrame(
+            [], f"vec_id {id_dtype}, dup_of {id_dtype}, cos_sim double"
+        )
+    if in_d["_d"] != d:
+        raise ValueError(
+            f"batch dimension {in_d['_d']} != index dimension {d}"
+        )
+
+    cell_sq = np.einsum("ij,ij->i", cell_mat, cell_mat)
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["v0"].to_numpy()).astype(np.float64)
+            norms = np.sqrt(np.einsum("ij,ij->i", x, x))
+            keep = norms > 0
+            if not keep.any():
+                continue
+            pdf = pdf[keep]
+            x = x[keep] / norms[keep, None]
+            cd = -2.0 * (x @ cell_mat.T) + cell_sq
+            # n_probe smallest cell distances, ties by cell id (same
+            # rule as the serve path's (cd, cell) row_number)
+            order = np.lexsort(
+                (np.broadcast_to(np.arange(cd.shape[1]), cd.shape), cd),
+                axis=-1,
+            )[:, :n_probe]
+            qn = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_probe),
+                    "qv": list(np.repeat(x, n_probe, axis=0)),
+                    "cell": order.reshape(-1).astype("int32"),
+                }
+            )
+
+    probes = src.mapInPandas(
+        assign, f"vec_id {id_dtype}, qv array<double>, cell int"
+    )
+    probes = probes.localCheckpoint(eager=True)  # one assign pass
+    probed_cells = sorted(
+        r["cell"] for r in probes.select("cell").distinct().collect()
+    )
+    if not probed_cells:
+        return spark.createDataFrame(
+            [], f"vec_id {id_dtype}, dup_of {id_dtype}, cos_sim double"
+        )
+    codes = _read_index_table(spark, path, "codes").filter(
+        F.col("cell").isin(probed_cells)
+    ).select("neighbor_id", F.col("cell").cast("int").alias("cell"), "codes")
+
+    book_sq = [np.einsum("ij,ij->i", b, b) for b in books]
+
+    def scan(key, qpdf, cpdf):
+        if not len(qpdf) or not len(cpdf):
+            return pd.DataFrame(
+                {
+                    "vec_id": qpdf["vec_id"][:0],
+                    "neighbor_id": cpdf["neighbor_id"][:0],
+                    "adc": pd.Series([], dtype="float64"),
+                }
+            )
+        cell = int(key[0])
+        xq = np.stack(qpdf["qv"].to_numpy())
+        resid = xq - cell_mat[cell]
+        codes_m = np.stack(cpdf["codes"].to_numpy()).astype(np.int64)
+        nid = cpdf["neighbor_id"].to_numpy()
+        qid = qpdf["vec_id"].to_numpy()
+        n_c = len(nid)
+        take = min(k_cand, n_c)
+        out_q, out_n, out_a = [], [], []
+        for lo in range(0, len(xq), 256):  # bound peak adc memory
+            r = resid[lo : lo + 256]
+            adc = np.zeros((len(r), n_c))
+            for j in range(m):
+                rj = r[:, j * sub : (j + 1) * sub]
+                # full squared distance per (query, code): |r|^2 -
+                # 2 r.b + |b|^2 — the |r|^2 term keeps ADC comparable
+                # ACROSS cells, as in the serve path
+                tab = (
+                    -2.0 * (rj @ books[j].T)
+                    + book_sq[j]
+                    + np.einsum("ij,ij->i", rj, rj)[:, None]
+                )
+                adc += tab[:, codes_m[:, j]]
+            if take < n_c:
+                part = np.argpartition(adc, take - 1, axis=1)[:, :take]
+            else:
+                part = np.broadcast_to(
+                    np.arange(n_c), (len(r), n_c)
+                ).copy()
+            rows = np.repeat(np.arange(len(r)), part.shape[1])
+            cols = part.reshape(-1)
+            out_q.append(np.repeat(qid[lo : lo + 256], part.shape[1]))
+            out_n.append(nid[cols])
+            out_a.append(adc[rows, cols])
+        return pd.DataFrame(
+            {
+                "vec_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "adc": np.concatenate(out_a),
+            }
+        )
+
+    cand_cells = probes.groupBy("cell").cogroup(
+        codes.groupBy("cell")
+    ).applyInPandas(
+        scan, f"vec_id {id_dtype}, neighbor_id {id_dtype}, adc double"
+    )
+    # global per-query candidate cut across the probed cells, then the
+    # bounded exact refine — true cosines, serve-path tie order
+    w_adc = Window.partitionBy("vec_id").orderBy(
+        F.asc("adc"), F.asc("neighbor_id")
+    )
+    cand = (
+        cand_cells.filter(F.col("neighbor_id") != F.col("vec_id"))
+        .withColumn("_r", F.row_number().over(w_adc))
+        .filter(F.col("_r") <= k_cand)
+        .select("vec_id", "neighbor_id")
+    )
+    qframe = probes.select("vec_id", "qv").dropDuplicates(["vec_id"])
+    vectors = _read_index_table(spark, path, "vectors")
+    cos = F.round(
+        F.aggregate(
+            F.zip_with("v", "qv", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+        6,
+    )
+    w_cos = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_sim"), F.asc("dup_of")
+    )
+    out = (
+        vectors.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qframe), "vec_id")
+        .select(
+            "vec_id",
+            F.col("neighbor_id").alias("dup_of"),
+            cos.alias("cos_sim"),
+        )
+        # transient duplicate vector rows (torn-batch orphans folded
+        # before their replay completes) are bit-identical by contract
+        # — whole-row distinct removes exactly them, as in the serve
+        # path
+        .dropDuplicates()
+        .withColumn("_rank", F.row_number().over(w_cos))
+        .filter((F.col("_rank") <= k) & (F.col("cos_sim") >= threshold))
+        .drop("_rank")
     )
     if exclude_ids is not None:
         out = out.join(

@@ -1,0 +1,474 @@
+"""The composed corpus-ingest dedup pipeline: all three incremental
+legs — exact fingerprint, MinHash text, embedding cosine — over the
+SAME micro-batch, in short-circuit order (VERDICT r13 ask #6).
+
+A real training-corpus pipeline runs all three dedup classes at ingest
+cadence; until r14 that meant wiring three separate ``foreachBatch``
+loops by hand, each re-reading the batch. ``stream_ingest_dedup_all``
+composes them with the cost structure a 100 TB pipeline needs:
+
+- **Stage order is a cost ladder.** Exact fingerprinting is one md5
+  per doc; MinHash signing is shingle+hash work; an index probe is the
+  most expensive screen. Each stage runs ONLY on the previous stage's
+  survivors, so an exact dup never pays a signature build and a text
+  dup never pays an index probe — the short-circuit is test-pinned by
+  verdict precedence (an exact copy of an admitted doc is always
+  ``exact_dup``, even though the later stages would also flag it).
+- **One batch cache.** The batch is cached once and every stage reads
+  it; signatures are computed once on stage-1 survivors and reused for
+  the store screen, the in-batch peel, AND the admission.
+- **One survivors dir, per-stage verdict.** Every batch row publishes
+  to ``survivors_dir/b=<id>`` with a ``verdict`` column in
+  {``exact_dup``, ``text_dup``, ``semantic_dup``, ``admitted``} —
+  downstream consumers filter ``admitted``; auditors see exactly which
+  tier dropped what.
+- **Exactly-once across all three stores.** Every store append is
+  batch-keyed and idempotent (versioned increment dirs + fold-ledger
+  replay guards — the shared ``lsm`` design), and every store screen
+  excludes the batch's own prior attempt (``src_batch`` filters for
+  the fp and MinHash stores, own-id exclusion for the index), so a
+  replayed batch is judged only against prior state and re-publishes
+  bit-identical verdicts.
+
+The EXACT-FINGERPRINT STORE persisted here (``build_fp_store`` /
+``screen_against_fp_store`` / ``append_to_fp_store`` /
+``compact_fp_store``) is the whole-text md5 tier — the incremental
+twin of the ``dedup_exact`` / ``incremental_ingest_dedup`` one-shot
+rows, on the same LSM layout as the MinHash store and the IVF-PQ
+index: a single ``fps`` table (fp, doc_id, src_batch), base +
+``fps_inc/b=<id>`` increments, single-maintainer lease, fold ledger.
+At 100 TB the screen is an equality join on a 32-byte key against a
+fp-sorted store — production would bucket the base table by fp to
+make it co-located; the sorted layout here keeps row groups tight.
+
+Zero-norm embeddings (no direction) pass the semantic stage
+unjudged and are never admitted to the index (its append drops
+them) — but unlike the standalone semantic loop, repeated copies are
+BOUNDED here by construction: stage 1's whole-text fingerprint
+catches every exact re-offer, which is why this module needs no
+zero-vector marker file.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sales_forecast_pyspark_spark.llmdata.dedup import fingerprint_expr
+from sales_forecast_pyspark_spark.llmdata.dedup_store import (
+    _append_signed,
+    _greedy_losers,
+    _screen_fps,
+    _screen_signed,
+    _sig_frame,
+    _verified_in_batch_pairs,
+    _zero_token_fps,
+)
+
+
+def _fp_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, fp) — the whole-text exact fingerprint (the
+    oracle-reproducible ``fingerprint_expr`` md5, same expression the
+    ``doc_fingerprints`` driver row pins)."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        fingerprint_expr(text_col).alias("fp"),
+    )
+
+
+def build_fp_store(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_file_mb: int = 128,
+) -> int:
+    """Fingerprint the seed corpus and persist the ``fps`` table,
+    fp-sorted for row-group locality on the join key. Returns the
+    number of rows written. Holds the single-maintainer lease."""
+    from sales_forecast_pyspark_spark.llmdata import lsm
+
+    spark = df.sparkSession
+    fps = _fp_frame(df, id_col, text_col).withColumn(
+        "src_batch", F.lit(-1).cast("long")
+    )
+    fps.cache()
+    n = fps.count()
+    n_files = max(1, -(-n * 48 // (target_file_mb * 1024 * 1024)))
+    with lsm.maintenance_lease(spark, path, "build"):
+        (
+            fps.repartitionByRange(int(n_files), "fp")
+            .sortWithinPartitions("fp")
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "fps"))
+        )
+    fps.unpersist()
+    return n
+
+
+def _read_fp_store(spark: SparkSession, path: str) -> DataFrame:
+    from sales_forecast_pyspark_spark.llmdata import lsm
+
+    return lsm.read_tiered(spark, path, "fps")
+
+
+def screen_against_fp_store(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    exclude_batch: int | None = None,
+) -> DataFrame:
+    """Which batch docs are EXACT copies of docs already in the store?
+    One md5 per batch doc + an fp equality join. Returns (doc_id,
+    dup_of, fp). ``exclude_batch`` is the replay guard, as in the
+    MinHash store's screen."""
+    spark = batch.sparkSession
+    store = _read_fp_store(spark, path)
+    if exclude_batch is not None:
+        store = store.filter(F.col("src_batch") != int(exclude_batch))
+    return _fp_frame(batch, id_col, text_col).join(
+        store.select(F.col("doc_id").alias("dup_of"), "fp"), "fp"
+    ).select("doc_id", "dup_of", "fp")
+
+
+def append_to_fp_store(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_id: int | None = None,
+    lease_retry_s: float = 0.0,
+) -> int:
+    """Admit accepted docs' fingerprints. With ``batch_id`` the write
+    is IDEMPOTENT (overwrite-mode ``fps_inc/b=<id>``) and fold-ledger
+    guarded — same versioned-increments contract as the sibling
+    stores."""
+    from sales_forecast_pyspark_spark.llmdata import lsm
+
+    spark = df.sparkSession
+    with lsm.maintenance_lease(spark, path, "append", retry_s=lease_retry_s):
+        if batch_id is not None and int(batch_id) in lsm.folded_batches(
+            spark, path
+        ):
+            return 0
+        src = -1 if batch_id is None else int(batch_id)
+        fps = _fp_frame(df, id_col, text_col).withColumn(
+            "src_batch", F.lit(src).cast("long")
+        )
+        fps.cache()
+        n = fps.count()
+        if batch_id is None:
+            fps.write.mode("append").parquet(os.path.join(path, "fps"))
+        else:
+            fps.write.mode("overwrite").parquet(
+                os.path.join(path, "fps_inc", f"b={int(batch_id)}")
+            )
+        fps.unpersist()
+        return n
+
+
+def compact_fp_store(
+    spark: SparkSession, path: str, target_file_mb: int = 128
+) -> dict:
+    """Fold increment batches into the fp-sorted base. The store is a
+    SINGLE table, so every increment dir present is a complete batch
+    (one atomic overwrite-mode write) and all of them fold; dedupe on
+    (fp, doc_id) self-heals a crashed prior fold's swap-but-not-drop
+    window. ``src_batch`` provenance is preserved for the replay
+    guard. Fenced like the sibling compactors."""
+    from sales_forecast_pyspark_spark.llmdata import lsm
+
+    with lsm.maintenance_lease(spark, path, "compact") as lease_token:
+        folding = lsm.list_inc_batches(spark, path, "fps")
+        before = lsm.tier_files(spark, path, "fps")
+        total = lsm.tier_bytes(spark, path, "fps")
+        n_files = max(1, -(-total // (target_file_mb * 1024 * 1024)))
+        merged = _read_fp_store(spark, path).dropDuplicates(["fp", "doc_id"])
+
+        def _write(tmp):
+            (
+                merged.repartitionByRange(int(n_files), "fp")
+                .sortWithinPartitions("fp")
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+
+        lsm.swap_dir(spark, path, "fps", _write)
+        lsm.verify_lease(spark, path, lease_token)
+        lsm.record_folded(spark, path, folding)
+        lsm.drop_inc_batches(spark, path, "fps", folding)
+        return {
+            "fps": (before, lsm.data_files(spark, os.path.join(path, "fps")))
+        }
+
+
+def stream_ingest_dedup_all(
+    stream_df: DataFrame,
+    fp_store: str,
+    mh_store: str,
+    index_path: str,
+    survivors_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    text_threshold: float = 0.5,
+    cos_threshold: float = 0.9,
+    k: int = 5,
+    n_probe: int = 6,
+    exact_verify_in_batch: bool = False,
+    auto_compact_after: int | None = 64,
+    lease_retry_s: float = 600.0,
+):
+    """The composed triad ingest loop — see the module docstring for
+    the cost-ladder / exactly-once / verdict-column contracts. Per
+    micro-batch of (id, text, embedding) rows:
+
+    1. EXACT: whole-text fingerprint vs the fp store (own batch
+       excluded) + in-batch first-wins on identical fps → ``exact_dup``.
+    2. TEXT: stage-1 survivors signed ONCE with the MinHash store's
+       geometry; store screen (signature-estimate + zero-token fp
+       tier) + exact-sequential-greedy in-batch peel → ``text_dup``.
+    3. SEMANTIC: stage-2 survivors probed against the serving IVF-PQ
+       index (own ids excluded) + in-batch BRP-LSH pairs at the
+       cosine-equivalent L2 radius, greedy-peeled → ``semantic_dup``.
+    4. ADMIT the final survivors to ALL THREE stores under the batch id
+       (fingerprints; the already-computed signatures; the index) and
+       publish every batch row with its verdict to
+       ``survivors_dir/b=<id>`` (overwrite — idempotent).
+
+    Uses availableNow; returns the started StreamingQuery."""
+    from sales_forecast_pyspark_spark.llmdata.ann_index import (
+        append_to_ivfpq_index,
+        compact_ivfpq_index,
+        screen_against_ivfpq_index,
+    )
+    from sales_forecast_pyspark_spark.llmdata.dedup_store import (
+        compact_minhash_store,
+    )
+    from sales_forecast_pyspark_spark.llmdata.similarity import (
+        lsh_similarity_join,
+    )
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        from sales_forecast_pyspark_spark.llmdata import lsm
+
+        spark = batch_df.sparkSession
+        b = batch_df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("text"),
+            F.col(vec_col).alias("embedding"),
+        )
+        b.cache()
+
+        # ---- stage 1: exact fingerprint (cheapest screen first) ----
+        bfp = _fp_frame(b, "doc_id", "text")
+        bfp = bfp.localCheckpoint(eager=True)  # one md5 pass, reused 3x
+        exact_store = (
+            screen_against_fp_store(
+                b, fp_store, exclude_batch=batch_id
+            )
+            .select("doc_id")
+            .distinct()
+        )
+        exact_in_batch = (
+            bfp.join(bfp.groupBy("fp").agg(F.min("doc_id").alias("keep")), "fp")
+            .filter(F.col("doc_id") != F.col("keep"))
+            .select("doc_id")
+        )
+        exact_losers = exact_store.unionByName(exact_in_batch).distinct()
+        exact_losers = exact_losers.localCheckpoint(eager=True)
+        s1 = b.join(exact_losers, "doc_id", "left_anti")
+
+        # ---- stage 2: MinHash text (stage-1 survivors only) ----
+        meta = spark.read.parquet(os.path.join(mh_store, "meta")).first().asDict()
+        bsig = _sig_frame(s1, "doc_id", "text", meta["n"], meta["num_hashes"])
+        bsig.cache()
+        unsigned = _zero_token_fps(s1, "doc_id", "text")
+        unsigned.cache()
+        text_store = (
+            _screen_signed(
+                spark, mh_store, bsig, meta, text_threshold, batch_id
+            )
+            .select("doc_id")
+            .unionByName(
+                _screen_fps(
+                    spark, mh_store, unsigned, meta["num_hashes"], batch_id
+                ).select("doc_id")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        pairs = _verified_in_batch_pairs(bsig, meta, text_threshold)
+        if exact_verify_in_batch:
+            from sales_forecast_pyspark_spark.llmdata.dedup import (
+                _exploded_shingles,
+                _jaccard_on_pairs,
+            )
+
+            sh = _exploded_shingles(s1, "doc_id", "text", meta["n"])
+            pairs = _jaccard_on_pairs(
+                sh, pairs, "doc_id", text_threshold
+            ).select("doc_a", "doc_b")
+        pairs = pairs.join(
+            text_store.select(F.col("doc_id").alias("doc_a")),
+            "doc_a",
+            "left_anti",
+        ).join(
+            text_store.select(F.col("doc_id").alias("doc_b")),
+            "doc_b",
+            "left_anti",
+        )
+        # NOTE: no zero-token first-wins tier here — identical
+        # zero-token texts share a whole-text fp and stage 1 already
+        # collapsed them
+        text_losers = text_store.unionByName(
+            _greedy_losers(pairs)
+        ).distinct()
+        text_losers = text_losers.localCheckpoint(eager=True)
+        s2 = s1.join(text_losers, "doc_id", "left_anti")
+        s2.cache()
+
+        # ---- stage 3: embedding cosine (stage-2 survivors only) ----
+        norm = F.sqrt(
+            F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x)
+        )
+        probeable = s2.withColumn("_n", norm).filter(F.col("_n") > 0)
+        sem_store = (
+            screen_against_ivfpq_index(
+                spark,
+                index_path,
+                probeable.select("doc_id", "embedding"),
+                id_col="doc_id",
+                vec_col="embedding",
+                threshold=cos_threshold,
+                k=k,
+                n_probe=n_probe,
+                exclude_ids=s2.select("doc_id"),
+            )
+            .select(F.col("vec_id").alias("doc_id"))
+            .distinct()
+            .localCheckpoint(eager=True)
+            if probeable.limit(1).count()
+            else s2.select("doc_id").limit(0)
+        )
+        normed = probeable.select(
+            "doc_id",
+            F.transform(
+                "embedding",
+                lambda x: F.try_divide(x, F.col("_n")).cast("float"),
+            ).alias("embedding"),
+        ).localCheckpoint(eager=True)
+        if normed.limit(2).count() < 2:
+            sem_pairs = normed.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("doc_id").alias("doc_b"),
+            ).limit(0)
+        else:
+            dist_t = (2.0 * (1.0 - cos_threshold)) ** 0.5
+            sem_pairs = lsh_similarity_join(
+                normed, "doc_id", "embedding", distance_threshold=dist_t
+            ).select(
+                F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+            )
+        sem_pairs = sem_pairs.join(
+            sem_store.select(F.col("doc_id").alias("doc_a")),
+            "doc_a",
+            "left_anti",
+        ).join(
+            sem_store.select(F.col("doc_id").alias("doc_b")),
+            "doc_b",
+            "left_anti",
+        )
+        sem_losers = sem_store.unionByName(
+            _greedy_losers(sem_pairs)
+        ).distinct()
+        sem_losers = sem_losers.localCheckpoint(eager=True)
+        survivors = s2.join(sem_losers, "doc_id", "left_anti")
+        survivors.cache()
+        surv_ids = survivors.select("doc_id")
+
+        # ---- admit to all three stores, batch-versioned ----
+        append_to_fp_store(
+            survivors,
+            fp_store,
+            batch_id=batch_id,
+            lease_retry_s=lease_retry_s,
+        )
+        _append_signed(
+            spark,
+            bsig.join(surv_ids, "doc_id"),
+            mh_store,
+            meta,
+            batch_id,
+            fps=unsigned.join(surv_ids, "doc_id"),
+            lease_retry_s=lease_retry_s,
+        )
+        append_to_ivfpq_index(
+            survivors.select("doc_id", "embedding"),
+            index_path,
+            id_col="doc_id",
+            vec_col="embedding",
+            batch_id=batch_id,
+            lease_retry_s=lease_retry_s,
+        )
+
+        # ---- publish: every row, per-stage verdict ----
+        verdicts = (
+            exact_losers.select(
+                "doc_id", F.lit("exact_dup").alias("verdict")
+            )
+            .unionByName(
+                text_losers.select(
+                    "doc_id", F.lit("text_dup").alias("verdict")
+                )
+            )
+            .unionByName(
+                sem_losers.select(
+                    "doc_id", F.lit("semantic_dup").alias("verdict")
+                )
+            )
+        )
+        (
+            b.join(verdicts, "doc_id", "left")
+            .withColumn(
+                "verdict", F.coalesce("verdict", F.lit("admitted"))
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(survivors_dir, f"b={int(batch_id)}"))
+        )
+        survivors.unpersist()
+        s2.unpersist()
+        unsigned.unpersist()
+        bsig.unpersist()
+        b.unpersist()
+
+        if auto_compact_after is not None:
+            if lsm.should_compact(
+                spark, fp_store, ["fps"], max_inc_batches=auto_compact_after
+            ):
+                compact_fp_store(spark, fp_store)
+            if lsm.should_compact(
+                spark,
+                mh_store,
+                ["signatures", "buckets", "fingerprints", "doc_counts"],
+                max_inc_batches=auto_compact_after,
+            ):
+                compact_minhash_store(spark, mh_store)
+            if lsm.should_compact(
+                spark,
+                index_path,
+                ["codes", "vectors", "stats_live"],
+                max_inc_batches=auto_compact_after,
+            ):
+                compact_ivfpq_index(spark, index_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -39,6 +39,12 @@ covered by pytest equivalence at sf0.001 only:
    persisted MinHash store over a half-dup / half-constructed-fresh
    stream. Claims: exact dedup (every re-keyed dup screened, every
    disjoint-shingle fresh doc survives) and batch-proportional cost.
+6. ``semantic_ingest`` — the composed SEMANTIC-dedup loop against the
+   serving IVF-PQ index over a half-dup / half-hash-random vector
+   stream (VERDICT r13 ask #3). Claims: exact dedup at the 0.9 cosine
+   threshold, bounded ~25k-row micro-batches by contract, and the
+   isolated 500-vector screen cost per decade — the probe-cost growth
+   term measured, not argued.
 
 Usage (generate rehearsal data first — scripts/scale_rehearsal.py gen):
 
@@ -457,6 +463,131 @@ def run_dedup_ingest(spark, sf_dir, files_per_trigger) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def run_semantic_ingest(spark, sf_dir, files_per_trigger) -> dict:
+    """The composed incremental SEMANTIC-dedup loop
+    (stream_ingest_semantic_dedup) over a half-dup / half-fresh vector
+    stream against a serving IVF-PQ index built on the embeddings
+    table — the embedding twin of run_dedup_ingest, closing the
+    rehearsal gap VERDICT r13 flagged: of the three ingest loops this
+    is the one whose per-batch screen cost has a plausible growth term
+    (|batch| probes over cells whose SIZE grows with the corpus), so
+    the decade ladder must measure it rather than argue it.
+
+    Claims measured:
+    - exactness: every re-keyed exact dup of the corpus (odd negative
+      ids) screens out at cos 1.0; every constructed-fresh vector
+      (even negative ids, hash-random per (id, dim) — pairwise cosine
+      concentrates at 0 ± 1/√d, far below the 0.9 threshold at any
+      rehearsed scale) survives. Exact counts, not a tolerance.
+    - isolated probe cost: a FIXED 500-vector batch screened against
+      the pre-ingest index, timed per decade (`screen_s`) — the direct
+      measurement of the growth term (cell size scales with corpus/
+      n_centroids; the probed-cell PartitionFilter keeps it to
+      n_probe/n_centroids of the codes bytes).
+    - bounded micro-batches BY CONTRACT: the screen broadcasts
+      per-(query, cell) ADC state, |batch|-scale — so the source is
+      written in ~3k-row files and drained 8 files/trigger (~25k-row
+      batches) at EVERY decade instead of letting one batch swallow a
+      decade; a production loop sizes batches the same way. The passed
+      files_per_trigger is deliberately not used here.
+    - post-drain increment-tier depth, same as the sibling loops."""
+    from sales_forecast_pyspark_spark.llmdata import (
+        build_ivfpq_index,
+        screen_against_ivfpq_index,
+        stream_ingest_semantic_dedup,
+    )
+    from sales_forecast_pyspark_spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n_vecs = emb.count()
+    d = len(emb.select("embedding").first()[0])
+    # collision-free re-keys (same discipline as run_dedup_ingest):
+    # dups on the odd negatives, fresh on the even negatives —
+    # structurally disjoint from the base and each other at any scale
+    dups = emb.select((-F.col("vec_id") * 2 - 1).alias("vec_id"), "embedding")
+    fresh = emb.select(
+        (-F.col("vec_id") * 2 - 2).alias("vec_id"),
+        F.expr(
+            f"transform(sequence(1, {d}), i -> "
+            "cast((pmod(xxhash64(concat('fresh', cast(vec_id as string), "
+            "'x', cast(i as string))), 2000001) - 1000000) / 1000000.0 "
+            "as float))"
+        ).alias("embedding"),
+    )
+    n_incoming = 2 * n_vecs
+    tmp = tempfile.mkdtemp(prefix="stream_rehearsal_sem_")
+    try:
+        src = os.path.join(tmp, "src")
+        n_files = max(8, -(-n_incoming // 3125))
+        dups.unionByName(fresh).repartition(int(n_files)).write.parquet(src)
+        path = os.path.join(tmp, "idx")
+        t0 = time.time()
+        build_ivfpq_index(emb, path)
+        build_s = time.time() - t0
+        # isolated probe cost BEFORE the ingest mutates the index: a
+        # fixed 500-vector batch (disjoint id range) against the
+        # corpus-sized serving index
+        probe = (
+            emb.orderBy("vec_id")
+            .limit(500)
+            .select((-F.col("vec_id") - 1_000_000_001).alias("vec_id"),
+                    "embedding")
+            .localCheckpoint(eager=True)
+        )
+        t0 = time.time()
+        screen_hits = screen_against_ivfpq_index(
+            spark, path, probe, threshold=0.9
+        ).select("vec_id").distinct().count()
+        screen_s = time.time() - t0
+
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "8")
+            .parquet(src)
+        )
+        _raise_progress_retention(spark)
+        t0 = time.time()
+        q = stream_ingest_semantic_dedup(
+            stream,
+            path,
+            survivors_dir=os.path.join(tmp, "out"),
+            checkpoint_dir=os.path.join(tmp, "ckpt"),
+            threshold=0.9,
+            auto_compact_after=None,  # measuring post-drain tier depth
+        )
+        q.awaitTermination()
+        wall = time.time() - t0
+        out = {"path": "semantic_ingest", "wall_s": round(wall, 2)}
+        out.update(_progress_stats(_collect_progress(q)))
+        out["input_rows"] = n_incoming  # source truth, as in the siblings
+        out["build_s"] = round(build_s, 2)
+        out["screen_s"] = round(screen_s, 2)
+        out["screen_batch"] = 500
+        out["screen_hits"] = screen_hits
+        from sales_forecast_pyspark_spark.llmdata import lsm
+
+        out["inc_batches"] = len(lsm.list_inc_batches(spark, path, "codes"))
+        out["inc_files"] = sum(
+            lsm.data_files(spark, os.path.join(path, f"{t}_inc"))
+            for t in ("codes", "vectors", "stats_live")
+        )
+        survivors = spark.read.parquet(os.path.join(tmp, "out"))
+        n_surv = survivors.count()
+        n_fresh_surv = survivors.filter(
+            F.pmod(F.col("vec_id"), F.lit(2)) == 0  # even negatives = fresh
+        ).count()
+        out["incoming_dups"] = n_vecs
+        out["incoming_fresh"] = n_vecs
+        out["survivors"] = n_surv
+        out["semantic_exactness"] = bool(
+            n_surv == n_vecs and n_fresh_surv == n_vecs
+        )
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def run_dedup_screen_ratio(spark, sf_dir, files_per_trigger) -> dict:
     """The screen-vs-reshingle ratio at this corpus decade, made
     reproducible (the r12 numbers in SCALING.md — 2.6× at 20k docs,
@@ -521,6 +652,7 @@ PATHS = {
     "partials_fold": run_partials_fold,
     "index_ingest": run_index_ingest,
     "dedup_ingest": run_dedup_ingest,
+    "semantic_ingest": run_semantic_ingest,
     "dedup_screen_ratio": run_dedup_screen_ratio,
 }
 
