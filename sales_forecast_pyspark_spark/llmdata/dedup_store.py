@@ -648,7 +648,11 @@ def stream_ingest_dedup(
     hand-scheduling ``compact_minhash_store`` (VERDICT r12 ask #4b).
     ``None`` disables (rehearsals comparing tier depth use that); the
     fold runs inside this same single-writer loop, so the maintenance
-    lease never contends.
+    lease never contends. ``lease_retry_s`` (ADVICE r13, default
+    10 min) bounds a retry-with-backoff wait when an EXTERNAL cron
+    maintainer holds the lease between micro-batches — the append
+    delays instead of crashing the StreamingQuery; fail-fast stays the
+    backstop past the budget.
 
     Exactly-once end to end without a transactional sink: the store
     append and the survivors publish are both overwrite-mode keyed by
