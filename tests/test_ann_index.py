@@ -48,6 +48,53 @@ def test_index_query_matches_in_memory_operator(spark, emb, index_path):
     assert idx == mem and len(idx) > 0
 
 
+def test_screen_matches_serve_path_hits(spark, emb, index_path):
+    """The r14 screen-shaped scan (Arrow probe assignment + per-cell
+    cogroup ADC + bounded exact refine) must agree with the
+    expression-built serve path on the screening contract: the same
+    (vec_id, dup_of, cos_sim) hit rows at the threshold, for a batch
+    mixing exact copies of stored vectors (must hit at 1.0) and
+    re-keyed random corpus rows (no near-twin at 0.9). refine_factor
+    matched to the serve default so candidate pools align."""
+    from sales_forecast_pyspark_spark.llmdata import (
+        screen_against_ivfpq_index,
+    )
+
+    copies = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 40_000).alias("vec_id"), "embedding"
+    )
+    fresh = emb.filter(F.col("vec_id") % 7 == 3).select(
+        (F.col("vec_id") + 80_000).alias("vec_id"), "embedding"
+    )
+    batch = copies.unionByName(fresh).localCheckpoint(eager=True)
+    via_serve = (
+        query_ivfpq_index(
+            spark, index_path, batch, k=5, n_probe=6, refine_factor=32
+        )
+        .filter(F.col("cos_sim") >= 0.9)
+        .select(
+            F.col("query_id").alias("vec_id"),
+            F.col("neighbor_id").alias("dup_of"),
+            "cos_sim",
+        )
+    )
+    via_screen = screen_against_ivfpq_index(
+        spark, index_path, batch, threshold=0.9, k=5, n_probe=6,
+        refine_factor=32,
+    )
+    a = {tuple(r) for r in via_serve.collect()}
+    b = {tuple(r) for r in via_screen.collect()}
+    assert a == b and len(b) > 0
+    # every exact copy hits its stored twin at 1.0 (the corpus also
+    # carries intrinsic ≥0.9 pairs — both paths must report those too,
+    # which the set equality above already pins)
+    copy_ids = {r["vec_id"] for r in copies.collect()}
+    hit_twins = {
+        (v, d) for v, d, c in b if c >= 0.999999 and v - 40_000 == d
+    }
+    assert {v for v, _ in hit_twins} == copy_ids
+
+
 def test_index_scan_prunes_unprobed_cell_partitions(spark, emb, index_path):
     """The layout's point: probed cells reach the code scan as a STATIC
     PartitionFilter (driver-side IN-list, no DPP needed), so unprobed
