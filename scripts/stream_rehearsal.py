@@ -45,6 +45,12 @@ covered by pytest equivalence at sf0.001 only:
    threshold, bounded ~25k-row micro-batches by contract, and the
    isolated 500-vector screen cost per decade — the probe-cost growth
    term measured, not argued.
+7. ``ingest_all`` — the composed TRIAD loop (stream_ingest_dedup_all,
+   VERDICT r13 ask #6) over a four-class engineered stream (exact /
+   text / semantic / fresh, one class per verdict). Claims: per-class
+   verdict exactness — the short-circuit stage order holds under real
+   micro-batching at every decade — plus end-to-end throughput and
+   post-drain increment depth across all three stores.
 
 Usage (generate rehearsal data first — scripts/scale_rehearsal.py gen):
 
@@ -588,6 +594,196 @@ def run_semantic_ingest(spark, sf_dir, files_per_trigger) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def run_ingest_all(spark, sf_dir, files_per_trigger) -> dict:
+    """The composed TRIAD loop (stream_ingest_dedup_all) — all three
+    dedup legs over the same stream, the entry point a real corpus
+    pipeline deploys (VERDICT r13 ask #6 wants it measured, not just
+    pytest-pinned). The incoming stream carries FOUR engineered
+    classes, one per verdict, on structurally disjoint negative id
+    ranges (pmod(doc_id, 4): 3=exact copy, 2=text dup, 1=semantic dup,
+    0=fresh), each sized |corpus|:
+
+    - EXACT (pmod 3): re-keyed verbatim (text, embedding) copies —
+      stage 1's whole-text fp join against the seeded store is
+      deterministic, so every row must read ``exact_dup``.
+    - TEXT (pmod 2): ``text || ' ' || text`` with a hash-random fresh
+      embedding. The store is built with UNIGRAM shingles (n=1) for
+      this leg, so doubling the text preserves the shingle SET exactly
+      — identical tokens ⇒ identical MinHash signature ⇒ the store
+      screen is deterministic (the same exactness discipline the
+      sibling legs get from verbatim re-keys) — while the whole-text
+      md5 differs, so stage 1 CANNOT catch it: every row must read
+      ``text_dup``, which pins the stage order at scale. Geometry-level
+      (probabilistic) recall is the sibling legs' and the one-shot
+      row's concern, deliberately not re-measured here.
+    - SEMANTIC (pmod 1): constructed-fresh disjoint text (so stages
+      1-2 pass it) with a verbatim embedding copy — the serving-index
+      screen must flag it at cos 1.0: every row must read
+      ``semantic_dup``.
+    - FRESH (pmod 0): disjoint text + hash-random embedding (pairwise
+      cosine 0 ± 1/√64 at any rehearsed scale): every row must read
+      ``admitted``.
+
+    Claims measured: per-class verdict EXACTNESS (the short-circuit
+    cost ladder holds under real micro-batching), end-to-end wall /
+    throughput per decade, and post-drain increment-tier depth across
+    ALL THREE stores. Micro-batches are bounded by contract like the
+    semantic leg (~3k-row source files, 8 files/trigger) — the passed
+    files_per_trigger is deliberately not used."""
+    from sales_forecast_pyspark_spark.llmdata import (
+        build_fp_store,
+        build_ivfpq_index,
+        build_minhash_store,
+        stream_ingest_dedup_all,
+    )
+    from sales_forecast_pyspark_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    # one row per distinct TEXT: the corpus plants exact text dups
+    # (sf0.1 carries one pair), and two text-dup-class rows built from
+    # the same base text would share their doubled text too — stage
+    # 1's in-batch first-wins would then (correctly!) call one of them
+    # exact_dup, which is a property of the planted data, not of the
+    # stage order this leg pins. localCheckpoint pins WHICH row
+    # survives, so the seeded stores and the engineered classes are
+    # built from the same frame even if a partition recomputes.
+    corpus = (
+        docs.join(emb, "doc_id")
+        .dropDuplicates(["text"])
+        .localCheckpoint(eager=True)
+    )
+    n_corpus = corpus.count()
+    d = len(corpus.select("embedding").first()[0])
+
+    def _rand_vec(tag: str):
+        # deterministic hash-random direction, salted per class so the
+        # text-dup and fresh classes never share a vector
+        return F.expr(
+            f"transform(sequence(1, {d}), i -> "
+            f"cast((pmod(xxhash64(concat('{tag}', cast(doc_id as string), "
+            "'x', cast(i as string))), 2000001) - 1000000) / 1000000.0 "
+            "as float))"
+        )
+
+    def _fresh_text(tag: str):
+        # 60 tokens, unique per (class, source id) — disjoint from the
+        # corpus vocabulary and from every other constructed doc
+        return F.expr(
+            "array_join(transform(sequence(1, 60), "
+            f"i -> concat('{tag}', doc_id, 'x', i)), ' ')"
+        )
+
+    exact = corpus.select(
+        (-F.col("doc_id") * 4 - 1).alias("doc_id"), "text", "embedding"
+    )
+    text_dup = corpus.select(
+        (-F.col("doc_id") * 4 - 2).alias("doc_id"),
+        F.concat("text", F.lit(" "), "text").alias("text"),
+        _rand_vec("triT").alias("embedding"),
+    )
+    semantic = corpus.select(
+        (-F.col("doc_id") * 4 - 3).alias("doc_id"),
+        _fresh_text("g").alias("text"),
+        "embedding",
+    )
+    fresh = corpus.select(
+        (-F.col("doc_id") * 4 - 4).alias("doc_id"),
+        _fresh_text("f").alias("text"),
+        _rand_vec("triF").alias("embedding"),
+    )
+    incoming = (
+        exact.unionByName(text_dup).unionByName(semantic).unionByName(fresh)
+    )
+    n_incoming = 4 * n_corpus
+    tmp = tempfile.mkdtemp(prefix="stream_rehearsal_triad_")
+    try:
+        src = os.path.join(tmp, "src")
+        n_files = max(8, -(-n_incoming // 3125))
+        incoming.repartition(int(n_files)).write.parquet(src)
+        fp, mh, idx = (
+            os.path.join(tmp, "fp"),
+            os.path.join(tmp, "mh"),
+            os.path.join(tmp, "idx"),
+        )
+        t0 = time.time()
+        build_fp_store(corpus, fp)
+        build_minhash_store(corpus, mh, n=1)  # unigram: see docstring
+        build_ivfpq_index(
+            corpus.select("doc_id", "embedding"), idx, id_col="doc_id"
+        )
+        build_s = time.time() - t0
+
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "8")
+            .parquet(src)
+        )
+        _raise_progress_retention(spark)
+        t0 = time.time()
+        q = stream_ingest_dedup_all(
+            stream,
+            fp,
+            mh,
+            idx,
+            survivors_dir=os.path.join(tmp, "out"),
+            checkpoint_dir=os.path.join(tmp, "ckpt"),
+            auto_compact_after=None,  # measuring post-drain tier depth
+        )
+        q.awaitTermination()
+        wall = time.time() - t0
+        out = {"path": "ingest_all", "wall_s": round(wall, 2)}
+        out.update(_progress_stats(_collect_progress(q)))
+        out["input_rows"] = n_incoming  # source truth, as in the siblings
+        out["build_s"] = round(build_s, 2)
+        from sales_forecast_pyspark_spark.llmdata import lsm
+
+        out["inc_batches"] = (
+            len(lsm.list_inc_batches(spark, fp, "fps"))
+            + len(lsm.list_inc_batches(spark, mh, "doc_counts"))
+            + len(lsm.list_inc_batches(spark, idx, "codes"))
+        )
+        out["inc_files"] = (
+            lsm.data_files(spark, os.path.join(fp, "fps_inc"))
+            + sum(
+                lsm.data_files(spark, os.path.join(mh, f"{t}_inc"))
+                for t in (
+                    "signatures", "buckets", "fingerprints", "doc_counts"
+                )
+            )
+            + sum(
+                lsm.data_files(spark, os.path.join(idx, f"{t}_inc"))
+                for t in ("codes", "vectors", "stats_live")
+            )
+        )
+        verdicts = (
+            spark.read.parquet(os.path.join(tmp, "out"))
+            .groupBy(
+                F.pmod(F.col("doc_id"), F.lit(4)).alias("cls"), "verdict"
+            )
+            .count()
+            .collect()
+        )
+        counts = {(r["cls"], r["verdict"]): r["count"] for r in verdicts}
+        expected = {
+            (3, "exact_dup"): n_corpus,
+            (2, "text_dup"): n_corpus,
+            (1, "semantic_dup"): n_corpus,
+            (0, "admitted"): n_corpus,
+        }
+        out["class_counts"] = {
+            f"{c}:{v}": n for (c, v), n in sorted(counts.items())
+        }
+        out["per_class"] = n_corpus
+        out["triad_exactness"] = bool(counts == expected)
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def run_dedup_screen_ratio(spark, sf_dir, files_per_trigger) -> dict:
     """The screen-vs-reshingle ratio at this corpus decade, made
     reproducible (the r12 numbers in SCALING.md — 2.6× at 20k docs,
@@ -653,6 +849,7 @@ PATHS = {
     "index_ingest": run_index_ingest,
     "dedup_ingest": run_dedup_ingest,
     "semantic_ingest": run_semantic_ingest,
+    "ingest_all": run_ingest_all,
     "dedup_screen_ratio": run_dedup_screen_ratio,
 }
 

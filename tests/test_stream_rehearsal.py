@@ -59,6 +59,29 @@ def test_semantic_ingest_path_is_exact_at_tiny_scale(spark):
     assert res["inc_batches"] == res["n_batches"] > 0
 
 
+def test_ingest_all_path_is_exact_at_tiny_scale(spark):
+    """The composed-triad rehearsal leg (VERDICT r13 ask #6) at
+    sf0.001: every engineered class lands on exactly its own verdict —
+    exact copies on exact_dup (stage 1), doubled-text rows on text_dup
+    (stage 2, never stage 1: md5 differs by construction), verbatim
+    embedding copies on semantic_dup (stage 3), fresh rows admitted —
+    and every store shows the drained batch increments."""
+    from scripts.stream_rehearsal import run_ingest_all
+
+    res = run_ingest_all(spark, SF, files_per_trigger=1)
+    assert res["triad_exactness"] is True, res["class_counts"]
+    n = res["per_class"]
+    assert n > 0 and res["input_rows"] == 4 * n
+    assert res["class_counts"] == {
+        "3:exact_dup": n,
+        "2:text_dup": n,
+        "1:semantic_dup": n,
+        "0:admitted": n,
+    }
+    assert res["inc_batches"] == 3 * res["n_batches"] > 0
+    assert res["build_s"] > 0 and res["wall_s"] > 0
+
+
 def test_dedup_screen_ratio_path_reports_sane_metrics(spark):
     """The reproducible screen-vs-reshingle measurement (VERDICT r12
     ask #5): every re-keyed batch doc is an exact copy of a store doc,
