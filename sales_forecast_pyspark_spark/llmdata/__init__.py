@@ -55,6 +55,7 @@ from sales_forecast_pyspark_spark.llmdata.ingest import (
     compact_fp_store,
     screen_against_fp_store,
     stream_ingest_dedup_all,
+    triad_consistency_report,
 )
 from sales_forecast_pyspark_spark.llmdata.similarity import (
     cosine_topk,
@@ -98,6 +99,7 @@ __all__ = [
     "compact_fp_store",
     "screen_against_fp_store",
     "stream_ingest_dedup_all",
+    "triad_consistency_report",
     "build_minhash_store",
     "compact_minhash_store",
     "minhash_store_stats",

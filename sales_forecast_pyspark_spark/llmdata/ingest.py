@@ -205,6 +205,100 @@ def compact_fp_store(
         }
 
 
+def triad_consistency_report(
+    spark: SparkSession, fp_store: str, mh_store: str, index_path: str
+) -> dict:
+    """One-call cross-store audit for a composed-triad deployment: the
+    loop admits every survivor to ALL THREE stores under the same
+    batch id, so after any crash / replay / independent compaction the
+    operator's question is \"do the stores still agree on the admitted
+    set?\" — answered here from the tiered views the readers actually
+    serve (base ∪ increments), so a store that compacted while a
+    sibling didn't still compares equal.
+
+    Contract checked:
+    - the fp store and the MinHash store (signatures ∪ zero-token
+      fingerprints tiers) hold EXACTLY the same doc ids;
+    - the index holds a SUBSET of those ids (its append drops
+      zero-norm vectors by documented design) — ``index_missing`` is
+      the count of fp-store docs absent from the index, 0 on any
+      corpus without zero-norm embeddings;
+    - no store holds an id the fp store lacks (``*_extra`` counts).
+
+    ``consistent`` is True iff both extras are 0 and the fp/mh sets
+    match; ``strict_consistent`` additionally requires
+    ``index_missing == 0`` — the right verdict on a corpus known to be
+    zero-norm-free.
+    All comparisons are distributed anti-join COUNTS — nothing rowish
+    is collected; the per-store increment-batch id sets (kilobyte
+    metadata) are returned for provenance triage."""
+    from sales_forecast_pyspark_spark.llmdata import lsm
+    from sales_forecast_pyspark_spark.llmdata.dedup_store import (
+        _read_store_fps,
+        _read_store_table,
+    )
+
+    fp_ids = (
+        _read_fp_store(spark, fp_store).select("doc_id").distinct()
+    )
+    mh_ids = (
+        _read_store_table(spark, mh_store, "signatures")
+        .select("doc_id")
+        .unionByName(
+            _read_store_fps(spark, mh_store, "long").select("doc_id")
+        )
+        .distinct()
+    )
+    from sales_forecast_pyspark_spark.llmdata.ann_index import (
+        _read_index_table,
+    )
+
+    idx_ids = (
+        _read_index_table(spark, index_path, "vectors")
+        .select(F.col("neighbor_id").alias("doc_id"))
+        .distinct()
+    )
+    fp_ids.cache()
+    mh_ids.cache()
+    idx_ids.cache()
+    try:
+        report = {
+            "n_fp": fp_ids.count(),
+            "n_mh": mh_ids.count(),
+            "n_index": idx_ids.count(),
+            "mh_extra": mh_ids.join(fp_ids, "doc_id", "left_anti").count(),
+            "mh_missing": fp_ids.join(mh_ids, "doc_id", "left_anti").count(),
+            "index_extra": idx_ids.join(
+                fp_ids, "doc_id", "left_anti"
+            ).count(),
+            "index_missing": fp_ids.join(
+                idx_ids, "doc_id", "left_anti"
+            ).count(),
+            "inc_batches": {
+                "fp": sorted(lsm.list_inc_batches(spark, fp_store, "fps")),
+                "mh": sorted(
+                    lsm.list_inc_batches(spark, mh_store, "doc_counts")
+                ),
+                "index": sorted(
+                    lsm.list_inc_batches(spark, index_path, "codes")
+                ),
+            },
+        }
+    finally:
+        fp_ids.unpersist()
+        mh_ids.unpersist()
+        idx_ids.unpersist()
+    report["consistent"] = bool(
+        report["mh_extra"] == 0
+        and report["mh_missing"] == 0
+        and report["index_extra"] == 0
+    )
+    report["strict_consistent"] = bool(
+        report["consistent"] and report["index_missing"] == 0
+    )
+    return report
+
+
 def stream_ingest_dedup_all(
     stream_df: DataFrame,
     fp_store: str,

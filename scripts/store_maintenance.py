@@ -1,9 +1,10 @@
 """One-call maintenance for the persisted stores — the operator entry
 point over the r13 policy surface (VERDICT r12 asks #3/#4):
 
-    python scripts/store_maintenance.py PATH --kind {index,minhash}
+    python scripts/store_maintenance.py PATH --kind {index,minhash,fp}
         [--max-inc-batches 16] [--max-inc-bytes BYTES]
         [--target-file-mb 128] [--dry-run]
+        [--triad MH_STORE INDEX_PATH]   # with --kind fp
 
 Consults ``lsm.should_compact`` over the store's tables and runs the
 matching compactor when the increments tier is past threshold (both
@@ -30,8 +31,16 @@ over a bounded stored-vector sample meets ``--recall-target`` (default
 decision. ``--no-tune`` skips it (it costs |sample| brute-force + a
 probe ladder, heavier than the kilobyte verdicts).
 
+``--kind fp`` maintains the composed triad's whole-text
+exact-fingerprint store (fold-only: a hash table has no rebuild-class
+failure mode). ``--triad MH_STORE INDEX_PATH`` (fp kind only) also
+runs ``triad_consistency_report`` — the cross-store audit that the
+three stores a composed ingest loop feeds still agree on the admitted
+set — and fails the exit code when they do not.
+
 Exit codes: 0 = healthy (nothing due, or fold done and no rebuild
-signal), 2 = rebuild signalled (monitoring-friendly), 3 = lease held.
+signal), 2 = rebuild signalled or triad inconsistent
+(monitoring-friendly), 3 = lease held.
 """
 
 from __future__ import annotations
@@ -46,6 +55,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 TABLES = {
     "index": ["codes", "vectors", "stats_live"],
     "minhash": ["signatures", "buckets", "fingerprints", "doc_counts"],
+    # the composed triad's whole-text exact-fingerprint store
+    # (llmdata/ingest.py) — fold-only: a single hash table has no
+    # rebuild-class failure mode (no geometry, no quantizer)
+    "fp": ["fps"],
 }
 
 
@@ -61,6 +74,7 @@ def maintain(
     recall_target: float = 0.9,
 ) -> dict:
     from sales_forecast_pyspark_spark.llmdata import (
+        compact_fp_store,
         compact_ivfpq_index,
         compact_minhash_store,
         lsm,
@@ -85,9 +99,11 @@ def maintain(
         "rebuild": None,
     }
     if due and not dry_run:
-        compactor = (
-            compact_ivfpq_index if kind == "index" else compact_minhash_store
-        )
+        compactor = {
+            "index": compact_ivfpq_index,
+            "minhash": compact_minhash_store,
+            "fp": compact_fp_store,
+        }[kind]
         out["files"] = {
             t: list(c)
             for t, c in compactor(
@@ -108,8 +124,10 @@ def maintain(
             if tune_n_probe
             else None
         )
-    else:
+    elif kind == "minhash":
         out["rebuild"] = should_rescale_bands(spark, path)
+        out["recommended_n_probe"] = None
+    else:  # fp: fold-only, no rebuild-class failure mode
         out["recommended_n_probe"] = None
     return out
 
@@ -124,7 +142,18 @@ def main() -> int:
     ap.add_argument("--dry-run", action="store_true")
     ap.add_argument("--no-tune", action="store_true")
     ap.add_argument("--recall-target", type=float, default=0.9)
+    ap.add_argument(
+        "--triad",
+        nargs=2,
+        metavar=("MH_STORE", "INDEX_PATH"),
+        default=None,
+        help="with --kind fp: also run the cross-store consistency "
+        "report over (PATH, MH_STORE, INDEX_PATH) — exit 2 unless the "
+        "three stores agree on the admitted set",
+    )
     args = ap.parse_args()
+    if args.triad and args.kind != "fp":
+        ap.error("--triad requires --kind fp (PATH is the fp store)")
 
     from sales_forecast_pyspark_spark.llmdata import lsm
     from sales_forecast_pyspark_spark.session import get_spark
@@ -146,8 +175,18 @@ def main() -> int:
     except lsm.LeaseHeldError as e:
         print(json.dumps({"error": "lease_held", "detail": str(e)}))
         return 3
+    if args.triad:
+        from sales_forecast_pyspark_spark.llmdata import (
+            triad_consistency_report,
+        )
+
+        out["triad"] = triad_consistency_report(
+            spark, args.path, args.triad[0], args.triad[1]
+        )
     print(json.dumps(out), flush=True)
     r = out["rebuild"] or {}
+    if out.get("triad") is not None and not out["triad"]["consistent"]:
+        return 2
     return 2 if (r.get("rebuild") or r.get("rescale")) else 0
 
 

@@ -192,3 +192,58 @@ def test_triad_loop_verdicts_and_exactly_once(spark, corpus, tmp_path):
         spark, idx, probe_v, threshold=0.9
     ).collect()
     assert any(s["dup_of"] == 9_004 for s in sem)
+
+
+def test_triad_consistency_report_and_fp_maintenance(
+    spark, corpus, tmp_path
+):
+    """The cross-store audit: three freshly seeded stores agree; an fp
+    append the siblings never saw flips the verdict; the fp kind of
+    the maintenance CLI folds the increment and the report still sees
+    the divergence through the compacted base (tiered views, not
+    tier layout)."""
+    from scripts.store_maintenance import maintain
+    from sales_forecast_pyspark_spark.llmdata import (
+        triad_consistency_report,
+    )
+
+    seed = corpus.filter(F.col("doc_id") < 300)
+    fp, mh, idx = (
+        str(tmp_path / "fp"),
+        str(tmp_path / "mh"),
+        str(tmp_path / "idx"),
+    )
+    build_fp_store(seed, fp)
+    build_minhash_store(seed, mh)
+    build_ivfpq_index(
+        seed.select("doc_id", "embedding"), idx, id_col="doc_id"
+    )
+    rep = triad_consistency_report(spark, fp, mh, idx)
+    assert rep["consistent"] and rep["strict_consistent"]
+    assert rep["n_fp"] == rep["n_mh"] == rep["n_index"] == 300
+    assert rep["inc_batches"] == {"fp": [], "mh": [], "index": []}
+
+    # an fp-only append (a crashed loop that died between store
+    # appends) must flip the verdict: the doc is in fp but nowhere else
+    extra = spark.createDataFrame(
+        [(8_888, "a document only the fp store ever saw")],
+        "doc_id long, text string",
+    )
+    append_to_fp_store(extra, fp, batch_id=7)
+    rep = triad_consistency_report(spark, fp, mh, idx)
+    assert not rep["consistent"]
+    assert rep["mh_missing"] == 1 and rep["index_missing"] == 1
+    assert rep["mh_extra"] == 0 and rep["index_extra"] == 0
+    assert rep["inc_batches"]["fp"] == [7]
+
+    # fp maintenance: dry-run reports due without folding, the real
+    # run folds, and the report still sees the divergence through the
+    # compacted base
+    out = maintain(spark, fp, "fp", max_inc_batches=1, dry_run=True)
+    assert out["compact_due"] is True and out["compacted"] is False
+    assert out["rebuild"] is None and out["recommended_n_probe"] is None
+    out = maintain(spark, fp, "fp", max_inc_batches=1)
+    assert out["compacted"] is True and out["files"]["fps"][1] >= 1
+    rep = triad_consistency_report(spark, fp, mh, idx)
+    assert not rep["consistent"]
+    assert rep["mh_missing"] == 1 and rep["inc_batches"]["fp"] == []
