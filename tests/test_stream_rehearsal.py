@@ -1,8 +1,9 @@
 """Pins the streaming-rehearsal harness (scripts/stream_rehearsal.py)
-at tiny scale: all three measured paths must drain, report sane
-metrics, and hold their equivalence gates — otherwise the SCALING.md
-streaming table measures a broken harness. The timed sf0.1 / 10x runs
-stay script-only; this covers the LOGIC in seconds.
+at tiny scale: every measured path must drain, report sane metrics,
+and hold its equivalence/exactness gates — otherwise the SCALING.md
+streaming tables measure a broken harness. The timed sf0.1 / decade
+runs stay script-only; this covers the LOGIC in seconds (the tiny
+ingest-loop legs run minutes, not seconds — they build real stores).
 """
 
 from __future__ import annotations
