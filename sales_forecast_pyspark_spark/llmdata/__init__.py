@@ -60,6 +60,7 @@ from sales_forecast_pyspark_spark.llmdata.ingest import (
 from sales_forecast_pyspark_spark.llmdata.similarity import (
     cosine_topk,
     dequantize_embeddings,
+    exact_self_similarity_join,
     group_centroids,
     ivf_topk,
     lsh_pairs_topk,
@@ -128,6 +129,7 @@ __all__ = [
     "extract_features",
     "fake_decode",
     "ivf_topk",
+    "exact_self_similarity_join",
     "lsh_pairs_topk",
     "lsh_similarity_join",
     "fingerprint_expr",

