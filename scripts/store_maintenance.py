@@ -22,7 +22,8 @@ Prints one JSON line:
     {"kind": ..., "path": ..., "compact_due": bool, "compacted": bool,
      "files": {table: [before, after]} | null,
      "rebuild": {verdict dict} | null,
-     "recommended_n_probe": {recommend_n_probe dict} | null}
+     "recommended_n_probe": {recommend_n_probe dict} | null,
+     "triad": {triad_consistency_report dict}}   # only with --triad
 
 ``recommended_n_probe`` (index kind only, VERDICT r13 ask #5): the
 measured IO/recall dial — the smallest n_probe whose pooled recall@k
@@ -36,7 +37,11 @@ exact-fingerprint store (fold-only: a hash table has no rebuild-class
 failure mode). ``--triad MH_STORE INDEX_PATH`` (fp kind only) also
 runs ``triad_consistency_report`` — the cross-store audit that the
 three stores a composed ingest loop feeds still agree on the admitted
-set — and fails the exit code when they do not.
+set — and fails the exit code when they do not. The report holds no
+lease; against a LIVE loop a mid-batch snapshot can look transiently
+inconsistent, so it re-runs once before failing (ADVICE r14 — real
+divergence is stable across both passes; see the report's docstring
+for the quiescence contract).
 
 Exit codes: 0 = healthy (nothing due, or fold done and no rebuild
 signal), 2 = rebuild signalled or triad inconsistent

