@@ -468,11 +468,30 @@ def _build_locked(
         df, id_col, vec_col, n_centroids, m, codebook_k, seed
     )
     n_vectors = enc.count()
-    enc.select("neighbor_id", "cell", "codes").write.mode("overwrite").partitionBy(
-        "cell"
-    ).parquet(os.path.join(path, "codes"))
+    # Sized writes, same math and layout as the compactor and the
+    # append path (see _append_locked): unsized, partitionBy(cell)
+    # emitted one file per (input partition × cell) — 320 files for a
+    # 20k-vector build — whose listing/open cost every probe scan then
+    # pays until the first compaction.
+    target_bytes = 128 * 1024 * 1024
+    files_per_cell = max(
+        1,
+        -(-(n_vectors * (16 + 4 * m)) // max(1, n_centroids) // target_bytes),
+    )
+    n_vec_files = max(1, -(-(n_vectors * (24 + 8 * d)) // target_bytes))
+    (
+        enc.select("neighbor_id", "cell", "codes")
+        .repartition(
+            F.col("cell"),
+            F.pmod(F.xxhash64("neighbor_id"), F.lit(int(files_per_cell))),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(path, "codes"))
+    )
     (
         enc.select("neighbor_id", "v")
+        .repartitionByRange(int(n_vec_files), "neighbor_id")
         .sortWithinPartitions("neighbor_id")
         .write.mode("overwrite")
         .parquet(os.path.join(path, "vectors"))
@@ -650,6 +669,21 @@ def _append_locked(
     enc = src.mapInPandas(encode, out_schema)
     enc.cache()
     n_new = enc.count()
+    # Size the increment writes like the compactor sizes the base
+    # (guide: small files hurt twice — commit cost now, listing + open
+    # cost on every later screen/serve scan). Unsized, partitionBy(cell)
+    # emits one file per (input partition × cell) — measured 512 files
+    # for ONE 12.5k-row append at 32 partitions × 16 cells — and a
+    # 64-batch auto-compaction window accumulates tens of thousands.
+    # Rows-based byte estimates (the compactor re-sizes from real bytes
+    # at fold time): codes ≈ id 8B + m int32 + overhead; vectors ≈
+    # id 8B + d float64 + overhead.
+    target_bytes = 128 * 1024 * 1024
+    files_per_cell = max(
+        1,
+        -(-(n_new * (16 + 4 * m)) // max(1, meta["n_centroids"]) // target_bytes),
+    )
+    n_vec_files = max(1, -(-(n_new * (24 + 8 * d)) // target_bytes))
     # Crash-consistency ordering: vectors BEFORE codes. An orphan
     # vectors row (append died between the writes) is harmless — it is
     # never ADC-scanned, so it can never surface; the reverse order
@@ -671,13 +705,24 @@ def _append_locked(
         )
     (
         enc.select("neighbor_id", "v")
+        .repartitionByRange(int(n_vec_files), "neighbor_id")
         .sortWithinPartitions("neighbor_id")
         .write.mode(mode)
         .parquet(vec_dst)
     )
-    enc.select("neighbor_id", "cell", "codes").write.mode(mode).partitionBy(
-        "cell"
-    ).parquet(code_dst)
+    (
+        enc.select("neighbor_id", "cell", "codes")
+        # whole (cell, salt) groups per task → partitionBy(cell) emits
+        # at most files_per_cell files per cell (the compactor's exact
+        # layout, so a fold is a no-op on an already-clean tier shape)
+        .repartition(
+            F.col("cell"),
+            F.pmod(F.xxhash64("neighbor_id"), F.lit(int(files_per_cell))),
+        )
+        .write.mode(mode)
+        .partitionBy("cell")
+        .parquet(code_dst)
+    )
     # Fold this batch's drift-stat contribution into the live tier —
     # the additive (n, Σqerr) statistic computed from the SAME cached
     # enc frame just written, so ivfpq_index_stats never needs a data

@@ -443,12 +443,29 @@ def _append_signed(
         # row would produce candidates whose verify join silently drops
         # them; fingerprints third, doc_counts LAST — presence of a
         # batch's doc_counts row is the compactor's completeness test
-        sig.select("doc_id", "sig").withColumn(
-            "src_batch", F.lit(src).cast("long")
-        ).write.mode(mode).parquet(sig_dst)
+        # Sized writes, compactor layout (r15, guide small-files): an
+        # unsized batch append emitted one file per input partition and
+        # table — ~3 × |partitions| files per micro-batch that every
+        # later screen lists and opens until a fold. Rows-based byte
+        # estimates; the compactor re-sizes from real bytes at fold.
+        target_bytes = 128 * 1024 * 1024
+        n_sig_files = max(
+            1, -(-(n_sig * (24 + 8 * num_hashes)) // target_bytes)
+        )
+        n_bkt_files = max(1, -(-(n_sig * bands * 40) // target_bytes))
+        (
+            sig.select("doc_id", "sig")
+            .withColumn("src_batch", F.lit(src).cast("long"))
+            .repartitionByRange(int(n_sig_files), "doc_id")
+            .sortWithinPartitions("doc_id")
+            .write.mode(mode)
+            .parquet(sig_dst)
+        )
         (
             _band_buckets(_sig_cols(sig, num_hashes), "doc_id", num_hashes, bands)
             .withColumn("src_batch", F.lit(src).cast("long"))
+            .repartitionByRange(int(n_bkt_files), "band", "bucket")
+            .sortWithinPartitions("band", "bucket")
             .write.mode(mode)
             .parquet(bkt_dst)
         )
@@ -456,9 +473,10 @@ def _append_signed(
         if fps is not None:
             n_fp = fps.count()
             if n_fp:
+                n_fp_files = max(1, -(-(n_fp * 64) // target_bytes))
                 fps.select("doc_id", "fp").withColumn(
                     "src_batch", F.lit(src).cast("long")
-                ).write.mode(mode).parquet(fp_dst)
+                ).repartition(int(n_fp_files)).write.mode(mode).parquet(fp_dst)
         n_new = n_sig + n_fp
         # fold this batch's count into the kilobyte ledger (versioned →
         # its own overwrite-idempotent row; ad-hoc → base append), then

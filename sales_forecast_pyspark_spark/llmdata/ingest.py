@@ -243,10 +243,17 @@ def append_to_fp_store(
         )
         fps.cache()
         n = fps.count()
+        # sized like build_fp_store (one file per ~target for a
+        # batch-bounded increment, fp-sorted for join-key row-group
+        # locality) instead of one file per input partition
+        n_files = max(1, -(-n * 48 // (128 * 1024 * 1024)))
+        sized = fps.repartitionByRange(int(n_files), "fp").sortWithinPartitions(
+            "fp"
+        )
         if batch_id is None:
-            fps.write.mode("append").parquet(os.path.join(path, "fps"))
+            sized.write.mode("append").parquet(os.path.join(path, "fps"))
         else:
-            fps.write.mode("overwrite").parquet(
+            sized.write.mode("overwrite").parquet(
                 os.path.join(path, "fps_inc", f"b={int(batch_id)}")
             )
         fps.unpersist()

@@ -988,3 +988,42 @@ def test_semantic_loop_zero_norm_exact_tier(spark, emb, tmp_path_factory):
     # recording batch sees its own id in the marker and republishes
     # identically — bit-stable, still exactly one zero row
     assert run(str(root / "ckpt2")) == survivors
+
+
+def test_sized_writes_bound_files_per_append_and_build(
+    spark, emb, tmp_path_factory
+):
+    """r15 layout optimization (guide §6 small-files): build and append
+    writes are sized like the compactor — codes land as at most
+    files_per_cell (=1 at test scale) files per populated cell instead
+    of one per (input partition × cell), vectors/sig-class tables as a
+    byte-sized handful instead of one per input partition. Measured
+    before the fix: ONE 12.5k-row append emitted 512 code files
+    (32 partitions × 16 cells); a 64-batch auto-compaction window
+    accumulates tens of thousands that every probe scan then lists.
+    The pin is on FILE COUNTS, which are deterministic — wall-clock is
+    window-dependent, layout is not."""
+    import glob
+    import os
+
+    from sales_forecast_pyspark_spark.llmdata import append_to_ivfpq_index
+
+    def nfiles(p: str) -> int:
+        return len(glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True))
+
+    path = str(tmp_path_factory.mktemp("ivfpq_layout") / "idx")
+    base = emb.filter(F.col("vec_id") < 300)
+    meta = build_ivfpq_index(base, path)
+    n_cells = meta["n_centroids"]
+    # build: ≤ 1 file per populated cell, one sized vectors file
+    assert nfiles(os.path.join(path, "codes")) <= n_cells
+    assert nfiles(os.path.join(path, "vectors")) == 1
+
+    batch = emb.filter(F.col("vec_id") >= 300).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    # worst-case fragmentation on the way in: many input partitions
+    n = append_to_ivfpq_index(batch.repartition(32), path, batch_id=1)
+    assert n > 0
+    assert nfiles(os.path.join(path, "codes_inc")) <= n_cells
+    assert nfiles(os.path.join(path, "vectors_inc")) == 1

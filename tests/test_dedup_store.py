@@ -725,3 +725,29 @@ def test_store_stats_price_screening_load_and_verdict(
     assert "widen AND-rows" in v["reason"]
     # n_docs is the ADMITTED count from the ledger, not a band-row count
     assert v["n_docs"] == 400
+
+
+def test_sized_append_writes_bound_increment_files(
+    spark, docs, tmp_path_factory
+):
+    """r15 layout optimization (guide §6): a batch-keyed append lands
+    its signatures/buckets increments as a byte-sized handful of files
+    (1 each at test scale), not one file per input partition — file
+    counts are deterministic where wall-clock is window-noisy."""
+    import glob
+
+    def nfiles(p: str) -> int:
+        return len(glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True))
+
+    path = str(tmp_path_factory.mktemp("mh_layout") / "store")
+    build_minhash_store(docs.filter(F.col("doc_id") < 400), path)
+    n = append_to_minhash_store(
+        docs.filter(F.col("doc_id") >= 400)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+        .repartition(16),  # worst-case incoming fragmentation
+        path,
+        batch_id=1,
+    )
+    assert n > 0
+    assert nfiles(os.path.join(path, "signatures_inc")) == 1
+    assert nfiles(os.path.join(path, "buckets_inc")) == 1

@@ -357,3 +357,26 @@ def test_triad_report_recheck_flag(spark, corpus, tmp_path):
     assert not rep["consistent"] and rep["rechecked"] is True
     rep = triad_consistency_report(spark, fp, mh, idx, recheck=False)
     assert not rep["consistent"] and rep["rechecked"] is False
+
+
+def test_sized_fp_append_writes_one_file_per_small_batch(
+    spark, corpus, tmp_path
+):
+    """r15 layout optimization (guide §6): the fp store's batch-keyed
+    increment lands fp-sorted in a byte-sized file count (1 at test
+    scale), not one file per input partition."""
+    import glob
+
+    def nfiles(p: str) -> int:
+        return len(glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True))
+
+    path = str(tmp_path / "fp_layout")
+    build_fp_store(corpus.select("doc_id", "text"), path)
+    n = append_to_fp_store(
+        corpus.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+        .repartition(16),
+        path,
+        batch_id=1,
+    )
+    assert n > 0
+    assert nfiles(os.path.join(path, "fps_inc")) == 1
