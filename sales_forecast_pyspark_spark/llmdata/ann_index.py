@@ -56,6 +56,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from sales_forecast_pyspark_spark.llmdata.lsm import DEFAULT_TARGET_FILE_MB
 from sales_forecast_pyspark_spark.llmdata.similarity import _ivfpq_fit
 
 
@@ -467,13 +468,18 @@ def _build_locked(
     cells, cb, enc, d, sub = _ivfpq_fit(
         df, id_col, vec_col, n_centroids, m, codebook_k, seed
     )
+    # cache before the count, as in _append_locked (ADVICE r15): the
+    # count, the codes shuffle-write, repartitionByRange's sampling
+    # pass and the vectors write would otherwise each re-run the
+    # m KMeans-transform encode pipeline
+    enc.cache()
     n_vectors = enc.count()
     # Sized writes, same math and layout as the compactor and the
     # append path (see _append_locked): unsized, partitionBy(cell)
     # emitted one file per (input partition × cell) — 320 files for a
     # 20k-vector build — whose listing/open cost every probe scan then
     # pays until the first compaction.
-    target_bytes = 128 * 1024 * 1024
+    target_bytes = DEFAULT_TARGET_FILE_MB * 1024 * 1024
     files_per_cell = max(
         1,
         -(-(n_vectors * (16 + 4 * m)) // max(1, n_centroids) // target_bytes),
@@ -496,6 +502,7 @@ def _build_locked(
         .write.mode("overwrite")
         .parquet(os.path.join(path, "vectors"))
     )
+    enc.unpersist()
     cells.write.mode("overwrite").parquet(os.path.join(path, "cells"))
     cb.write.mode("overwrite").parquet(os.path.join(path, "codebooks"))
     meta = {
@@ -678,7 +685,7 @@ def _append_locked(
     # Rows-based byte estimates (the compactor re-sizes from real bytes
     # at fold time): codes ≈ id 8B + m int32 + overhead; vectors ≈
     # id 8B + d float64 + overhead.
-    target_bytes = 128 * 1024 * 1024
+    target_bytes = DEFAULT_TARGET_FILE_MB * 1024 * 1024
     files_per_cell = max(
         1,
         -(-(n_new * (16 + 4 * m)) // max(1, meta["n_centroids"]) // target_bytes),
@@ -843,7 +850,7 @@ def stream_append_to_ivfpq_index(
 def compact_ivfpq_index(
     spark: SparkSession,
     path: str,
-    target_file_mb: int = 128,
+    target_file_mb: int = DEFAULT_TARGET_FILE_MB,
 ) -> dict:
     """Small-file compaction for a persisted IVF-PQ index — the
     maintenance op that pairs with ``append_to_ivfpq_index``: every
@@ -1288,6 +1295,7 @@ def screen_against_ivfpq_index(
     n_probe: int = 6,
     refine_factor: int = 8,
     exclude_ids: DataFrame | None = None,
+    max_rows: int = 50_000,
 ) -> DataFrame:
     """Which batch vectors are SEMANTIC near-dups (cosine ≥ threshold)
     of vectors already in the index? The embedding analogue of
@@ -1298,27 +1306,38 @@ def screen_against_ivfpq_index(
     against the SERVING index — |batch| probe queries over the
     cell-pruned code scan, nothing corpus-sized recomputed.
 
-    SCREEN-SHAPED EXECUTION (r14; measured necessity): the expression-
-    built serve path (``query_ivfpq_index``) materializes per-(query,
-    cell) ADC tables through two collect_list/array_sort aggregations
-    and broadcasts them — right for bounded k-NN query sets, measured
-    ~0.1 s/query and OOM-bound near ~10k queries, which an ingest
-    batch routinely exceeds. Screening instead runs the textbook
-    IVF-PQ scan shape as Arrow stages: (1) one ``mapInPandas`` pass
-    normalizes the batch and assigns each vector its ``n_probe``
-    nearest cells (the quantizer state is kilobytes of numpy in the
-    closure, as in the append encoder); (2) the probed-cell id list —
-    bounded by n_centroids — reaches the codes scan as a static
-    PartitionFilter; (3) a ``cogroup(...).applyInPandas`` per cell
+    SCREEN-SHAPED EXECUTION (r14, reshaped r16; measured necessity):
+    the expression-built serve path (``query_ivfpq_index``)
+    materializes per-(query, cell) ADC tables through two
+    collect_list/array_sort aggregations and broadcasts them — right
+    for bounded k-NN query sets, measured ~0.1 s/query and OOM-bound
+    near ~10k queries, which an ingest batch routinely exceeds.
+    Screening instead runs the textbook IVF-PQ scan shape with the
+    batch as BROADCAST STATE (the ``exact_self_similarity_join``
+    precedent): (1) the contract-bounded batch is Arrow-materialized
+    ONCE driver-side; normalization, the ``n_probe``-nearest-cell
+    assignment and the cell→query map are one |batch|×n_centroids
+    numpy product on the driver — no assign pass, no checkpoint, no
+    probed-cell collect job; (2) the probed-cell id list — bounded by
+    n_centroids — reaches the codes scan as a static PartitionFilter;
+    (3) a ``groupBy(cell).applyInPandas`` over the NARROW code rows
     computes the Q_c×256 ADC tables ONCE per subspace and scans all
     N_c code rows with vectorized table lookups (query-chunked so peak
     memory is ~chunk×N_c floats), emitting each query's top
-    ``k·refine_factor`` candidates; (4) the bounded candidate set
+    ``k·refine_factor`` candidates — the queries ride the broadcast,
+    so the only shuffle left carries (neighbor_id, cell, codes), never
+    a query vector (r14 shipped each query vector n_probe× through a
+    checkpoint and a cogroup exchange); (4) the bounded candidate set
     (≤ |batch|·k·refine_factor narrow rows) broadcasts against the
-    vectors table for the EXACT-cosine refine — true cosines, same
-    rounding and (cos desc, neighbor asc) tie order as the serve path.
-    Nothing corpus-sized shuffles; the only |batch|-scale broadcast is
-    the candidate ids and the normalized queries.
+    vectors table for the EXACT-cosine refine — true cosines computed
+    by the SAME JVM expressions over the same float64 values as r14,
+    same rounding and (cos desc, neighbor asc) tie order as the serve
+    path. Nothing corpus-sized shuffles; the |batch|-scale objects are
+    the one driver materialization and its broadcast, the class the
+    in-batch peel already carries. ``max_rows`` is the honesty guard
+    on that class: a frame past the ingest contract bound raises
+    loudly instead of silently materializing a corpus driver-side —
+    corpus-scale screening is ``embedding_near_dups``' job.
 
     Returns (vec_id, dup_of, cos_sim) for batch vectors whose best
     stored matches clear the threshold (several rows when several
@@ -1357,77 +1376,72 @@ def screen_against_ivfpq_index(
         F.col(vec_col).cast("array<double>").alias("v0"),
     )
     id_dtype = dict(src.dtypes)["vec_id"]
-    in_d = src.select(F.size("v0").alias("_d")).first()
-    if in_d is None:
-        return spark.createDataFrame(
-            [], f"vec_id {id_dtype}, dup_of {id_dtype}, cos_sim double"
-        )
-    if in_d["_d"] != d:
+    empty = spark.createDataFrame(
+        [], f"vec_id {id_dtype}, dup_of {id_dtype}, cos_sim double"
+    )
+    # limit BEFORE the collect so an over-contract frame costs at most
+    # max_rows+1 rows of driver memory before the loud refusal
+    qpdf = src.limit(int(max_rows) + 1).toPandas()
+    if len(qpdf) > max_rows:
         raise ValueError(
-            f"batch dimension {in_d['_d']} != index dimension {d}"
+            f"screen_against_ivfpq_index is for contract-bounded "
+            f"ingest batches: got {len(qpdf)} rows > max_rows="
+            f"{max_rows}. Use embedding_near_dups / query_ivfpq_index "
+            f"for corpus-scale sweeps."
         )
+    if not len(qpdf):
+        return empty
+    x = np.stack(qpdf["v0"].to_numpy()).astype(np.float64)
+    if x.shape[1] != d:
+        raise ValueError(
+            f"batch dimension {x.shape[1]} != index dimension {d}"
+        )
+    norms = np.sqrt(np.einsum("ij,ij->i", x, x))
+    keep = norms > 0
+    if not keep.any():
+        return empty
+    qids = qpdf["vec_id"].to_numpy()[keep]
+    x = x[keep] / norms[keep, None]
 
     cell_sq = np.einsum("ij,ij->i", cell_mat, cell_mat)
+    cd = -2.0 * (x @ cell_mat.T) + cell_sq
+    # n_probe smallest cell distances, ties by cell id (same rule as
+    # the serve path's (cd, cell) row_number)
+    order = np.lexsort(
+        (np.broadcast_to(np.arange(cd.shape[1]), cd.shape), cd), axis=-1
+    )[:, :n_probe]
+    # cell → positions of the queries probing it; queries ride the
+    # broadcast into the code scan, so no query vector ever shuffles
+    cell_to_pos = {
+        int(c): np.nonzero((order == c).any(axis=1))[0]
+        for c in np.unique(order)
+    }
+    probed_cells = sorted(cell_to_pos)
+    bc = spark.sparkContext.broadcast((qids, x, cell_to_pos))
 
-    def assign(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            x = np.stack(pdf["v0"].to_numpy()).astype(np.float64)
-            norms = np.sqrt(np.einsum("ij,ij->i", x, x))
-            keep = norms > 0
-            if not keep.any():
-                continue
-            pdf = pdf[keep]
-            x = x[keep] / norms[keep, None]
-            cd = -2.0 * (x @ cell_mat.T) + cell_sq
-            # n_probe smallest cell distances, ties by cell id (same
-            # rule as the serve path's (cd, cell) row_number)
-            order = np.lexsort(
-                (np.broadcast_to(np.arange(cd.shape[1]), cd.shape), cd),
-                axis=-1,
-            )[:, :n_probe]
-            qn = len(pdf)
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_probe),
-                    "qv": list(np.repeat(x, n_probe, axis=0)),
-                    "cell": order.reshape(-1).astype("int32"),
-                }
-            )
-
-    probes = src.mapInPandas(
-        assign, f"vec_id {id_dtype}, qv array<double>, cell int"
-    )
-    probes = probes.localCheckpoint(eager=True)  # one assign pass
-    probed_cells = sorted(
-        r["cell"] for r in probes.select("cell").distinct().collect()
-    )
-    if not probed_cells:
-        return spark.createDataFrame(
-            [], f"vec_id {id_dtype}, dup_of {id_dtype}, cos_sim double"
-        )
     codes = _read_index_table(spark, path, "codes").filter(
         F.col("cell").isin(probed_cells)
     ).select("neighbor_id", F.col("cell").cast("int").alias("cell"), "codes")
 
     book_sq = [np.einsum("ij,ij->i", b, b) for b in books]
 
-    def scan(key, qpdf, cpdf):
-        if not len(qpdf) or not len(cpdf):
+    def scan(key, cpdf):
+        cell = int(key[0])
+        b_ids, b_x, b_pos = bc.value
+        pos = b_pos.get(cell)
+        if pos is None or not len(cpdf):
             return pd.DataFrame(
                 {
-                    "vec_id": qpdf["vec_id"][:0],
+                    "vec_id": b_ids[:0],
                     "neighbor_id": cpdf["neighbor_id"][:0],
                     "adc": pd.Series([], dtype="float64"),
                 }
             )
-        cell = int(key[0])
-        xq = np.stack(qpdf["qv"].to_numpy())
+        xq = b_x[pos]
         resid = xq - cell_mat[cell]
         codes_m = np.stack(cpdf["codes"].to_numpy()).astype(np.int64)
         nid = cpdf["neighbor_id"].to_numpy()
-        qid = qpdf["vec_id"].to_numpy()
+        qid = b_ids[pos]
         n_c = len(nid)
         take = min(k_cand, n_c)
         out_q, out_n, out_a = [], [], []
@@ -1464,9 +1478,7 @@ def screen_against_ivfpq_index(
             }
         )
 
-    cand_cells = probes.groupBy("cell").cogroup(
-        codes.groupBy("cell")
-    ).applyInPandas(
+    cand_cells = codes.groupBy("cell").applyInPandas(
         scan, f"vec_id {id_dtype}, neighbor_id {id_dtype}, adc double"
     )
     # global per-query candidate cut across the probed cells, then the
@@ -1480,7 +1492,13 @@ def screen_against_ivfpq_index(
         .filter(F.col("_r") <= k_cand)
         .select("vec_id", "neighbor_id")
     )
-    qframe = probes.select("vec_id", "qv").dropDuplicates(["vec_id"])
+    # the normalized queries as a LOCAL frame — the same float64 values
+    # the r14 probes frame carried, so the JVM exact-cosine expressions
+    # below are bit-identical to the pre-r16 shape
+    qframe = spark.createDataFrame(
+        pd.DataFrame({"vec_id": qids, "qv": x.tolist()}),
+        f"vec_id {id_dtype}, qv array<double>",
+    )
     vectors = _read_index_table(spark, path, "vectors")
     cos = F.round(
         F.aggregate(

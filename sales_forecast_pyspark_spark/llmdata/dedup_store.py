@@ -84,6 +84,7 @@ from sales_forecast_pyspark_spark.llmdata.dedup import (
     _minhash_signatures,
     fingerprint_expr,
 )
+from sales_forecast_pyspark_spark.llmdata.lsm import DEFAULT_TARGET_FILE_MB
 from sales_forecast_pyspark_spark.llmdata.text import tokens_expr
 
 
@@ -448,7 +449,7 @@ def _append_signed(
         # table — ~3 × |partitions| files per micro-batch that every
         # later screen lists and opens until a fold. Rows-based byte
         # estimates; the compactor re-sizes from real bytes at fold.
-        target_bytes = 128 * 1024 * 1024
+        target_bytes = DEFAULT_TARGET_FILE_MB * 1024 * 1024
         n_sig_files = max(
             1, -(-(n_sig * (24 + 8 * num_hashes)) // target_bytes)
         )
@@ -922,7 +923,7 @@ def _complete_view(
 def compact_minhash_store(
     spark: SparkSession,
     path: str,
-    target_file_mb: int = 128,
+    target_file_mb: int = DEFAULT_TARGET_FILE_MB,
 ) -> dict:
     """Fold the batch-versioned increments into the base tables — the
     LSM merge for the signature store, same role and same crash

@@ -58,6 +58,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sales_forecast_pyspark_spark.llmdata.lsm import DEFAULT_TARGET_FILE_MB
+
 from sales_forecast_pyspark_spark.llmdata.dedup import fingerprint_expr
 from sales_forecast_pyspark_spark.llmdata.dedup_store import (
     _append_signed,
@@ -85,7 +87,7 @@ def build_fp_store(
     path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
-    target_file_mb: int = 128,
+    target_file_mb: int = DEFAULT_TARGET_FILE_MB,
 ) -> int:
     """Fingerprint the seed corpus and persist the ``fps`` table,
     fp-sorted for row-group locality on the join key. Returns the
@@ -246,7 +248,9 @@ def append_to_fp_store(
         # sized like build_fp_store (one file per ~target for a
         # batch-bounded increment, fp-sorted for join-key row-group
         # locality) instead of one file per input partition
-        n_files = max(1, -(-n * 48 // (128 * 1024 * 1024)))
+        n_files = max(
+            1, -(-n * 48 // (DEFAULT_TARGET_FILE_MB * 1024 * 1024))
+        )
         sized = fps.repartitionByRange(int(n_files), "fp").sortWithinPartitions(
             "fp"
         )
@@ -263,7 +267,7 @@ def append_to_fp_store(
 def compact_fp_store(
     spark: SparkSession,
     path: str,
-    target_file_mb: int = 128,
+    target_file_mb: int = DEFAULT_TARGET_FILE_MB,
     bucket_table: str | None = None,
     num_buckets: int = 32,
 ) -> dict:

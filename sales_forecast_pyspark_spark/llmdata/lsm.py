@@ -33,6 +33,15 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 
 
+# One target for every sized write in the LSM family (ADVICE r15): the
+# compactors' target_file_mb defaults AND the append/build increment
+# sizing derive from here, so an operator compacting at the default
+# never gets increments sized to a different target, and the constants
+# cannot drift apart. Scale-adaptive by construction — a tiny batch
+# lands 1 file, a 100 GB batch lands ~800 — not tuned to local cores.
+DEFAULT_TARGET_FILE_MB = 128
+
+
 class LeaseHeldError(RuntimeError):
     """Another maintainer holds the store's mutation lease."""
 

@@ -128,6 +128,30 @@ def test_index_query_meets_the_ivfpq_tier_bar(spark, emb, index_path):
     assert row["mean_recall"] >= 0.5
 
 
+def test_screen_contract_guard_and_dimension_check(spark, emb, index_path):
+    """The r16 screen materializes the contract-bounded batch ONCE
+    driver-side (the exact-peel precedent): an over-contract frame must
+    refuse loudly after at most max_rows+1 collected rows, the default
+    ceiling is the ingest contract bound, and the geometry check still
+    fails with the same loud ValueError — now driver-side, before any
+    job touches the index."""
+    from sales_forecast_pyspark_spark.llmdata import (
+        screen_against_ivfpq_index,
+    )
+
+    with pytest.raises(ValueError, match="contract-bounded"):
+        screen_against_ivfpq_index(spark, index_path, emb, max_rows=10)
+    import inspect as _inspect
+
+    sig = _inspect.signature(screen_against_ivfpq_index)
+    assert sig.parameters["max_rows"].default == 50_000
+    bad = emb.select(
+        "vec_id", F.slice(F.col("embedding"), 1, 32).alias("embedding")
+    ).filter(F.col("vec_id") < 3)
+    with pytest.raises(ValueError, match="batch dimension 32 != index"):
+        screen_against_ivfpq_index(spark, index_path, bad)
+
+
 def test_index_rejects_mismatched_query_dimension(spark, emb, index_path):
     """The meta table is a geometry CONTRACT: a query set with the
     wrong dimensionality fails loudly at plan time, not with silent
