@@ -116,6 +116,7 @@ def _candidate_count(df, **kw) -> int:
     ).count()
 
 
+@pytest.mark.slow
 def test_defaults_hold_on_clustered_corpus(loose):
     """The (0.5, 1.2) defaults pinned on real cluster structure:
     recall >= 0.96 (measured 0.98), output exactly k rows per item."""
@@ -139,6 +140,7 @@ def test_default_candidate_mass_is_structurally_bounded(loose):
     assert ncand / ALL_PAIRS <= 1.6
 
 
+@pytest.mark.slow
 def test_ivfpq_exploits_cluster_structure(loose):
     """The other half of the r11 IVF-PQ contract (SCALING.md): the 0.59
     structureless-corpus recall is the HARD case — on a corpus with
@@ -223,6 +225,7 @@ def test_banding_prunes_near_dup_regime_with_full_recall(tight):
         got.unpersist()
 
 
+@pytest.mark.slow
 def test_band_load_ladder_tracks_measured_candidates(tight):
     """VERDICT r11 ask #3, the estimator half: the sampled
     collision-mass ladder must track the TRUE per-item candidate load
@@ -252,6 +255,7 @@ def test_band_load_ladder_tracks_measured_candidates(tight):
     assert true_load / 2 <= ladder[6] <= true_load * 2
 
 
+@pytest.mark.slow
 def test_density_adaptive_geometry_triggers_and_keeps_recall(tight):
     """VERDICT r11 ask #3, done-criterion: on a corpus denser than the
     planted geometry (base 16x6 estimates ~198 pairs/item against a
@@ -276,6 +280,7 @@ def test_density_adaptive_geometry_triggers_and_keeps_recall(tight):
         got.unpersist()
 
 
+@pytest.mark.slow
 def test_density_adaptation_is_noop_when_bound_met(tight):
     """A bound the base geometry already meets must change NOTHING —
     same result set as the unbounded call, no warning (a no-op call
@@ -351,6 +356,7 @@ def test_band_load_ladder_slice_cap_keeps_estimates(tight):
     assert full[6] / 2 <= capped[6] <= full[6] * 2
 
 
+@pytest.mark.slow
 def test_density_adaptation_on_threshold_join_keeps_truth_subset(tight):
     """The lsh_similarity_join adapt branch (dense path): the bound
     triggers the same chooser, and because the radius verify is exact,

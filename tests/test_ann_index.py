@@ -152,6 +152,44 @@ def test_screen_contract_guard_and_dimension_check(spark, emb, index_path):
         screen_against_ivfpq_index(spark, index_path, bad)
 
 
+def test_quantizer_memo_hits_and_invalidates_on_rebuild(
+    spark, emb, tmp_path_factory
+):
+    """The r16 quantizer memo (per-append job thinning): repeated loads
+    of the immutable cells/codebooks state return the memoized arrays
+    (no collect jobs), and a REBUILD over the same path — new quantizer
+    files, new FS fingerprint — forces a reload of the new geometry.
+    meta stays fresh-read every call (n_vectors is append-mutable)."""
+    import numpy as np
+
+    from sales_forecast_pyspark_spark.llmdata.ann_index import (
+        _load_quantizers,
+        append_to_ivfpq_index,
+    )
+
+    path = str(tmp_path_factory.mktemp("ivfpq_memo") / "idx")
+    base = emb.filter(F.col("vec_id") < 300)
+    build_ivfpq_index(base, path)
+    m1, c1, b1 = _load_quantizers(spark, path)
+    m2, c2, b2 = _load_quantizers(spark, path)
+    assert c2 is c1 and b2 is b1  # memo hit: same arrays, no reload
+    # an append mutates meta (n_vectors) but NOT the quantizers: the
+    # memo must survive and meta must be fresh
+    extra = emb.filter(
+        (F.col("vec_id") >= 300) & (F.col("vec_id") < 350)
+    ).select((F.col("vec_id") + 90_000).alias("vec_id"), "embedding")
+    append_to_ivfpq_index(extra, path, batch_id=7)
+    m3, c3, b3 = _load_quantizers(spark, path)
+    assert c3 is c1
+    assert m3["n_vectors"] == m1["n_vectors"] + 50
+    # rebuild over the same path with a different seed: new quantizer
+    # files -> new fingerprint -> the memo reloads the NEW geometry
+    build_ivfpq_index(base, path, seed=43)
+    m4, c4, b4 = _load_quantizers(spark, path)
+    assert c4 is not c1
+    assert not np.array_equal(c4, c1)
+
+
 def test_index_rejects_mismatched_query_dimension(spark, emb, index_path):
     """The meta table is a geometry CONTRACT: a query set with the
     wrong dimensionality fails loudly at plan time, not with silent
@@ -239,6 +277,7 @@ def test_fresh_index_reports_no_drift(spark, emb, index_path):
         assert r["rows_ratio"] == pytest.approx(1.0, abs=1e-6)
 
 
+@pytest.mark.slow
 def test_same_distribution_append_stays_green(spark, emb, tmp_path_factory):
     """Appending MORE of the same distribution is the healthy
     incremental-ingest regime: quantization error per cell stays at
@@ -262,6 +301,7 @@ def test_same_distribution_append_stays_green(spark, emb, tmp_path_factory):
     ]
 
 
+@pytest.mark.slow
 def test_drifted_append_trips_the_flag(spark, emb, tmp_path_factory):
     """The failure mode the monitor exists for: appended vectors from
     a DIFFERENT distribution (here an axis spike no gaussian-trained
@@ -296,6 +336,7 @@ def test_drifted_append_trips_the_flag(spark, emb, tmp_path_factory):
     ), [(r["cell"], r["err_rel"], r["rows_ratio"]) for r in flagged]
 
 
+@pytest.mark.slow
 def test_wholesale_shift_trips_the_global_channel(spark, emb, tmp_path_factory):
     """A shift that raises EVERY cell's error equally defeats the
     median-normalized per-cell channel by construction — that is what
@@ -328,6 +369,7 @@ def test_wholesale_shift_trips_the_global_channel(spark, emb, tmp_path_factory):
     assert rows[0]["global_err_ratio"] > 3.0
 
 
+@pytest.mark.slow
 def test_lifecycle_driver_row_is_green(spark):
     """The registered ann_index_lifecycle row (build 80% → append 20%
     → serve → audit) must be green on BOTH its in-row audit axes at
@@ -350,6 +392,7 @@ def test_lifecycle_driver_row_is_green(spark):
     assert r["n_cells"] == 16
 
 
+@pytest.mark.slow
 def test_hot_spot_append_trips_the_skew_channel(spark, emb, tmp_path_factory):
     """Occupancy drift with NO quantization-error signal: appended
     duplicates of an existing vector reconstruct exactly as well as
@@ -383,6 +426,7 @@ def test_hot_spot_append_trips_the_skew_channel(spark, emb, tmp_path_factory):
     ), [(r["cell"], r["append_skew"], r["err_rel"]) for r in flagged]
 
 
+@pytest.mark.slow
 def test_compaction_shrinks_files_and_preserves_everything(
     spark, emb, tmp_path_factory
 ):
@@ -430,6 +474,7 @@ def test_compaction_shrinks_files_and_preserves_everything(
     assert sorted(map(tuple, after_report)) == sorted(map(tuple, before_report))
 
 
+@pytest.mark.slow
 def test_versioned_append_replay_is_idempotent(spark, emb, tmp_path_factory):
     """batch_id-keyed appends land in overwrite-mode increment dirs:
     replaying the same batch (foreachBatch's at-least-once failure
@@ -459,6 +504,7 @@ def test_versioned_append_replay_is_idempotent(spark, emb, tmp_path_factory):
     assert meta_once == meta_again == 500
 
 
+@pytest.mark.slow
 def test_streamed_ingest_matches_batch_append_and_compacts(
     spark, emb, tmp_path_factory
 ):
@@ -520,6 +566,7 @@ def test_streamed_ingest_matches_batch_append_and_compacts(
     assert after == streamed
 
 
+@pytest.mark.slow
 def test_live_stats_tier_matches_full_scan_exactly(
     spark, emb, tmp_path_factory
 ):
@@ -558,6 +605,7 @@ def test_live_stats_tier_matches_full_scan_exactly(
     assert after == live  # compaction recomputes, contents unchanged
 
 
+@pytest.mark.slow
 def test_replay_after_fold_is_a_noop(spark, emb, tmp_path_factory):
     """The exactly-once hole compaction alone leaves open: a batch
     whose increments were FOLDED (and deleted) before its checkpoint
@@ -599,6 +647,7 @@ def test_replay_after_fold_is_a_noop(spark, emb, tmp_path_factory):
     assert not any(r["drift_flag"] for r in live)
 
 
+@pytest.mark.slow
 def test_torn_batch_stays_unfolded_and_replay_completes_it(
     spark, emb, tmp_path_factory
 ):
@@ -665,6 +714,7 @@ def test_torn_batch_stays_unfolded_and_replay_completes_it(
     assert spark.read.parquet(f"{path}/meta").first()["n_vectors"] == 500
 
 
+@pytest.mark.slow
 def test_torn_codes_batch_never_double_counts(spark, emb, tmp_path_factory):
     """The index-side analogue of the ADVICE r12 MinHash double-count:
     a batch torn AFTER its codes landed but BEFORE its stats increment
@@ -744,6 +794,7 @@ def test_index_mutations_fail_loudly_under_lease(
     assert append_to_ivfpq_index(batch, path, batch_id=1) == 1
 
 
+@pytest.mark.slow
 def test_streamed_index_auto_compacts_and_serves_identically(
     spark, emb, tmp_path_factory
 ):
@@ -802,6 +853,7 @@ def test_streamed_index_auto_compacts_and_serves_identically(
     assert results["auto"]["inc_batches"] < results["plain"]["inc_batches"]
 
 
+@pytest.mark.slow
 def test_should_rebuild_verdict_tracks_the_drift_monitor(
     spark, emb, tmp_path_factory
 ):
@@ -848,6 +900,7 @@ def test_should_rebuild_verdict_tracks_the_drift_monitor(
     )
 
 
+@pytest.mark.slow
 def test_recommend_n_probe_picks_cheapest_rung_meeting_target(
     spark, emb, index_path
 ):
@@ -873,6 +926,7 @@ def test_recommend_n_probe_picks_cheapest_rung_meeting_target(
     assert cheap["n_probe"] == 1 and cheap["met_target"] is True
 
 
+@pytest.mark.slow
 def test_semantic_dedup_screen_and_stream_loop(
     spark, emb, tmp_path_factory
 ):
@@ -955,6 +1009,7 @@ def test_semantic_dedup_screen_and_stream_loop(
     assert served["neighbor_id"] == 1_003 and served["cos_sim"] >= 0.999
 
 
+@pytest.mark.slow
 def test_semantic_loop_zero_norm_exact_tier(spark, emb, tmp_path_factory):
     """ADVICE r13: zero norm means THE all-zeros vector, so the loop's
     marker-file exact-equality tier bounds the class to ONE published

@@ -116,6 +116,7 @@ def test_append_then_screen_finds_new_docs_and_replay_guard(
     )
 
 
+@pytest.mark.slow
 def test_stream_ingest_dedup_end_to_end(spark, docs, tmp_path_factory):
     """The composed loop over a multi-batch drain: a later batch's dup
     of an earlier batch's survivor is screened out, in-batch dups
@@ -181,6 +182,7 @@ def test_stream_ingest_dedup_end_to_end(spark, docs, tmp_path_factory):
     assert n_docs == 100 + len(survivors)
 
 
+@pytest.mark.slow
 def test_store_compaction_folds_increments_and_preserves_screening(
     spark, docs, tmp_path_factory
 ):
@@ -230,6 +232,7 @@ def test_store_compaction_folds_increments_and_preserves_screening(
     assert not any(r["dup_of"] == 50_210 for r in hidden)
 
 
+@pytest.mark.slow
 def test_replay_after_fold_is_a_noop(spark, docs, tmp_path_factory):
     """Same exactly-once hole as the index: a batch folded by
     compaction and then re-delivered must no-op via the fold ledger —
@@ -303,6 +306,7 @@ def test_greedy_losers_matches_sequential_semantics(spark):
     assert losers([(1, 2), (1, 3), (1, 4)]) == [2, 3, 4]
 
 
+@pytest.mark.slow
 def test_stream_ingest_keeps_nontransitive_chain_tail(
     spark, docs, tmp_path_factory
 ):
@@ -340,6 +344,7 @@ def test_stream_ingest_keeps_nontransitive_chain_tail(
     assert survivors == {1, 3}
 
 
+@pytest.mark.slow
 def test_exact_verify_in_batch_rechecks_borderline_pairs(
     spark, docs, tmp_path_factory
 ):
@@ -379,6 +384,7 @@ def test_exact_verify_in_batch_rechecks_borderline_pairs(
     assert outcomes["exact"] == {1, 2}
 
 
+@pytest.mark.slow
 def test_zero_token_docs_route_through_fingerprint_tier(
     spark, docs, tmp_path_factory
 ):
@@ -469,6 +475,7 @@ def test_zero_token_docs_route_through_fingerprint_tier(
     )
 
 
+@pytest.mark.slow
 def test_torn_batch_stays_unfolded_and_completes_on_replay(
     spark, docs, tmp_path_factory
 ):
@@ -567,6 +574,7 @@ def test_concurrent_mutation_fails_loudly_under_lease(
     lsm.release_lease(spark, path)
 
 
+@pytest.mark.slow
 def test_stream_loop_auto_compacts_and_parity_holds(
     spark, docs, tmp_path_factory
 ):
@@ -626,6 +634,7 @@ def test_stream_loop_auto_compacts_and_parity_holds(
     assert results["auto"]["inc_batches"] < results["plain"]["inc_batches"]
 
 
+@pytest.mark.slow
 def test_minhash_lifecycle_driver_row_is_green(spark):
     """The registered minhash_store_lifecycle row (build 80% → screen
     20% → append survivors → replay → probe) must be green on every

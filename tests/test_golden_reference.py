@@ -170,6 +170,7 @@ def test_golden_kpi_parity(parity_run):
     assert kpi["mae"] < kpi["base_mae"]
 
 
+@pytest.mark.slow
 def test_model_quality_audit_row_all_flags_green(spark):
     """The registered driver row (VERDICT r07 #5) must agree with this
     suite: one row, every tolerance flag true, model beats baseline.
@@ -188,6 +189,7 @@ def test_model_quality_audit_row_all_flags_green(spark):
         assert r[flag] is True, (flag, r.asDict())
 
 
+@pytest.mark.slow
 def test_tree_quality_audit_rows_all_flags_green(spark):
     """VERDICT r11 ask #5: the frozen-fixture tree audits joined into
     the forecast_rf/forecast_gbt driver rows must agree with this

@@ -76,6 +76,7 @@ def test_fp_store_lifecycle(spark, corpus, tmp_path):
     assert append_to_fp_store(fresh, path, batch_id=3) == 0  # folded
 
 
+@pytest.mark.slow
 def test_triad_loop_verdicts_and_exactly_once(spark, corpus, tmp_path):
     """One engineered batch, four dedup classes, each with a distinct
     witness — verdict precedence proves the short-circuit order (an
@@ -194,6 +195,7 @@ def test_triad_loop_verdicts_and_exactly_once(spark, corpus, tmp_path):
     assert any(s["dup_of"] == 9_004 for s in sem)
 
 
+@pytest.mark.slow
 def test_triad_consistency_report_and_fp_maintenance(
     spark, corpus, tmp_path
 ):
@@ -326,6 +328,7 @@ def test_fp_store_bucketed_base_screen_plan_and_fallback(
         spark.sql("DROP TABLE IF EXISTS t_fp_screen__stage")
 
 
+@pytest.mark.slow
 def test_triad_report_recheck_flag(spark, corpus, tmp_path):
     """ADVICE r14: the report holds no lease, so before reporting
     inconsistency it re-runs once — a clean verdict never rechecks,

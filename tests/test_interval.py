@@ -46,6 +46,7 @@ def test_matches_brute_force(spark, numeric_frames):
     assert not any(pid == 5 for pid, _ in got)  # null time never matches
 
 
+@pytest.mark.slow
 def test_bin_width_invariance(spark, numeric_frames):
     points, intervals = numeric_frames
     results = [
@@ -107,6 +108,7 @@ from hypothesis import strategies as st
     st.lists(st.tuples(st.integers(0, 60), st.integers(0, 15)), min_size=1, max_size=8),
     st.sampled_from([1, 7, 16]),
 )
+@pytest.mark.slow
 def test_interval_property_matches_brute_force(spark, times, spans, bin_width):
     points = spark.createDataFrame(
         [(i, t) for i, t in enumerate(times)], "pid long, t long"

@@ -262,6 +262,7 @@ _edge = st.tuples(st.integers(0, 14), st.integers(0, 14))
 
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 @given(st.lists(_edge, min_size=1, max_size=20))
+@pytest.mark.slow
 def test_connected_components_property_matches_union_find(spark, edges):
     """Random small graphs (self-loops and duplicate edges included)
     against a driver-side union-find: identical component labelling."""

@@ -160,6 +160,7 @@ def test_should_compact_dir_count_and_bytes_triggers(spark, tmp_path):
         spark, d, ["signatures"], max_inc_batches=99,
         max_inc_bytes=10**12,
     ) is False
+@pytest.mark.slow
 def test_store_maintenance_cli_maintains_both_stores(spark, tmp_path):
     """The operator entry point (scripts/store_maintenance.py): folds
     when the increments tier is past threshold, reports file counts,

@@ -22,6 +22,7 @@ def test_oracle_match(spark, duck, name):
     assert ok, f"{name}: {msg}"
 
 
+@pytest.mark.slow
 def test_all_queries_runnable(spark):
     for name, q in QUERIES.items():
         df = q.builder(spark, SF_SMALL)

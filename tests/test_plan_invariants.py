@@ -67,11 +67,13 @@ def _plan(spark, name):
     return q.builder(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
 
 
+@pytest.mark.slow
 def test_no_cartesian_products_anywhere(spark):
     offenders = [n for n in AUDITABLE if "CartesianProduct" in _plan(spark, n)]
     assert offenders == [], offenders
 
 
+@pytest.mark.slow
 def test_nested_loop_joins_only_where_declared(spark):
     offenders = [
         n

@@ -3,6 +3,8 @@ EWMA baseline, streaks, mutual information, bigram surprisal."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from pyspark.sql import Window
@@ -355,6 +357,7 @@ def test_pagerank_checkpoint_truncates_lineage_bit_exactly(spark):
     spark.catalog.clearCache()
 
 
+@pytest.mark.slow
 def test_pagerank_superseded_checkpoints_release_storage(spark):
     """Storage hygiene (ADVICE r07): checkpoint_every=1 over 6
     iterations materializes 6 rank snapshots; superseded ones must be

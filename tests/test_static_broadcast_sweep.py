@@ -25,6 +25,8 @@ Two directions, both required for the gate to mean anything:
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import sys
 
@@ -110,6 +112,7 @@ def test_global_agg_over_exploded_data_is_exempt(spark):
     assert audit_frame(audited) == []
 
 
+@pytest.mark.slow
 def test_registry_sweep_no_static_broadcast_of_exploded_frames(spark):
     """The gate: every registered, plan-buildable query's STATIC plan
     at sf0.001 carries no unbounded Generate-fed BroadcastExchange and

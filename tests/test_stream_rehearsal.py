@@ -8,6 +8,8 @@ ingest-loop legs run minutes, not seconds — they build real stores).
 
 from __future__ import annotations
 
+import pytest
+
 from scripts.stream_rehearsal import (
     run_attribution,
     run_partials_fold,
@@ -45,6 +47,7 @@ def test_partials_fold_matches_batch_rebuild(spark):
     assert res["state_rows"] > 0  # published panel grain
 
 
+@pytest.mark.slow
 def test_semantic_ingest_path_is_exact_at_tiny_scale(spark):
     """The semantic-dedup rehearsal leg (VERDICT r13 ask #3) at sf0.001:
     every re-keyed exact dup screens out, every hash-random fresh
@@ -60,6 +63,7 @@ def test_semantic_ingest_path_is_exact_at_tiny_scale(spark):
     assert res["inc_batches"] == res["n_batches"] > 0
 
 
+@pytest.mark.slow
 def test_ingest_all_path_is_exact_at_tiny_scale(spark):
     """The composed-triad rehearsal leg (VERDICT r13 ask #6) at
     sf0.001: every engineered class lands on exactly its own verdict —
