@@ -1500,6 +1500,17 @@ def screen_against_ivfpq_index(
     codes = _read_index_table(spark, path, "codes").filter(
         F.col("cell").isin(probed_cells)
     ).select("neighbor_id", F.col("cell").cast("int").alias("cell"), "codes")
+    # Explicit fixed-N repartition on the group key: the code rows are
+    # NARROW (the design's point), so AQE — which sizes partitions by
+    # bytes and is blind to the Python ADC work behind them — would
+    # coalesce this exchange to ~1 task and serialize the scan
+    # (measured ×4 at the 10× decade). A user-specified partition
+    # count is exempt from AQE coalescing, and the groupBy below
+    # reuses this exchange (same key, same count — no second shuffle).
+    n_scan_parts = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    codes = codes.repartition(n_scan_parts, "cell")
 
     book_sq = [np.einsum("ij,ij->i", b, b) for b in books]
 
@@ -1570,32 +1581,70 @@ def screen_against_ivfpq_index(
         .filter(F.col("_r") <= k_cand)
         .select("vec_id", "neighbor_id")
     )
-    # the normalized queries as a LOCAL frame — the same float64 values
-    # the r14 probes frame carried, so the JVM exact-cosine expressions
-    # below are bit-identical to the pre-r16 shape
-    qframe = spark.createDataFrame(
-        pd.DataFrame({"vec_id": qids, "qv": x.tolist()}),
-        f"vec_id {id_dtype}, qv array<double>",
+    # EXACT-cosine refine in the Python stage (r16): the r14/r15 shape
+    # computed 1M+ cosines per decade batch through interpreted JVM
+    # higher-order functions (zip_with + aggregate: ~2·d lambda
+    # evaluations per candidate), pinned to however few tasks the
+    # vectors scan produced — measured ~8 s of a ~13 s screen at the
+    # 10× decade. Instead each candidate stored vector crosses the
+    # Arrow boundary ONCE (grouping candidate pairs per neighbor first,
+    # so v is never duplicated per query) and numpy accumulates the
+    # dot product COLUMN BY COLUMN in ascending j — the exact
+    # left-to-right double-precision fold the JVM aggregate performed,
+    # so every unrounded cosine is bit-identical; rounding stays in the
+    # JVM (Spark round is BigDecimal HALF_UP — not numpy's
+    # half-to-even).
+    cand_by_nb = cand.groupBy("neighbor_id").agg(
+        F.collect_list("vec_id").alias("qids")
     )
     vectors = _read_index_table(spark, path, "vectors")
-    cos = F.round(
-        F.aggregate(
-            F.zip_with("v", "qv", lambda x, y: x * y),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        ),
-        6,
+    pos_of = {v: i for i, v in enumerate(qids.tolist())}
+    bc_pos = spark.sparkContext.broadcast(pos_of)
+
+    def refine(batches):
+        b_ids, b_x, b_pos = bc.value
+        posmap = bc_pos.value
+        # once per task: query columns contiguous, so the per-j gathers
+        # below stream over kilobyte-to-megabyte vectors instead of
+        # striding over a |pairs|×d panel (the obvious vr=v[rep] form
+        # materializes ~0.5 GB at the decade and thrashes every pass)
+        q_t = np.ascontiguousarray(b_x.T)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v_t = np.ascontiguousarray(np.stack(pdf["v"].to_numpy()).T)
+            qlists = pdf["qids"].to_numpy()
+            lens = np.fromiter(
+                (len(q) for q in qlists), dtype=np.int64, count=len(qlists)
+            )
+            rep = np.repeat(np.arange(len(qlists)), lens)
+            flat_q = np.concatenate([np.asarray(q) for q in qlists])
+            pos = pd.Series(flat_q).map(posmap).to_numpy()
+            acc = np.zeros(len(flat_q), dtype=np.float64)
+            for j in range(v_t.shape[0]):  # ascending j: the JVM fold order
+                acc += v_t[j][rep] * q_t[j][pos]
+            yield pd.DataFrame(
+                {
+                    "vec_id": flat_q,
+                    "dup_of": pdf["neighbor_id"].to_numpy()[rep],
+                    "cos_raw": acc,
+                }
+            )
+
+    refined = (
+        vectors.join(F.broadcast(cand_by_nb), "neighbor_id")
+        .select("neighbor_id", "v", "qids")
+        .mapInPandas(
+            refine,
+            f"vec_id {id_dtype}, dup_of {id_dtype}, cos_raw double",
+        )
     )
     w_cos = Window.partitionBy("vec_id").orderBy(
         F.desc("cos_sim"), F.asc("dup_of")
     )
     out = (
-        vectors.join(F.broadcast(cand), "neighbor_id")
-        .join(F.broadcast(qframe), "vec_id")
-        .select(
-            "vec_id",
-            F.col("neighbor_id").alias("dup_of"),
-            cos.alias("cos_sim"),
+        refined.select(
+            "vec_id", "dup_of", F.round("cos_raw", 6).alias("cos_sim")
         )
         # transient duplicate vector rows (torn-batch orphans folded
         # before their replay completes) are bit-identical by contract
